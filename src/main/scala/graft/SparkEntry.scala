@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{CoreSql, LlmPipeline, Observability}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 + the builder prompt.
+  *
+  * Every implemented operator is a [[GraftQuery]] in one of the suites;
+  * SQL-expressible ones carry a DuckDB oracle that must hash-match.
+  */
 object SparkEntry {
+
+  val allQueries: Seq[GraftQuery] =
+    CoreSql.queries ++ Observability.queries ++ LlmPipeline.queries
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    allQueries.head.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    allQueries.collect { case GraftQuery(n, _, Some(sql), _) => n -> sql.stripMargin.trim }.toMap
+
+  def headlineQueries: Seq[GraftQuery] = allQueries.filter(_.headline)
 }

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * Reads are plain `spark.read.parquet` so Catalyst keeps full pushdown:
+  * column pruning and predicate pushdown reach the parquet scan, and at
+  * cluster scale partition pruning applies if the layout is directory-
+  * partitioned. No caching here — operators decide what to reuse.
+  *
+  * `events.ts` is nanosecond-precision parquet, which Spark only reads
+  * as a Long (spark.sql.legacy.parquet.nanosAsLong — set by our session
+  * builders). We normalize it to a µs timestamp with integral division,
+  * the same ns→µs truncation DuckDB applies reading the raw file.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def df(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+}

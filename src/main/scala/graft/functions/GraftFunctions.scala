@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+/** Registration of graft's custom Catalyst functions.
+  *
+  * Two paths:
+  *  - [[GraftExtensions]] for `SparkSession.builder.withExtensions(...)`
+  *    (the idiomatic way — used by tests/Bench);
+  *  - [[GraftFunctions.register]] for sessions we didn't build
+  *    (the driver-owned Verify session) — idempotent.
+  */
+object GraftFunctions {
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_make_histogram" -> { args =>
+      require(args.length == 4, "graft_make_histogram(start, end, nb_bins, value)")
+      HistogramAgg(
+        Cast(args(0), DoubleType), Cast(args(1), DoubleType),
+        Cast(args(2), IntegerType), Cast(args(3), DoubleType)).toAggregateExpression()
+    },
+    "graft_sum_histograms" -> { args =>
+      require(args.length == 1, "graft_sum_histograms(histo)")
+      SumHistogramsAgg(args(0)).toAggregateExpression()
+    })
+
+  def register(spark: SparkSession): Unit = {
+    val registry =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      registry.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+  }
+}
+
+/** `SparkSession.builder.withExtensions(new GraftExtensions)` installs
+  * every graft function at session build time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        b))
+    }
+  }
+}

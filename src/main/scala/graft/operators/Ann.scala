@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Dot products are left-to-right folds over the arrays so the FP
+  * result is reproducible bit-for-bit against the sequential-loop
+  * oracle. Brute force is the exactness baseline; the scale path
+  * buckets vectors by random-hyperplane LSH signs so each query only
+  * probes its bucket (shuffle on small signatures, not vectors).
+  */
+object Ann {
+
+  def toDouble(vec: Column): Column = transform(vec, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector. `queries` must be
+    * small (it is broadcast); the corpus streams partition-local, and
+    * only the per-partition top-k survives to the final window.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.as("c")
+      .crossJoin(broadcast(queries.as("q")))
+      .where(col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        cosine(toDouble(col("q.embedding")), toDouble(col("c.embedding"))).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** LSH bucket signature: sign bits against `nPlanes` pseudo-random
+    * hyperplanes derived deterministically from md5 — reproducible, no
+    * stored model. Scale path: group by signature, probe within bucket.
+    */
+  def lshSignature(vec: Column, dim: Int, nPlanes: Int): Column = {
+    val planes = (0 until nPlanes).map { p =>
+      // deterministic pseudo-random plane: component j in [-0.5, 0.5)
+      val comps = (0 until dim).map { j =>
+        lit((java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(s"plane-$p-$j").substring(0, 15), 16)
+          .toDouble / math.pow(16, 15)) - 0.5)
+      }
+      val d = aggregate(zip_with(vec, array(comps: _*), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1)).otherwise(lit(0))
+    }
+    concat_ws("", planes: _*)
+  }
+
+  /** Bucketed ANN: candidates share the query's signature bucket. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, nPlanes: Int, k: Int): DataFrame = {
+    val sig = (df: DataFrame) => df.withColumn("sig", lshSignature(col("embedding"), dim, nPlanes))
+    val c = sig(corpus).as("c")
+    val q = sig(queries).as("q")
+    val joined = c.join(broadcast(q), col("c.sig") === col("q.sig"))
+      .where(col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosine(toDouble(col("q.embedding")), toDouble(col("c.embedding"))).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for large-scale text pipelines.
+  *
+  * Everything here is built from codegen'd built-ins (no UDFs) and is
+  * shuffle-shaped for scale: MinHash-LSH turns the O(n^2) pair problem
+  * into a groupBy/join on band keys, so 100 TB of documents shuffles
+  * only (doc_id, band_key) pairs, never text.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of `text` as an array column (distinct). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val tokens = split(trim(text), "\\s+")
+    val cnt = size(tokens) - lit(n - 1)
+    val grams = transform(
+      sequence(lit(1), greatest(cnt, lit(1))),
+      i => array_join(slice(tokens, i, lit(n)), " "))
+    array_distinct(when(cnt >= 1, grams).otherwise(array(array_join(tokens, " "))))
+  }
+
+  /** One MinHash value: min over shingles of md5(seed || '|' || shingle).
+    * Lexicographic min over hex digests is a valid uniform min-hash and
+    * is bit-reproducible across engines (md5 is standardized), which the
+    * DuckDB oracle relies on.
+    */
+  def minhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, s => md5(concat(lit(seed.toString), lit("|"), s))))
+
+  /** (doc_id, shingles) -> (doc_id, mh0..mh{h-1}). */
+  def minhashSignature(df: DataFrame, idCol: String, shinglesCol: String, numHashes: Int): DataFrame = {
+    val cols = (0 until numHashes).map(i => minhash(col(shinglesCol), i).as(s"mh$i"))
+    df.select(col(idCol) +: cols: _*)
+  }
+
+  /** LSH banding: rows (doc_id, band, key) where key hashes `rowsPerBand`
+    * consecutive minhashes. Equal keys in a band = candidate pair.
+    */
+  def lshBands(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val key = md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    sig.select(col(idCol), explode(array(bands: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate near-duplicate pairs (a < b) from LSH bands.
+    * Self-join co-partitions on (band, key) — a single shuffle of tiny
+    * rows; no O(n^2) comparisons.
+    */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val l = bands.select(col("band"), col("key"), col(idCol).as("a"))
+    val r = bands.select(col("band"), col("key"), col(idCol).as("b"))
+    l.join(r, Seq("band", "key")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for verification of candidates. */
+  def jaccard(sa: Column, sb: Column): Column =
+    size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb)).cast("double")
+
+  /** 64-bit SimHash from word shingles, built from xxhash64 bit votes.
+    * Engine-specific hash → exposed rows-only (no cross-engine oracle).
+    */
+  def simhash64(shingles: Column): Column = {
+    // For each bit position, sum votes (+1 if hash bit set, else -1);
+    // simhash bit = 1 iff vote > 0. Expressed as a fold over shingles.
+    val bitsOf = (s: Column) => xxhash64(s)
+    val votes = aggregate(
+      transform(shingles, bitsOf),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, i) => a + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, i) =>
+        when(v > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+}

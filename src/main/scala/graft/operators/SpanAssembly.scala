@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Span assembly: turn ordered event streams into span tables.
+  *
+  * The reference builds thread_spans by replaying begin/end events
+  * through a stack (reference: rust/analytics/src/call_tree.rs,
+  * span_table.rs). On Spark the same result comes from window
+  * functions — a running sum of +1/-1 gives the stack depth, and
+  * per-(key, depth) sequence numbers pair each begin with its end.
+  * One shuffle on the partition key; no driver-side iteration.
+  */
+object SpanAssembly {
+
+  /** Consecutive-event spans: each event opens a span that the next
+    * event on the same key closes (sessionized span stream).
+    */
+  def consecutiveSpans(events: DataFrame, keyCol: String, tsMs: Column,
+      idCol: String, nameCol: String): DataFrame = {
+    events
+      .select(col(keyCol), col(idCol), col(nameCol).as("name"), tsMs.as("begin_ms"))
+      .withColumn("end_ms", lead(col("begin_ms"), 1).over(
+        Window.partitionBy(keyCol).orderBy(col("begin_ms"), col(idCol))))
+      .where(col("end_ms").isNotNull)
+      .withColumn("duration_ms", col("end_ms") - col("begin_ms"))
+  }
+
+  /** Stack-based begin/end pairing with depth, the thread_spans shape.
+    *
+    * `isBegin` marks opening events. depth(begin) = number of open
+    * scopes before it = running sum of deltas exclusive of self; the
+    * k-th begin at (key, depth) pairs with the k-th end at that depth.
+    */
+  def beginEndSpans(events: DataFrame, keyCol: String, tsMs: Column,
+      idCol: String, nameCol: String, isBegin: Column): DataFrame = {
+    val delta = when(isBegin, lit(1)).otherwise(lit(-1))
+    val w = Window.partitionBy(keyCol).orderBy(col("t_ms"), col(idCol))
+    val tagged = events.select(
+        col(keyCol), col(idCol), col(nameCol).as("name"), tsMs.as("t_ms"),
+        isBegin.as("is_begin"), delta.as("delta"))
+      .withColumn("post_depth", sum(col("delta")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // begin opens a span at depth = post_depth - 1; end closes one at post_depth
+      .withColumn("depth", when(col("is_begin"), col("post_depth") - 1).otherwise(col("post_depth")))
+    val seqW = Window.partitionBy(col(keyCol), col("depth"), col("is_begin"))
+      .orderBy(col("t_ms"), col(idCol))
+    val seqd = tagged.withColumn("seq", row_number().over(seqW))
+    val begins = seqd.where(col("is_begin"))
+      .select(col(keyCol), col("depth"), col("seq"), col("name"),
+        col("t_ms").as("begin_ms"), col(idCol).as("span_id"))
+    val ends = seqd.where(!col("is_begin"))
+      .select(col(keyCol), col("depth"), col("seq"), col("t_ms").as("end_ms"))
+    begins.join(ends, Seq(keyCol, "depth", "seq"))
+      .where(col("end_ms") > col("begin_ms"))
+      .withColumn("duration_ms", col("end_ms") - col("begin_ms"))
+      .select(col(keyCol), col("span_id"), col("name"), col("depth").cast("long").as("depth"),
+        col("begin_ms"), col("end_ms"), col("duration_ms"))
+  }
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.operators.{Ann, Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{round => round} // DuckDB-compatible rounding (see package.scala)
+
+/** Training-data pipeline operators (SURVEY §2 L-series) over the
+  * `documents` and `embeddings` tables: dedup family, similarity
+  * search, text analysis. Cross-engine reproducibility comes from
+  * md5-based hashing (standardized) and left-to-right FP folds.
+  */
+object LlmPipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "embeddings")
+
+  /** DuckDB word-shingle expression fragments (see Dedup.wordShingles). */
+  private def oracleShingles(n: Int): String = {
+    val lastTok = n - 1
+    s"list_distinct(list_transform(range(1, GREATEST(len(t) - $lastTok, 1) + 1), i -> array_to_string(t[i:i+$lastTok], ' ')))"
+  }
+  private val oracleTokens = "string_split_regex(trim(text), '\\s+')"
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("l_dedup_exact", (s, dir) => {
+      docs(s, dir).groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
+        .orderBy("h")
+    }, Some("""
+      SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_copies, min(doc_id) AS keeper
+      FROM documents GROUP BY 1 ORDER BY h"""), headline = true),
+
+    GraftQuery("l_dedup_minhash", (s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
+      val sig = Dedup.minhashSignature(sh, "doc_id", "shingles", numHashes = 8)
+      val bands = Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2)
+      val cand = Dedup.candidatePairs(bands, "doc_id")
+      val withSets = cand
+        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+      withSets.select(col("a"), col("b"), round(Dedup.jaccard(col("sa"), col("sb")), 4).as("jac"))
+        .orderBy("a", "b")
+    }, Some(s"""
+      WITH tok AS (SELECT doc_id, $oracleTokens AS t FROM documents),
+      sh AS (SELECT doc_id, ${oracleShingles(3)} AS s FROM tok),
+      ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      mh AS (
+        SELECT doc_id, seed.seed, min(md5(CAST(seed.seed AS VARCHAR) || '|' || shingle)) AS mh
+        FROM ex CROSS JOIN (SELECT CAST(range AS INTEGER) AS seed FROM range(0, 8)) seed
+        GROUP BY doc_id, seed.seed),
+      sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, b.b AS band, md5(sig[2*b.b + 1] || '|' || sig[2*b.b + 2]) AS key
+        FROM sig CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(0, 4)) b),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+      SELECT cand.a, cand.b,
+        round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(list_distinct(sa.s || sb.s)), 4) AS jac
+      FROM cand JOIN sh sa ON sa.doc_id = cand.a JOIN sh sb ON sb.doc_id = cand.b
+      ORDER BY a, b"""), headline = true),
+
+    GraftQuery("l_dedup_simhash", (s, dir) => {
+      // xxhash64 is engine-specific → rows-only (no cross-engine oracle)
+      val sh = docs(s, dir).select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
+      sh.select(col("doc_id"), Dedup.simhash64(col("shingles")).as("simhash"))
+        .withColumn("bucket", shiftright(col("simhash"), 48))
+        .orderBy("doc_id")
+    }, None),
+
+    GraftQuery("l_ngram_jaccard", (s, dir) => {
+      val sh = docs(s, dir).where(col("doc_id") < 30)
+        .select(col("doc_id"), Dedup.wordShingles(col("text"), 2).as("s"))
+      val pairs = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          size(array_intersect(col("x.s"), col("y.s"))).as("inter"),
+          round(Dedup.jaccard(col("x.s"), col("y.s")), 4).as("jac"))
+      pairs.where(col("inter") > 0).select("a", "b", "jac").orderBy("a", "b")
+    }, Some(s"""
+      WITH tok AS (SELECT doc_id, $oracleTokens AS t FROM documents WHERE doc_id < 30),
+      sh AS (SELECT doc_id, ${oracleShingles(2)} AS s FROM tok)
+      SELECT x.doc_id AS a, y.doc_id AS b,
+        round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)), 4) AS jac
+      FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+      WHERE len(list_intersect(x.s, y.s)) > 0
+      ORDER BY a, b""")),
+
+    GraftQuery("l_embed_neardup", (s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), Ann.toDouble(col("embedding")).as("e"))
+      e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          Ann.cosine(col("x.e"), col("y.e")).as("cos"))
+        .where(col("cos") >= 0.4)
+        .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+        .orderBy("a", "b")
+    }, Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      SELECT x.vec_id AS a, y.vec_id AS b, round(list_cosine_similarity(x.e, y.e), 4) AS cos
+      FROM e x JOIN e y ON x.vec_id < y.vec_id
+      WHERE list_cosine_similarity(x.e, y.e) >= 0.4
+      ORDER BY a, b""")),
+
+    GraftQuery("l_ann_topk", (s, dir) => {
+      val e = embs(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      Ann.bruteForceTopK(e, q, k = 10)
+        .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("query_id", "rk")
+    }, Some("""
+      WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      sim AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, list_cosine_similarity(q.e, c.e) AS cos
+        FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+      r AS (
+        SELECT query_id, neighbor_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        FROM sim)
+      SELECT query_id, rk, neighbor_id, round(cos, 4) AS cos FROM r WHERE rk <= 10
+      ORDER BY query_id, rk"""), headline = true),
+
+    GraftQuery("l_ann_lsh", (s, dir) => {
+      // bucketed scale path; bucket membership depends on plane RNG → rows-only
+      val e = embs(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      Ann.lshTopK(e, q, dim = 64, nPlanes = 6, k = 5)
+        .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("query_id", "rk")
+    }, None),
+
+    GraftQuery("l_lang_id", (s, dir) => {
+      docs(s, dir).select(col("doc_id"), col("lang"),
+          TextAnalysis.langIdHeuristic(col("text")).as("predicted"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id, lang,
+          len(list_filter(string_split_regex(trim(text), '\s+'), x -> list_contains(['the','a','of','and'], x))) AS en,
+          len(list_filter(string_split_regex(trim(text), '\s+'), x -> list_contains(['el','la','de','que'], x))) AS es,
+          len(list_filter(string_split_regex(trim(text), '\s+'), x -> list_contains(['der','die','das','und'], x))) AS de
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+             WHEN es >= de AND es > 0 THEN 'es'
+             WHEN de > 0 THEN 'de'
+             ELSE 'unk' END AS predicted
+      FROM f ORDER BY doc_id""")),
+
+    GraftQuery("l_quality_score", (s, dir) => {
+      val txt = col("text")
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(txt).as("n_tokens"),
+          round(TextAnalysis.meanTokenLength(txt), 4).as("mean_token_len"),
+          round(TextAnalysis.punctRatio(txt), 4).as("punct_ratio"),
+          round(TextAnalysis.stopwordRatio(txt), 4).as("stopword_ratio"),
+          TextAnalysis.qualityScore(txt).as("quality"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t,
+          CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+            / GREATEST(length(text), 1) AS punct_ratio,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+              x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+            / GREATEST(len(string_split_regex(trim(text), '\s+')), 1) AS stop_ratio
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(t) AS BIGINT) AS n_tokens,
+        round(CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / GREATEST(len(t), 1), 4) AS mean_token_len,
+        round(punct_ratio, 4) AS punct_ratio,
+        round(stop_ratio, 4) AS stopword_ratio,
+        round(0.5 * stop_ratio + 0.3 * (1.0 - punct_ratio)
+              + 0.2 * LEAST(CAST(len(t) AS DOUBLE) / 200.0, 1.0), 4) AS quality
+      FROM f ORDER BY doc_id""")),
+
+    GraftQuery("l_token_count", (s, dir) => {
+      val txt = col("text")
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(txt).as("ws_tokens"),
+          TextAnalysis.bpeishTokenCount(txt).as("bpeish_tokens"),
+          length(txt).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents ORDER BY doc_id""")),
+
+    GraftQuery("l_fingerprint", (s, dir) => {
+      docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH tok AS (SELECT doc_id, $oracleTokens AS t FROM documents),
+      sh AS (SELECT doc_id, ${oracleShingles(4)} AS s FROM tok)
+      SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS fp
+      FROM sh ORDER BY doc_id"""))
+  )
+}
