@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming analog of the reference's live ETL: the maintenance daemon
+  * folds incoming log blocks into per-minute log_stats partitions every
+  * second (reference: rust/analytics/src/lakehouse/log_stats_view.rs,
+  * batch_update.rs). On Spark this is Structured Streaming: watermarked
+  * event-time windows with partial aggregation; late data beyond the
+  * watermark is dropped exactly like a closed partition.
+  */
+object LogStatsStream {
+
+  /** Per-minute per-severity counts over a (possibly streaming) events
+    * frame with schema (ts timestamp, user_id, event_type, value).
+    */
+  def logStats(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val level = when(col("event_type") === "error", 2)
+      .when(col("event_type") === "signup" || col("event_type") === "purchase", 4)
+      .otherwise(5)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 minute"), level.as("level"))
+      .agg(count(lit(1)).as("count"))
+      .select(col("window.start").as("time_bin"), col("level"), col("count"))
+  }
+
+  /** Second-stage rollup: minute stats → hour stats, the merge-query
+    * shape (reference merge.rs). Works on both static and streaming
+    * inputs because it only re-aggregates the first stage's output.
+    */
+  def rollupToHour(minuteStats: DataFrame): DataFrame =
+    minuteStats
+      .groupBy(date_trunc("hour", col("time_bin")).as("time_bin"), col("level"))
+      .agg(sum("count").as("count"))
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.LogStatsStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  test("streaming log_stats aggregates per-minute counts with watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = LogStatsStream.logStats(mem.toDF(), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("log_stats_test").outputMode("update").start()
+    try {
+      mem.addData(
+        Ev(t(0, 10), 1, "error", 1.0), Ev(t(0, 20), 2, "error", 1.0),
+        Ev(t(0, 30), 1, "view", 1.0), Ev(t(1, 5), 1, "signup", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("log_stats_test")
+        .groupBy("time_bin", "level").agg(sum("count").as("count"))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getLong(2))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", 2, 2L)))
+      assert(rows.contains(("2024-01-01 10:00:00.0", 5, 1L)))
+      assert(rows.contains(("2024-01-01 10:01:00.0", 4, 1L)))
+      // incremental: a second batch updates the same window
+      mem.addData(Ev(t(0, 45), 3, "error", 1.0))
+      q.processAllAvailable()
+      val updated = spark.table("log_stats_test")
+        .where(col("level") === 2).agg(max("count")).head().getLong(0)
+      assert(updated === 3L)
+    } finally q.stop()
+  }
+
+  test("hour rollup re-aggregates minute stats") {
+    val minute = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 2, 5L),
+      (Timestamp.valueOf("2024-01-01 10:30:00"), 2, 7L),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), 2, 1L)).toDF("time_bin", "level", "count")
+    val hours = LogStatsStream.rollupToHour(minute).orderBy("time_bin").collect()
+    assert(hours.map(_.getAs[Long]("count")).toSeq === Seq(12L, 1L))
+  }
+}
