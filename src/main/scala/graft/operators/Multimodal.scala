@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: opaque `binary` media plus typed metadata.
+  *
+  * The Spark-side plumbing is real — schema, partition-local batched
+  * decode via `mapPartitions` (the Scala analog of `mapInPandas`:
+  * one iterator per partition, decode amortized across a batch, no
+  * shuffle), binary slicing for frame sampling. The actual
+  * image/audio codec is STUBBED (no codec libs in this container):
+  * `decodeStub` derives deterministic fake dimensions from the bytes,
+  * and is the single function to swap for a real decoder.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media", BinaryType, nullable = true),
+    StructField("media_type", StringType, nullable = true)))
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("checksum", StringType, nullable = false)))
+
+  /** Wrap any table with a binary payload column into the media shape. */
+  def asMediaTable(df: DataFrame, idCol: String, payload: org.apache.spark.sql.Column,
+      mediaType: String): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"), payload.cast("binary").as("media"),
+      lit(mediaType).as("media_type"))
+
+  /** STUB decoder: deterministic fake "dimensions" from the first bytes.
+    * Swap this for a real codec (???) when the libs are available; the
+    * mapPartitions plumbing around it stays unchanged.
+    */
+  def decodeStub(bytes: Array[Byte]): (Int, Int) = {
+    if (bytes == null || bytes.isEmpty) (0, 0)
+    else ((bytes(0) & 0x7f) + 1, (bytes(bytes.length - 1) & 0x7f) + 1)
+  }
+
+  /** Partition-local batched decode — the mapInPandas shape. Each
+    * partition's rows stream through one decoder instance; output is a
+    * typed Dataset with `decodedSchema`.
+    */
+  def decode(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
+    media.select("media_id", "media").mapPartitions { rows =>
+      // per-partition decoder setup would go here (model load, codec init)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        val (w, h) = decodeStub(bytes)
+        md.reset()
+        val sum = md.digest(bytes).map("%02x".format(_)).mkString
+        Row(id, bytes.length.toLong, w, h, sum)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: n evenly spaced fixed-size byte windows from each
+    * payload — pure column ops (codegen'd), no decode needed.
+    */
+  def frameSample(media: DataFrame, n: Int, frameBytes: Int): DataFrame = {
+    val len = length(col("media"))
+    val idxs = sequence(lit(0), lit(n - 1))
+    media.select(col("media_id"),
+      transform(idxs, i =>
+        substr(col("media"),
+          (i * greatest(len - lit(frameBytes), lit(1)) / lit(n)).cast("int") + 1,
+          lit(frameBytes))).as("frames"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators (SURVEY §2 L12): binary payloads with
+  * typed metadata, batched partition-local decode, frame sampling.
+  */
+object LlmPipelineExt {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "documents")
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("l_multimodal_meta", (s, dir) => {
+      // binary payload + metadata extraction, oracle-checked on byte
+      // length and md5 (bytes are the utf-8 text, so DuckDB can replay)
+      val media = Multimodal.asMediaTable(docs(s, dir), "doc_id", col("text"), "text/plain")
+      media.select(col("media_id"),
+          length(col("media")).cast("long").as("n_bytes"),
+          md5(col("media")).as("checksum"),
+          col("media_type"))
+        .orderBy("media_id")
+    }, Some("""
+      SELECT doc_id AS media_id,
+        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        md5(text) AS checksum,
+        'text/plain' AS media_type
+      FROM documents ORDER BY media_id""")),
+
+    GraftQuery("l_multimodal_decode", (s, dir) => {
+      // mapPartitions batched decode with the stubbed codec → rows-only
+      val media = Multimodal.asMediaTable(docs(s, dir), "doc_id", col("text"), "image/fake")
+      Multimodal.decode(media).orderBy("media_id")
+    }, None),
+
+    GraftQuery("l_multimodal_frames", (s, dir) => {
+      // frame sampling: 4 windows of 16 bytes; oracle on frame md5s
+      val media = Multimodal.asMediaTable(docs(s, dir), "doc_id", col("text"), "video/fake")
+      Multimodal.frameSample(media, n = 4, frameBytes = 16)
+        .select(col("media_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("media_id", "frame_idx")
+    }, Some("""
+      -- DuckDB lacks blob substring; the docs are ASCII so char slices
+      -- of the VARCHAR hash identically to the byte slices Spark takes
+      WITH m AS (SELECT doc_id AS media_id, text AS media FROM documents),
+      f AS (
+        SELECT media_id, CAST(i.range AS BIGINT) AS frame_idx,
+          substring(media,
+            CAST(i.range * GREATEST(octet_length(CAST(media AS BLOB)) - 16, 1) // 4 AS BIGINT) + 1,
+            16) AS frame
+        FROM m CROSS JOIN range(0, 4) i)
+      SELECT media_id, frame_idx, md5(frame) AS frame_md5
+      FROM f ORDER BY media_id, frame_idx"""))
+  )
+}
