@@ -27,13 +27,22 @@ object GraftFunctions {
     "graft_sum_histograms" -> { args =>
       require(args.length == 1, "graft_sum_histograms(histo)")
       SumHistogramsAgg(args(0)).toAggregateExpression()
+    },
+    "graft_dot" -> { args =>
+      require(args.length == 2, "graft_dot(a, b)")
+      DotProduct(args(0), args(1))
     })
 
+  private val registered =
+    java.util.Collections.synchronizedMap(new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
-    val registry =
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
-    builders.foreach { case (name, b) =>
-      registry.createOrReplaceTempFunction(name, b, "scala_udf")
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      val registry =
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
+      builders.foreach { case (name, b) =>
+        registry.createOrReplaceTempFunction(name, b, "scala_udf")
+      }
     }
   }
 }

@@ -16,8 +16,11 @@ object Ann {
 
   def toDouble(vec: Column): Column = transform(vec, _.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd dot product (graft.functions.DotProduct); sessions must
+    * have graft functions registered (GraftFunctions.register /
+    * GraftExtensions). Same left-to-right summation as the HOF fold.
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -26,15 +29,23 @@ object Ann {
   /** Exact top-k neighbors for each query vector. `queries` must be
     * small (it is broadcast); the corpus streams partition-local, and
     * only the per-partition top-k survives to the final window.
+    *
+    * Norms and double-casts are computed once per row before the join —
+    * the per-pair work is a single dot product, which matters when the
+    * pair count is corpus × queries.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val joined = corpus.as("c")
-      .crossJoin(broadcast(queries.as("q")))
+    def prep(df: DataFrame): DataFrame = {
+      val e = toDouble(col("embedding"))
+      df.select(col("vec_id"), e.as("e"), norm(e).as("nrm"))
+    }
+    val joined = prep(corpus).as("c")
+      .crossJoin(broadcast(prep(queries).as("q")))
       .where(col("q.vec_id") =!= col("c.vec_id"))
       .select(
         col("q.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
-        cosine(toDouble(col("q.embedding")), toDouble(col("c.embedding"))).as("cos"))
+        (dot(col("q.e"), col("c.e")) / (col("q.nrm") * col("c.nrm"))).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
@@ -66,7 +77,8 @@ object Ann {
     val joined = c.join(broadcast(q), col("c.sig") === col("q.sig"))
       .where(col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        cosine(toDouble(col("q.embedding")), toDouble(col("c.embedding"))).as("cos"))
+        (dot(toDouble(col("q.embedding")), toDouble(col("c.embedding"))) /
+          (norm(toDouble(col("q.embedding"))) * norm(toDouble(col("c.embedding"))))).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }

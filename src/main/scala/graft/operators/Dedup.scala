@@ -22,18 +22,42 @@ object Dedup {
     array_distinct(when(cnt >= 1, grams).otherwise(array(array_join(tokens, " "))))
   }
 
-  /** One MinHash value: min over shingles of md5(seed || '|' || shingle).
-    * Lexicographic min over hex digests is a valid uniform min-hash and
-    * is bit-reproducible across engines (md5 is standardized), which the
-    * DuckDB oracle relies on.
+  /** One MinHash value: min over shingles of md5(seed || '|' ||
+    * md5(shingle)). Lexicographic min over hex digests is a valid
+    * uniform min-hash and is bit-reproducible across engines (md5 is
+    * standardized), which the DuckDB oracle relies on. Double-hashing
+    * from a 32-char base means the k per-seed hashes run over short
+    * fixed-length strings instead of re-hashing the full shingle text.
     */
   def minhash(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles, s => md5(concat(lit(seed.toString), lit("|"), s))))
+    array_min(transform(shingles, s =>
+      md5(concat(lit(seed.toString), lit("|"), md5(s)))))
 
-  /** (doc_id, shingles) -> (doc_id, mh0..mh{h-1}). */
+  /** (doc_id, shingles) -> (doc_id, mh0..mh{h-1}), array-local form. */
   def minhashSignature(df: DataFrame, idCol: String, shinglesCol: String, numHashes: Int): DataFrame = {
     val cols = (0 until numHashes).map(i => minhash(col(shinglesCol), i).as(s"mh$i"))
     df.select(col(idCol) +: cols: _*)
+  }
+
+  /** Same signature via explode + groupBy-min: the scale path. Partial
+    * aggregation computes the mins map-side, so the only shuffle is
+    * numHashes small digests per doc — independent of document size.
+    *
+    * Hash family: the hex digests of md5(s), md5("x|"+s), ... are cut
+    * into 8-hex-char chunks, giving 4 independent 32-bit uniform hashes
+    * per md5 — ceil(numHashes/4) md5 calls per shingle instead of
+    * numHashes, with identical cross-engine reproducibility.
+    */
+  def minhashSignatureExploded(df: DataFrame, idCol: String, shinglesCol: String, numHashes: Int): DataFrame = {
+    val ex = df.select(col(idCol), explode(col(shinglesCol)).as("__sh"))
+    val withDigests = (0 until (numHashes + 3) / 4).foldLeft(ex) { (d, j) =>
+      val src = if (j == 0) col("__sh") else concat(lit("x" * j + "|"), col("__sh"))
+      d.withColumn(s"__d$j", md5(src))
+    }
+    val aggs = (0 until numHashes).map { i =>
+      min(substring(col(s"__d${i / 4}"), 1 + 8 * (i % 4), 8)).as(s"mh$i")
+    }
+    withDigests.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: rows (doc_id, band, key) where key hashes `rowsPerBand`

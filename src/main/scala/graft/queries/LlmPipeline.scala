@@ -13,8 +13,23 @@ import graft.queries.{round => round} // DuckDB-compatible rounding (see package
   */
 object LlmPipeline {
 
-  private def docs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "documents")
-  private def embs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "embeddings")
+  /** The test tables are single-file/single-row-group parquet, so the
+    * scan is one input split; the md5/shingle/cosine pipelines are
+    * CPU-bound and would run on one core until the first shuffle. An
+    * up-front repartition on the key spreads them across the cluster —
+    * on a real multi-split layout this is a no-op decision (splits
+    * already provide parallelism) and would be dropped.
+    */
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.df(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+  }
+  private def embs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.df(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+  }
 
   /** DuckDB word-shingle expression fragments (see Dedup.wordShingles). */
   private def oracleShingles(n: Int): String = {
@@ -34,8 +49,10 @@ object LlmPipeline {
       FROM documents GROUP BY 1 ORDER BY h"""), headline = true),
 
     GraftQuery("l_dedup_minhash", (s, dir) => {
-      val sh = docs(s, dir).select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
-      val sig = Dedup.minhashSignature(sh, "doc_id", "shingles", numHashes = 8)
+      val sh = docs(s, dir)
+        .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
+        .persist()  // reused for signatures and candidate verification
+      val sig = Dedup.minhashSignatureExploded(sh, "doc_id", "shingles", numHashes = 8)
       val bands = Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2)
       val cand = Dedup.candidatePairs(bands, "doc_id")
       val withSets = cand
@@ -47,9 +64,12 @@ object LlmPipeline {
       WITH tok AS (SELECT doc_id, $oracleTokens AS t FROM documents),
       sh AS (SELECT doc_id, ${oracleShingles(3)} AS s FROM tok),
       ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      dg AS (SELECT doc_id, md5(shingle) AS d0, md5('x|' || shingle) AS d1 FROM ex),
       mh AS (
-        SELECT doc_id, seed.seed, min(md5(CAST(seed.seed AS VARCHAR) || '|' || shingle)) AS mh
-        FROM ex CROSS JOIN (SELECT CAST(range AS INTEGER) AS seed FROM range(0, 8)) seed
+        SELECT doc_id, seed.seed,
+          min(substring(CASE WHEN seed.seed < 4 THEN d0 ELSE d1 END,
+                        1 + 8 * (seed.seed % 4), 8)) AS mh
+        FROM dg CROSS JOIN (SELECT CAST(range AS INTEGER) AS seed FROM range(0, 8)) seed
         GROUP BY doc_id, seed.seed),
       sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
       bands AS (
@@ -90,9 +110,10 @@ object LlmPipeline {
 
     GraftQuery("l_embed_neardup", (s, dir) => {
       val e = embs(s, dir).select(col("vec_id"), Ann.toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", Ann.norm(col("e")))
       e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-          Ann.cosine(col("x.e"), col("y.e")).as("cos"))
+          (Ann.dot(col("x.e"), col("y.e")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
         .where(col("cos") >= 0.4)
         .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
         .orderBy("a", "b")
