@@ -59,4 +59,26 @@ object SpanAssembly {
       .select(col(keyCol), col("span_id"), col("name"), col("depth").cast("long").as("depth"),
         col("begin_ms"), col("end_ms"), col("duration_ms"))
   }
+
+  /** Attach each span's enclosing parent (the call-tree linkage the
+    * reference materializes in span_table.rs / call_tree.rs): the
+    * parent is the latest depth-1-shallower span whose interval encloses
+    * the child's. The containment join is bounded per key; a window
+    * keeps only the tightest candidate.
+    */
+  def withParents(spans: DataFrame, keyCol: String): DataFrame = {
+    val ch = spans.as("ch")
+    val par = spans.select(col(keyCol).as("__pk"), col("span_id").as("parent_id"),
+      col("depth").as("__pd"), col("begin_ms").as("__pb"), col("end_ms").as("__pe"))
+    val joined = ch.join(par,
+      col(s"ch.$keyCol") === col("__pk") &&
+        col("__pd") === col("ch.depth") - 1 &&
+        col("__pb") <= col("ch.begin_ms") && col("__pe") >= col("ch.end_ms"),
+      "left_outer")
+    val w = Window.partitionBy(col(s"ch.$keyCol"), col("ch.span_id"))
+      .orderBy(col("__pb").desc_nulls_last, col("parent_id").desc_nulls_last)
+    joined.withColumn("__rk", row_number().over(w)).where(col("__rk") === 1)
+      .select(col(s"ch.$keyCol"), col("ch.span_id"), coalesce(col("parent_id"), lit(-1L)).as("parent_id"),
+        col("ch.name"), col("ch.depth"), col("ch.begin_ms"), col("ch.end_ms"), col("ch.duration_ms"))
+  }
 }

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.operators.SpanAssembly
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{round => round} // DuckDB-compatible rounding (see package.scala)
+
+/** Third tranche: call-tree linkage (M22 core), processes/streams
+  * metadata views (M23/M24), arbitrary-stride date_bin (M25).
+  */
+object ObservabilityExt2 {
+
+  private def events(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "events")
+
+  /** Spans from the synthesized begin/end stream, shared by m_call_tree. */
+  private def spans(s: SparkSession, dir: String): DataFrame =
+    SpanAssembly.beginEndSpans(events(s, dir), "user_id", epochMs(col("ts")), "event_id",
+      "event_type", col("event_type").isin("signup", "view"))
+
+  private val oracleSpans = """
+      WITH tagged AS (
+        SELECT user_id, event_id, event_type AS name, epoch_ms(ts) AS t_ms,
+          (event_type IN ('signup','view')) AS is_begin,
+          CASE WHEN event_type IN ('signup','view') THEN 1 ELSE -1 END AS delta
+        FROM events),
+      d AS (
+        SELECT *, SUM(delta) OVER (PARTITION BY user_id ORDER BY t_ms, event_id ROWS UNBOUNDED PRECEDING) AS post_depth
+        FROM tagged),
+      dd AS (
+        SELECT *, CASE WHEN is_begin THEN post_depth - 1 ELSE post_depth END AS depth FROM d),
+      sq AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, depth, is_begin ORDER BY t_ms, event_id) AS seq FROM dd),
+      b AS (SELECT user_id, depth, seq, name, t_ms AS begin_ms, event_id AS span_id FROM sq WHERE is_begin),
+      e AS (SELECT user_id, depth, seq, t_ms AS end_ms FROM sq WHERE NOT is_begin),
+      spans AS (
+        SELECT b.user_id, span_id, name, CAST(depth AS BIGINT) AS depth, begin_ms, end_ms,
+          end_ms - begin_ms AS duration_ms
+        FROM b JOIN e USING (user_id, depth, seq)
+        WHERE end_ms > begin_ms)"""
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("m_call_tree", (s, dir) => {
+      SpanAssembly.withParents(spans(s, dir), "user_id")
+        .select("user_id", "span_id", "parent_id", "name", "depth", "duration_ms")
+        .orderBy("user_id", "span_id")
+    }, Some(s"""$oracleSpans,
+      linked AS (
+        SELECT ch.user_id, ch.span_id, ch.name, ch.depth, ch.duration_ms,
+          p.span_id AS parent_id, p.begin_ms AS pb,
+          ROW_NUMBER() OVER (PARTITION BY ch.user_id, ch.span_id
+                             ORDER BY p.begin_ms DESC, p.span_id DESC) AS rk
+        FROM spans ch LEFT JOIN spans p
+          ON p.user_id = ch.user_id AND p.depth = ch.depth - 1
+         AND p.begin_ms <= ch.begin_ms AND p.end_ms >= ch.end_ms)
+      SELECT user_id, span_id, COALESCE(parent_id, -1) AS parent_id, name, depth, duration_ms
+      FROM linked WHERE rk = 1
+      ORDER BY user_id, span_id""")),
+
+    GraftQuery("m_processes", (s, dir) => {
+      // processes metadata view (reference processes_view.rs): one row
+      // per telemetry source with lifetime + activity stats
+      events(s, dir)
+        .groupBy(col("user_id").cast("string").as("process_id"))
+        .agg(min(epochMs(col("ts"))).as("start_time_ms"),
+          max(epochMs(col("ts"))).as("last_update_time_ms"),
+          count(lit(1)).as("n_events"),
+          countDistinct("event_type").as("n_streams"))
+        .orderBy("process_id")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS process_id,
+        min(epoch_ms(ts)) AS start_time_ms,
+        max(epoch_ms(ts)) AS last_update_time_ms,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST(count(DISTINCT event_type) AS BIGINT) AS n_streams
+      FROM events GROUP BY 1 ORDER BY process_id""")),
+
+    GraftQuery("m_streams", (s, dir) => {
+      // streams metadata view (streams_view.rs): per (process, stream
+      // kind) block stats — event_type plays the stream tag
+      events(s, dir)
+        .groupBy(col("user_id").cast("string").as("process_id"), col("event_type").as("tag"))
+        .agg(count(lit(1)).as("nb_objects"),
+          min(epochMs(col("ts"))).as("min_event_time_ms"),
+          max(epochMs(col("ts"))).as("max_event_time_ms"))
+        .orderBy("process_id", "tag")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS process_id, event_type AS tag,
+        CAST(count(*) AS BIGINT) AS nb_objects,
+        min(epoch_ms(ts)) AS min_event_time_ms,
+        max(epoch_ms(ts)) AS max_event_time_ms
+      FROM events GROUP BY 1, 2 ORDER BY process_id, tag""")),
+
+    GraftQuery("q_date_bin", (s, dir) => {
+      // DataFusion date_bin('15 minutes', time): arbitrary-stride
+      // binning via epoch arithmetic (integer ops, engine-exact)
+      val e = events(s, dir)
+      val ms = epochMs(col("ts"))
+      e.groupBy((ms - pmod(ms, lit(900000L))).as("bin_ms"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .orderBy("bin_ms", "event_type")
+    }, Some("""
+      SELECT epoch_ms(ts) - epoch_ms(ts) % 900000 AS bin_ms, event_type,
+        CAST(count(*) AS BIGINT) AS n, round(avg(value),4) AS avg_value
+      FROM events GROUP BY 1, 2 ORDER BY bin_ms, event_type"""))
+  )
+}
