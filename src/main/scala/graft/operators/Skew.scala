@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities.
+  *
+  * Aggregation skew is already absorbed by partial aggregation (every
+  * groupBy here combines map-side), and AQE splits skewed *shuffle*
+  * join partitions at runtime. Salting covers the remaining case: a
+  * shuffled join where one hot key floods a partition and AQE's
+  * split granularity isn't enough (or AQE is off).
+  */
+object Skew {
+
+  /** Salted equi-join: the large side gets a deterministic salt from
+    * `saltSource` (any column with per-row entropy, e.g. its row key),
+    * the small side is replicated across all `n` salts. The shuffle
+    * then spreads each hot key over `n` partitions. Result equals the
+    * plain inner join.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      saltSource: Column, n: Int): DataFrame = {
+    val l = large.withColumn("__salt", pmod(hash(saltSource), lit(n)))
+    val s = small.withColumn("__salt", explode(sequence(lit(0), lit(n - 1))))
+    l.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+}
