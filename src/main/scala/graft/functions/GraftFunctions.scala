@@ -58,5 +58,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions", name),
         b))
     }
+    ext.injectResolutionRule(session => graft.plans.TimeRangeRewrite(session))
   }
 }
