@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL front door mirroring the reference client API
+  * (python/micromegas: client.query(sql, begin, end)): registers the
+  * lakehouse views + raw tables for the session, applies the optional
+  * query time range through [[graft.plans.TimeRangeRewrite]], and runs
+  * the SQL. Range scoping is an analyzer rewrite, so it reaches every
+  * scan in the query — including subqueries — and pushes into parquet.
+  */
+object Graft {
+
+  /** Register raw tables and lakehouse views as temp views. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    functions.GraftFunctions.register(spark)
+    Tables.all.foreach(n => Tables.df(spark, dir, n).createOrReplaceTempView(n))
+    val lk = new Lakehouse(spark, dir)
+    lk.logEntries.createOrReplaceTempView("log_entries")
+    lk.measures.createOrReplaceTempView("measures")
+    lk.logStats.createOrReplaceTempView("log_stats")
+  }
+
+  /** client.query(sql, begin, end) analog. Timestamps are epoch
+    * microseconds UTC; either bound may be omitted.
+    */
+  def query(spark: SparkSession, dir: String, sql: String,
+      beginMicros: Option[Long] = None, endMicros: Option[Long] = None): DataFrame = {
+    registerViews(spark, dir)
+    beginMicros.foreach(b => spark.conf.set("spark.graft.queryRange.beginMicros", b.toString))
+    endMicros.foreach(e => spark.conf.set("spark.graft.queryRange.endMicros", e.toString))
+    try spark.sql(sql) // analysis (and the range rewrite) happens eagerly here
+    finally {
+      spark.conf.unset("spark.graft.queryRange.beginMicros")
+      spark.conf.unset("spark.graft.queryRange.endMicros")
+    }
+  }
+}

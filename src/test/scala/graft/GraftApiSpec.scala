@@ -1,0 +1,31 @@
+package graft
+
+class GraftApiSpec extends SparkSpec {
+
+  private def micros(iso: String): Long =
+    java.time.Instant.parse(iso).toEpochMilli * 1000L
+
+  test("query(sql) over lakehouse views") {
+    val df = Graft.query(spark, sfDir,
+      "SELECT level, count(*) AS n FROM log_entries GROUP BY level ORDER BY level")
+    val rows = df.collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(2, 4, 5))
+    assert(rows.map(_.getLong(1)).sum === 1000L)
+  }
+
+  test("query(sql, begin, end) scopes every scan to the range") {
+    val all = Graft.query(spark, sfDir, "SELECT count(*) FROM events").head().getLong(0)
+    val scoped = Graft.query(spark, sfDir, "SELECT count(*) FROM events",
+      Some(micros("2024-01-01T00:00:00Z")), Some(micros("2024-01-15T00:00:00Z")))
+      .head().getLong(0)
+    assert(scoped > 0 && scoped < all)
+  }
+
+  test("observability SQL: histogram over measures via registered functions") {
+    val df = Graft.query(spark, sfDir,
+      """SELECT name, graft_make_histogram(0.0, 500.0, 10, value) AS h
+         FROM measures GROUP BY name""")
+    val row = df.where("name = 'error'").select("h.count").head()
+    assert(row.getLong(0) > 0)
+  }
+}
