@@ -33,8 +33,11 @@ object Bench {
       .sharedState.cacheManager.clearCache()
     val results = SparkEntry.headlineQueries.map { q =>
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      // a failed query reports -1 so it can't masquerade as a fast run
+      val t = try { q.fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); -1.0 }
+      q.name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -27,6 +27,16 @@ object Graft {
   def query(spark: SparkSession, dir: String, sql: String,
       beginMicros: Option[Long] = None, endMicros: Option[Long] = None): DataFrame = {
     registerViews(spark, dir)
+    if (beginMicros.nonEmpty || endMicros.nonEmpty) {
+      // range scoping is an analyzer rule; fail loudly rather than
+      // silently returning unscoped data on a session built without it
+      val hasRule = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.analyzer.extendedResolutionRules
+        .exists(_.isInstanceOf[graft.plans.TimeRangeRewrite])
+      require(hasRule,
+        "time-range scoping requires a session built with " +
+          ".withExtensions(new graft.functions.GraftExtensions)")
+    }
     beginMicros.foreach(b => spark.conf.set("spark.graft.queryRange.beginMicros", b.toString))
     endMicros.foreach(e => spark.conf.set("spark.graft.queryRange.endMicros", e.toString))
     try spark.sql(sql) // analysis (and the range rewrite) happens eagerly here

@@ -54,6 +54,8 @@ final class HistogramBuffer(
     } else {
       require(o.bins.length == bins.length,
         s"sum_histograms: incompatible bin counts ${o.bins.length} vs ${bins.length}")
+      require(o.start == start && o.end == end,
+        s"sum_histograms: incompatible ranges [${o.start},${o.end}) vs [$start,$end)")
       var i = 0
       while (i < bins.length) { bins(i) += o.bins(i); i += 1 }
       sum += o.sum; sumSq += o.sumSq; count += o.count

@@ -69,16 +69,22 @@ object Ann {
     concat_ws("", planes: _*)
   }
 
-  /** Bucketed ANN: candidates share the query's signature bucket. */
+  /** Bucketed ANN: candidates share the query's signature bucket.
+    * Norms/casts are per-row, before the join — only the dot product is
+    * per-pair (same prep as bruteForceTopK).
+    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, nPlanes: Int, k: Int): DataFrame = {
-    val sig = (df: DataFrame) => df.withColumn("sig", lshSignature(col("embedding"), dim, nPlanes))
+    val sig = (df: DataFrame) => {
+      val e = toDouble(col("embedding"))
+      df.select(col("vec_id"), e.as("e"), norm(e).as("nrm"),
+        lshSignature(col("embedding"), dim, nPlanes).as("sig"))
+    }
     val c = sig(corpus).as("c")
     val q = sig(queries).as("q")
     val joined = c.join(broadcast(q), col("c.sig") === col("q.sig"))
       .where(col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        (dot(toDouble(col("q.embedding")), toDouble(col("c.embedding"))) /
-          (norm(toDouble(col("q.embedding"))) * norm(toDouble(col("c.embedding"))))).as("cos"))
+        (dot(col("q.e"), col("c.e")) / (col("q.nrm") * col("c.nrm"))).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }

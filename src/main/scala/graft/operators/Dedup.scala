@@ -22,18 +22,27 @@ object Dedup {
     array_distinct(when(cnt >= 1, grams).otherwise(array(array_join(tokens, " "))))
   }
 
-  /** One MinHash value: min over shingles of md5(seed || '|' ||
-    * md5(shingle)). Lexicographic min over hex digests is a valid
-    * uniform min-hash and is bit-reproducible across engines (md5 is
-    * standardized), which the DuckDB oracle relies on. Double-hashing
-    * from a 32-char base means the k per-seed hashes run over short
-    * fixed-length strings instead of re-hashing the full shingle text.
+  /** MinHash hash family shared by both signature paths: the hex digest
+    * of md5(shingle), md5("x|"+shingle), ... is cut into 8-hex-char
+    * chunks, giving 4 independent 32-bit uniform hashes per md5.
+    * Lexicographic min over hex chunks is a valid uniform min-hash and
+    * is bit-reproducible across engines (md5 is standardized), which
+    * the DuckDB oracle relies on.
     */
-  def minhash(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles, s =>
-      md5(concat(lit(seed.toString), lit("|"), md5(s)))))
+  private def hashI(s: Column, i: Int): Column = {
+    val j = i / 4
+    val src = if (j == 0) s else concat(lit("x" * j + "|"), s)
+    substring(md5(src), 1 + 8 * (i % 4), 8)
+  }
 
-  /** (doc_id, shingles) -> (doc_id, mh0..mh{h-1}), array-local form. */
+  /** One MinHash value: min over a shingle array (array-local form). */
+  def minhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, s => hashI(s, seed)))
+
+  /** (doc_id, shingles) -> (doc_id, mh0..mh{h-1}), array-local form.
+    * Same hash family (and therefore same signatures) as
+    * [[minhashSignatureExploded]].
+    */
   def minhashSignature(df: DataFrame, idCol: String, shinglesCol: String, numHashes: Int): DataFrame = {
     val cols = (0 until numHashes).map(i => minhash(col(shinglesCol), i).as(s"mh$i"))
     df.select(col(idCol) +: cols: _*)
@@ -42,11 +51,6 @@ object Dedup {
   /** Same signature via explode + groupBy-min: the scale path. Partial
     * aggregation computes the mins map-side, so the only shuffle is
     * numHashes small digests per doc — independent of document size.
-    *
-    * Hash family: the hex digests of md5(s), md5("x|"+s), ... are cut
-    * into 8-hex-char chunks, giving 4 independent 32-bit uniform hashes
-    * per md5 — ceil(numHashes/4) md5 calls per shingle instead of
-    * numHashes, with identical cross-engine reproducibility.
     */
   def minhashSignatureExploded(df: DataFrame, idCol: String, shinglesCol: String, numHashes: Int): DataFrame = {
     val ex = df.select(col(idCol), explode(col(shinglesCol)).as("__sh"))
@@ -64,6 +68,8 @@ object Dedup {
     * consecutive minhashes. Equal keys in a band = candidate pair.
     */
   def lshBands(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"lshBands: numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
       val key = md5(concat_ws("|",

@@ -65,15 +65,17 @@ object Multimodal {
   }
 
   /** Frame sampling: n evenly spaced fixed-size byte windows from each
-    * payload — pure column ops (codegen'd), no decode needed.
+    * payload, first window at offset 0 and last ending at the payload
+    * tail — pure column ops (codegen'd), no decode needed.
     */
   def frameSample(media: DataFrame, n: Int, frameBytes: Int): DataFrame = {
+    require(n > 1, "frameSample: n must be > 1")
     val len = length(col("media"))
     val idxs = sequence(lit(0), lit(n - 1))
     media.select(col("media_id"),
       transform(idxs, i =>
         substr(col("media"),
-          (i * greatest(len - lit(frameBytes), lit(1)) / lit(n)).cast("int") + 1,
+          (i * greatest(len - lit(frameBytes), lit(1)) / lit(n - 1)).cast("int") + 1,
           lit(frameBytes))).as("frames"))
   }
 }

@@ -54,7 +54,9 @@ object SpanAssembly {
     val ends = seqd.where(!col("is_begin"))
       .select(col(keyCol), col("depth"), col("seq"), col("t_ms").as("end_ms"))
     begins.join(ends, Seq(keyCol, "depth", "seq"))
-      .where(col("end_ms") > col("begin_ms"))
+      // >= keeps zero-duration spans (begin/end in the same ms) while
+      // still dropping mis-ordered pairs from malformed streams
+      .where(col("end_ms") >= col("begin_ms"))
       .withColumn("duration_ms", col("end_ms") - col("begin_ms"))
       .select(col(keyCol), col("span_id"), col("name"), col("depth").cast("long").as("depth"),
         col("begin_ms"), col("end_ms"), col("duration_ms"))

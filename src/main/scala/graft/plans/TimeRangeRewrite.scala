@@ -1,10 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, GreaterThanOrEqual, LessThan, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Expression, GreaterThanOrEqual, LessThan, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Analyzer rule mirroring the reference's TableScanRewrite
@@ -22,6 +21,13 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   *
   * Injected as a resolution rule (GraftExtensions) so the normal
   * optimizer batches push the added Filter into the source afterwards.
+  *
+  * Idempotency is structural, not stateful: a scan already sitting
+  * directly under a Filter whose condition semantically contains the
+  * range conjunct is left alone. (A mutable TreeNodeTag guard would be
+  * one-shot per shared plan instance — a self-join expanding the same
+  * view twice, or a re-analyzed cached plan, would silently lose the
+  * range on later encounters.)
   */
 case class TimeRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -32,30 +38,42 @@ case class TimeRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (begin.isEmpty && end.isEmpty) return plan
     val colName = conf.getOption("spark.graft.queryRange.column").getOrElse("ts")
 
-    plan.transformUp {
-      case leaf: LeafNode if leaf.getTagValue(TimeRangeRewrite.rewritten).isEmpty &&
-          timeAttr(leaf, colName).isDefined =>
-        leaf.setTagValue(TimeRangeRewrite.rewritten, true)
-        val attr = timeAttr(leaf, colName).get
-        // raw ns-precision columns surface as Long nanos (nanosAsLong);
-        // scale the µs range accordingly so the filter still applies at
-        // the scan, beneath any later µs-normalizing projection
-        def lit(micros: Long) = attr.dataType match {
-          case LongType => Literal(micros * 1000L, LongType)
-          case t => Literal(micros, t)
-        }
-        val conds = begin.map(b => GreaterThanOrEqual(attr, lit(b))).toSeq ++
-          end.map(e => LessThan(attr, lit(e)))
-        Filter(conds.reduce(And), leaf)
+    def condFor(attr: Attribute): Expression = {
+      // raw ns-precision columns surface as Long nanos (nanosAsLong);
+      // scale the µs range accordingly so the filter still applies at
+      // the scan, beneath any later µs-normalizing projection
+      def lit(micros: Long) = attr.dataType match {
+        case LongType => Literal(micros * 1000L, LongType)
+        case t => Literal(micros, t)
+      }
+      val conds = begin.map(b => GreaterThanOrEqual(attr, lit(b))).toSeq ++
+        end.map(e => LessThan(attr, lit(e)))
+      conds.reduce(And)
     }
+
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+
+    def alreadyScoped(cond: Expression, attr: Attribute): Boolean = {
+      val want = conjuncts(condFor(attr))
+      val have = conjuncts(cond)
+      want.forall(w => have.exists(_.semanticEquals(w)))
+    }
+
+    def inject(p: LogicalPlan): LogicalPlan = p match {
+      case f @ Filter(cond, leaf: LeafNode)
+          if timeAttr(leaf, colName).exists(a => alreadyScoped(cond, a)) => f
+      case leaf: LeafNode if timeAttr(leaf, colName).isDefined =>
+        Filter(condFor(timeAttr(leaf, colName).get), leaf)
+      case other => other.mapChildren(inject)
+    }
+    inject(plan)
   }
 
   private def timeAttr(leaf: LeafNode, name: String): Option[Attribute] =
     leaf.output.find(a => a.name == name &&
       (a.dataType == TimestampType || a.dataType == TimestampNTZType ||
         a.dataType == LongType))
-}
-
-object TimeRangeRewrite {
-  val rewritten: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.timeRangeRewritten")
 }

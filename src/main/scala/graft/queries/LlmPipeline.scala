@@ -51,7 +51,10 @@ object LlmPipeline {
     GraftQuery("l_dedup_minhash", (s, dir) => {
       val sh = docs(s, dir)
         .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
-        .persist()  // reused for signatures and candidate verification
+        // reused for signatures and candidate verification; localCheckpoint
+        // (not persist) so the materialization is GC-cleaned with the plan
+        // instead of pinned in the CacheManager across later queries
+        .localCheckpoint()
       val sig = Dedup.minhashSignatureExploded(sh, "doc_id", "shingles", numHashes = 8)
       val bands = Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2)
       val cand = Dedup.candidatePairs(bands, "doc_id")

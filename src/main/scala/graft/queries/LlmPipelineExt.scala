@@ -51,7 +51,7 @@ object LlmPipelineExt {
       f AS (
         SELECT media_id, CAST(i.range AS BIGINT) AS frame_idx,
           substring(media,
-            CAST(i.range * GREATEST(octet_length(CAST(media AS BLOB)) - 16, 1) // 4 AS BIGINT) + 1,
+            CAST(i.range * GREATEST(octet_length(CAST(media AS BLOB)) - 16, 1) // 3 AS BIGINT) + 1,
             16) AS frame
         FROM m CROSS JOIN range(0, 4) i)
       SELECT media_id, frame_idx, md5(frame) AS frame_md5

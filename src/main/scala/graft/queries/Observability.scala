@@ -302,7 +302,7 @@ object Observability {
       SELECT b.user_id, span_id, name, CAST(depth AS BIGINT) AS depth, begin_ms, end_ms,
         end_ms - begin_ms AS duration_ms
       FROM b JOIN e USING (user_id, depth, seq)
-      WHERE end_ms > begin_ms
+      WHERE end_ms >= begin_ms
       ORDER BY user_id, begin_ms, span_id"""))
   )
 }

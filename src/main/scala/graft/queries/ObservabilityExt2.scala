@@ -37,7 +37,7 @@ object ObservabilityExt2 {
         SELECT b.user_id, span_id, name, CAST(depth AS BIGINT) AS depth, begin_ms, end_ms,
           end_ms - begin_ms AS duration_ms
         FROM b JOIN e USING (user_id, depth, seq)
-        WHERE end_ms > begin_ms)"""
+        WHERE end_ms >= begin_ms)"""
 
   val queries: Seq[GraftQuery] = Seq(
 
