@@ -26,6 +26,19 @@ object StreamDrive {
     println("STREAM_ROWS=" + out.count())
     out.orderBy(desc("count")).show(5, truncate = false)
     q.stop()
+    // span assembly through the same file-source surface
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val evs = stream.select(col("user_id").as("key"), col("event_id").as("eventId"),
+      col("event_type").as("name"), graft.queries.epochMs(col("ts")).as("tMs"),
+      col("event_type").isin("signup", "view").as("isBegin"))
+      .as[graft.streaming.SpanStream.SpanEvent]
+    val q2 = graft.streaming.SpanStream.assemble(evs)
+      .writeStream.format("memory").queryName("spans").outputMode("append").start()
+    q2.processAllAvailable()
+    println("SPAN_ROWS=" + spark.table("spans").count())
+    spark.table("spans").orderBy(desc("durationMs")).show(3, truncate = false)
+    q2.stop()
     spark.stop()
   }
 }
