@@ -95,6 +95,42 @@ object Dedup {
   def jaccard(sa: Column, sb: Column): Column =
     size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb)).cast("double")
 
+  /** Connected components over an undirected edge list (a, b) —
+    * assigns every node the minimum node id reachable from it, i.e. the
+    * near-duplicate group id once edges are similarity pairs.
+    *
+    * Hash-to-min label propagation: each round, every node takes the
+    * min of its own label and its neighbors' labels. Converges in
+    * O(diameter) rounds; each round is one shuffle join + aggregate,
+    * with lineage truncated per round (localCheckpoint) so the plan
+    * doesn't grow — the standard large-scale CC shape (GraphX does the
+    * same dance). The driver-side loop only checks a convergence bit.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(sym("src").as("node")).agg(min("label").as("nmin"))
+      val next = labels.as("l")
+        .join(neighborMin.as("n"), col("l.node") === col("n.node"), "left_outer")
+        .select(col("l.node").as("node"),
+          least(col("l.label"), coalesce(col("n.nmin"), col("l.label"))).as("label"))
+        .localCheckpoint()
+      converged = next.as("x").join(labels.as("y"), col("x.node") === col("y.node"))
+        .where(col("x.label") =!= col("y.label")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** 64-bit SimHash from word shingles, built from xxhash64 bit votes.
     * Engine-specific hash → exposed rows-only (no cross-engine oracle).
     */

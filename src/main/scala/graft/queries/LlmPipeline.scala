@@ -86,6 +86,36 @@ object LlmPipeline {
       FROM cand JOIN sh sa ON sa.doc_id = cand.a JOIN sh sb ON sb.doc_id = cand.b
       ORDER BY a, b"""), headline = true),
 
+    GraftQuery("l_dup_groups", (s, dir) => {
+      // near-dup group assignment: similarity edges → connected
+      // components → every doc labeled with its group's min doc_id
+      val sh = docs(s, dir).where(col("doc_id") < 40)
+        .select(col("doc_id"), Dedup.wordShingles(col("text"), 2).as("s"))
+      val edges = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          Dedup.jaccard(col("x.s"), col("y.s")).as("jac"))
+        .where(col("jac") >= 0.07)
+        .select("a", "b")
+      Dedup.connectedComponents(edges).orderBy("node")
+    }, Some(s"""
+      WITH tok AS (SELECT doc_id, $oracleTokens AS t FROM documents WHERE doc_id < 40),
+      sh AS (SELECT doc_id, ${oracleShingles(2)} AS s FROM tok),
+      e AS (
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)) >= 0.07),
+      sym AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+      nodes AS (SELECT DISTINCT src AS node FROM sym)
+      SELECT n.node, LEAST(n.node, COALESCE(min(r.b), n.node)) AS component
+      FROM nodes n LEFT JOIN (
+        WITH RECURSIVE reach(a, b) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.a, s2.dst FROM reach r JOIN sym s2 ON r.b = s2.src)
+        SELECT a, b FROM reach) r ON r.a = n.node
+      GROUP BY n.node
+      ORDER BY node""")),
+
     GraftQuery("l_dedup_simhash", (s, dir) => {
       // xxhash64 is engine-specific → rows-only (no cross-engine oracle)
       val sh = docs(s, dir).select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))

@@ -68,6 +68,15 @@ class DedupAnnSpec extends SparkSpec {
     assert(r.forall(_.getAs[Double]("p") === 0.0)) // no punctuation in fixtures
   }
 
+  test("connected components labels each node with its group minimum") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 4L))
+      .toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("fingerprint is stable and equal for exact dups") {
     val fp = docs.select($"doc_id", TextAnalysis.fingerprint($"text").as("fp")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
