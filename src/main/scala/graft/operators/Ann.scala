@@ -69,6 +69,41 @@ object Ann {
     concat_ws("", planes: _*)
   }
 
+  /** IVF-flat ANN: corpus vectors are assigned to their nearest coarse
+    * centroid; each query probes only its `nProbe` nearest centroids'
+    * inverted lists. Centroids here are a deterministic corpus sample
+    * (vec_id < nCentroids) — at scale you'd train them offline and
+    * broadcast; the assignment/probe join shape is identical. Vectors
+    * shuffle once (on centroid id), queries broadcast.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    def prep(df: DataFrame): DataFrame = {
+      val e = toDouble(col("embedding"))
+      df.select(col("vec_id"), e.as("e"), norm(e).as("nrm"))
+    }
+    val cents = prep(corpus.where(col("vec_id") < nCentroids))
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cnrm"))
+    def nearestCents(df: DataFrame, n: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"),
+          (dot(col("e"), col("ce")) / (col("nrm") * col("cnrm"))).as("csim"))
+      val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+      scored.withColumn("crk", row_number().over(w)).where(col("crk") <= n)
+        .drop("csim", "crk")
+    }
+    val assigned = nearestCents(prep(corpus), 1)
+      .select(col("cent_id"), col("vec_id").as("c_id"), col("e").as("c_e"), col("nrm").as("c_nrm"))
+    val probes = nearestCents(prep(queries), nProbe)
+    val joined = assigned.join(broadcast(probes), Seq("cent_id"))
+      .where(col("vec_id") =!= col("c_id"))
+      .select(col("vec_id").as("query_id"), col("c_id").as("neighbor_id"),
+        (dot(col("e"), col("c_e")) / (col("nrm") * col("c_nrm"))).as("cos"))
+    joined.groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rk") <= k)
+  }
+
   /** Bucketed ANN: candidates share the query's signature bucket.
     * Norms/casts are per-row, before the join — only the dot product is
     * per-pair (same prep as bruteForceTopK).

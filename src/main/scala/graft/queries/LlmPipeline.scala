@@ -185,6 +185,15 @@ object LlmPipeline {
         .orderBy("query_id", "rk")
     }, None),
 
+    GraftQuery("l_ann_ivf", (s, dir) => {
+      // IVF scale path: coarse centroids + inverted-list probe → rows-only
+      val e = embs(s, dir)
+      val q = e.where(col("vec_id") < 5)
+      Ann.ivfTopK(e, q, nCentroids = 16, nProbe = 4, k = 5)
+        .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("query_id", "rk")
+    }, None),
+
     GraftQuery("l_lang_id", (s, dir) => {
       docs(s, dir).select(col("doc_id"), col("lang"),
           TextAnalysis.langIdHeuristic(col("text")).as("predicted"))
