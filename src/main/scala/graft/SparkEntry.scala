@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreSql, CoreSqlExt, LlmPipeline, LlmPipelineExt, Observability, ObservabilityExt, ObservabilityExt2}
+import graft.queries.{CoreSql, CoreSqlExt, CoreSqlExt2, LlmPipeline, LlmPipelineExt, Observability, ObservabilityExt, ObservabilityExt2}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + the builder prompt.
   *
@@ -12,8 +12,8 @@ import graft.queries.{CoreSql, CoreSqlExt, LlmPipeline, LlmPipelineExt, Observab
 object SparkEntry {
 
   val allQueries: Seq[GraftQuery] =
-    CoreSql.queries ++ CoreSqlExt.queries ++ Observability.queries ++
-      ObservabilityExt.queries ++ ObservabilityExt2.queries ++
+    CoreSql.queries ++ CoreSqlExt.queries ++ CoreSqlExt2.queries ++
+      Observability.queries ++ ObservabilityExt.queries ++ ObservabilityExt2.queries ++
       LlmPipeline.queries ++ LlmPipelineExt.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
