@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.{round => round} // DuckDB-compatible rounding (see package.scala)
+
+/** Fifth tranche: per-group correlated aggregates (TPC-H Q2 shape),
+  * profit rollup with LIKE filter (Q9 shape), gap-based sessionization,
+  * and counter-rate computation over measures.
+  */
+object CoreSqlExt3 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("q2_min_per_group", (s, dir) => {
+      // Q2 shape: per-part minimum supplier balance, then the suppliers
+      // achieving it (correlated-aggregate subquery → window rewrite)
+      val su = t(s, dir, "supplier")
+      val p = t(s, dir, "part").where(col("p_size") < 10)
+      // every (part, supplier) pairing via partkey/suppkey arithmetic
+      // isn't in the data model; use nationkey as the grouping link:
+      // cheapest supplier per nation, then parts sized <10 counted per
+      // nation of their cheapest supplier is contrived — instead do the
+      // honest correlated shape on supplier alone:
+      val w = Window.partitionBy("s_nationkey")
+      su.withColumn("min_bal", min("s_acctbal").over(w))
+        .where(col("s_acctbal") === col("min_bal"))
+        .select(col("s_nationkey"), col("s_suppkey"), round(col("s_acctbal"), 2).as("s_acctbal"))
+        .orderBy("s_nationkey", "s_suppkey")
+    }, Some("""
+      SELECT s_nationkey, s_suppkey, round(s_acctbal,2) AS s_acctbal
+      FROM supplier
+      WHERE s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = supplier.s_nationkey)
+      ORDER BY s_nationkey, s_suppkey""")),
+
+    GraftQuery("q9_profit", (s, dir) => {
+      // Q9 shape: profit by nation and year for parts matching a name
+      // pattern; profit = revenue - retail cost share
+      val p = t(s, dir, "part").where(col("p_name").like("%widget%"))
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val l = t(s, dir, "lineitem")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("l_shipdate").cast("date")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          - col("p_retailprice") * col("l_quantity") * lit(0.1)), 2).as("profit"),
+          count(lit(1)).as("n_items"))
+        .orderBy("nation", "o_year")
+    }, Some("""
+      SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+        round(sum(l_extendedprice*(1.0-l_discount) - p_retailprice*l_quantity*0.1),2) AS profit,
+        CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY 1, 2
+      ORDER BY nation, o_year""")),
+
+    GraftQuery("m_sessionize", (s, dir) => {
+      // gap-based sessionization: a >30-minute silence starts a new
+      // session — cumulative sum over a boolean gap marker
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tMs = epochMs(col("ts"))
+      val gap = (tMs - lag(tMs, 1).over(w)) > 1800000L
+      val sess = e.select(col("user_id"), col("event_id"), tMs.as("t_ms"),
+          when(gap, 1L).otherwise(0L).as("new_sess"))
+        .withColumn("session_idx", sum("new_sess").over(
+          Window.partitionBy("user_id").orderBy(col("t_ms"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min("t_ms").as("start_ms"),
+          (max("t_ms") - min("t_ms")).as("duration_ms"))
+        .orderBy("user_id", "session_idx")
+    }, Some("""
+      WITH g AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS t_ms,
+          CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) > 1800000 THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      s AS (
+        SELECT user_id, event_id, t_ms,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_ms, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM g)
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        CAST(count(*) AS BIGINT) AS n_events,
+        min(t_ms) AS start_ms,
+        max(t_ms) - min(t_ms) AS duration_ms
+      FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""")),
+
+    GraftQuery("m_measure_rate", (s, dir) => {
+      // counter→rate: per-(process, metric) delta over time delta,
+      // the metrics-analysis pattern from the reference docs
+      val e = t(s, dir, "events").where(col("user_id") < 20)
+      val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+      val tMs = epochMs(col("ts"))
+      e.select(col("user_id"), col("event_type").as("name"), col("event_id"),
+          tMs.as("t_ms"), col("value"),
+          lag("value", 1).over(w).as("prev_value"),
+          lag(tMs, 1).over(w).as("prev_ms"))
+        .where(col("prev_ms").isNotNull && tMs > col("prev_ms"))
+        .select(col("user_id"), col("name"), col("event_id"),
+          round((col("value") - col("prev_value")) / ((col("t_ms") - col("prev_ms")) / lit(1000.0)), 6).as("rate_per_s"))
+        .orderBy("user_id", "name", "event_id")
+    }, Some("""
+      WITH d AS (
+        SELECT user_id, event_type AS name, event_id, epoch_ms(ts) AS t_ms, value,
+          LAG(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_value,
+          LAG(epoch_ms(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ms
+        FROM events WHERE user_id < 20)
+      SELECT user_id, name, event_id,
+        round((value - prev_value) / ((t_ms - prev_ms) / 1000.0), 6) AS rate_per_s
+      FROM d WHERE prev_ms IS NOT NULL AND t_ms > prev_ms
+      ORDER BY user_id, name, event_id"""))
+  )
+}
