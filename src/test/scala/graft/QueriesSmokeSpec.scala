@@ -19,6 +19,12 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("query names are unique (Map would silently drop duplicates)") {
+    val names = SparkEntry.allQueries.map(_.name)
+    assert(names.distinct.size === names.size,
+      s"duplicate names: ${names.diff(names.distinct).mkString(", ")}")
+  }
+
   test("oracle keys are a subset of query keys") {
     val qk = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
