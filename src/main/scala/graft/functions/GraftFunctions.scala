@@ -31,6 +31,10 @@ object GraftFunctions {
     "graft_dot" -> { args =>
       require(args.length == 2, "graft_dot(a, b)")
       DotProduct(args(0), args(1))
+    },
+    "graft_property_get" -> { args =>
+      require(args.length == 2, "graft_property_get(props_json, key)")
+      GraftPropertyGet(args(0), args(1))
     })
 
   private val registered =

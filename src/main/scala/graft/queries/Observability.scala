@@ -88,8 +88,9 @@ object Observability {
       FROM events GROUP BY 1, 2 ORDER BY time_bin_ms, level"""), headline = true),
 
     GraftQuery("m_property_get", (s, dir) => {
+      GraftFunctions.register(s)
       events(s, dir).select(col("event_id"), col("event_type"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
+          call_function("graft_property_get", col("props"), lit("k")).cast("int").as("k"))
         .orderBy("event_id")
     }, Some("""
       SELECT event_id, event_type,
