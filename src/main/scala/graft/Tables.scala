@@ -22,6 +22,10 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def df(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Driver-owned sessions (Verify) are built without GraftExtensions;
+    // register() is idempotent and cheap, and every query loads at least
+    // one table, so this guarantees graft_* functions resolve everywhere.
+    graft.functions.GraftFunctions.register(spark)
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 
 /** Registration of graft's custom Catalyst functions.
   *
@@ -30,7 +30,13 @@ object GraftFunctions {
     },
     "graft_dot" -> { args =>
       require(args.length == 2, "graft_dot(a, b)")
-      DotProduct(args(0), args(1))
+      // SQL callers naturally pass array<float> embeddings; DotProduct
+      // reads raw 8-byte doubles, so coerce both sides explicitly.
+      DotProduct(Cast(args(0), ArrayType(DoubleType)), Cast(args(1), ArrayType(DoubleType)))
+    },
+    "graft_round" -> { args =>
+      require(args.length == 2, "graft_round(x, scale)")
+      DuckRound(Cast(args(0), DoubleType), Cast(args(1), IntegerType))
     },
     "graft_property_get" -> { args =>
       require(args.length == 2, "graft_property_get(props_json, key)")

@@ -16,13 +16,12 @@ package object queries {
     * (BigDecimal HALF_UP) while DuckDB computes
     * `std::round(x * 10^k) / 10^k` in doubles — near .xxx5 boundaries
     * the two disagree, which breaks exact hash comparison against the
-    * oracle. Reproducing DuckDB's arithmetic keeps rounded outputs
-    * bit-identical.
+    * oracle. Delegates to the native [[graft.functions.DuckRound]]
+    * expression (sign-of-zero preserving; a floor()-based column
+    * emulation routes through BIGINT and turns DuckDB's -0.0 into +0.0,
+    * breaking byte-exact hashes). Requires GraftFunctions registration —
+    * [[graft.Tables.df]] guarantees it for every query.
     */
-  def round(c: Column, scale: Int): Column = {
-    val p = math.pow(10, scale)
-    val x = c * lit(p)
-    val r = when(x >= 0, floor(x + lit(0.5))).otherwise(-floor(-x + lit(0.5)))
-    when(c.isNull, lit(null)).otherwise(r.cast("double") / lit(p))
-  }
+  def round(c: Column, scale: Int): Column =
+    call_function("graft_round", c.cast("double"), lit(scale))
 }
