@@ -37,12 +37,21 @@ object Graft {
         "time-range scoping requires a session built with " +
           ".withExtensions(new graft.functions.GraftExtensions)")
     }
-    beginMicros.foreach(b => spark.conf.set("spark.graft.queryRange.beginMicros", b.toString))
-    endMicros.foreach(e => spark.conf.set("spark.graft.queryRange.endMicros", e.toString))
-    try spark.sql(sql) // analysis (and the range rewrite) happens eagerly here
-    finally {
-      spark.conf.unset("spark.graft.queryRange.beginMicros")
-      spark.conf.unset("spark.graft.queryRange.endMicros")
+    // The range travels through session conf to the analyzer rule, so
+    // concurrent query() calls on one session could leak a range into
+    // (or unset it under) a sibling's analysis. Serialize the
+    // conf-set → analyze → conf-unset window per session; execution of
+    // the returned DataFrame happens outside the lock and no longer
+    // reads the conf. Unranged queries take the lock too — their
+    // analysis must not observe a sibling's range.
+    spark.synchronized {
+      beginMicros.foreach(b => spark.conf.set("spark.graft.queryRange.beginMicros", b.toString))
+      endMicros.foreach(e => spark.conf.set("spark.graft.queryRange.endMicros", e.toString))
+      try spark.sql(sql) // analysis (and the range rewrite) happens eagerly here
+      finally {
+        spark.conf.unset("spark.graft.queryRange.beginMicros")
+        spark.conf.unset("spark.graft.queryRange.endMicros")
+      }
     }
   }
 }

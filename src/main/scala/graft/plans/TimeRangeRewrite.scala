@@ -37,13 +37,26 @@ case class TimeRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val end = conf.getOption("spark.graft.queryRange.endMicros").map(_.toLong)
     if (begin.isEmpty && end.isEmpty) return plan
     val colName = conf.getOption("spark.graft.queryRange.column").getOrElse("ts")
+    // Unit of a LongType time column. Not every Long named `ts` is epoch
+    // nanos, so scaling is gated: explicit conf wins; otherwise nanos is
+    // assumed ONLY when the session reads ns parquet as Long
+    // (spark.sql.legacy.parquet.nanosAsLong — the one way our readers
+    // produce a Long time column), else the column is taken as epoch
+    // micros (no scaling).
+    val longUnit = conf.getOption("spark.graft.queryRange.columnUnit").getOrElse {
+      if (conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")) "nanos"
+      else "micros"
+    }
 
     def condFor(attr: Attribute): Expression = {
-      // raw ns-precision columns surface as Long nanos (nanosAsLong);
-      // scale the µs range accordingly so the filter still applies at
-      // the scan, beneath any later µs-normalizing projection
       def lit(micros: Long) = attr.dataType match {
-        case LongType => Literal(micros * 1000L, LongType)
+        case LongType => longUnit match {
+          case "nanos" => Literal(micros * 1000L, LongType)
+          case "millis" => Literal(micros / 1000L, LongType)
+          case "micros" => Literal(micros, LongType)
+          case other => throw new IllegalArgumentException(
+            s"spark.graft.queryRange.columnUnit must be nanos|micros|millis, got $other")
+        }
         case t => Literal(micros, t)
       }
       val conds = begin.map(b => GreaterThanOrEqual(attr, lit(b))).toSeq ++
