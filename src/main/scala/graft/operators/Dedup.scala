@@ -131,21 +131,34 @@ object Dedup {
     labels.select(col("node"), col("label").as("component"))
   }
 
-  /** 64-bit SimHash from word shingles, built from xxhash64 bit votes.
-    * Engine-specific hash → exposed rows-only (no cross-engine oracle).
+  /** 64-bit SimHash from word shingles as a 16-hex-char string.
+    *
+    * The bit source is the first 16 hex digits of md5(shingle) — md5 is
+    * standardized, so the signature is bit-reproducible across engines
+    * and the DuckDB oracle can replay it exactly (unlike a xxhash64
+    * basis, which is engine-specific). Per bit position b (0..63, MSB
+    * first within each hex nibble): vote +1 if the bit is set else -1,
+    * summed over shingles; simhash bit = 1 iff the vote is positive.
+    * A hex STRING output (not BIGINT) sidesteps signed-64 overflow
+    * differences between engines.
     */
-  def simhash64(shingles: Column): Column = {
-    // For each bit position, sum votes (+1 if hash bit set, else -1);
-    // simhash bit = 1 iff vote > 0. Expressed as a fold over shingles.
-    val bitsOf = (s: Column) => xxhash64(s)
+  def simhashHex(shingles: Column): Column = {
+    val hexAlphabet = lit("0123456789abcdef")
     val votes = aggregate(
-      transform(shingles, bitsOf),
+      transform(shingles, s => substring(md5(s), 1, 16)),
       array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, i) => a + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)), (v, i) =>
-        when(v > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (a, b) => {
+        val digitVal = conv(substr(h, shiftright(b, 2) + 1, lit(1)), 16, 10).cast("long")
+        val bit = call_function("shiftright", digitVal,
+          (lit(3) - b.bitwiseAND(lit(3))).cast("int")).bitwiseAND(lit(1L))
+        a + when(bit === 1L, lit(1L)).otherwise(lit(-1L))
+      }))
+    val hexChars = transform(sequence(lit(0), lit(15)), p => {
+      val digit = (0 until 4).map { r =>
+        when(element_at(votes, (p * 4 + r + 1).cast("int")) > 0, lit(8 >> r)).otherwise(lit(0))
+      }.reduce(_ + _)
+      substr(hexAlphabet, digit + 1, lit(1))
+    })
+    array_join(hexChars, "")
   }
 }

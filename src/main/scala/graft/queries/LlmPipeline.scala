@@ -38,6 +38,23 @@ object LlmPipeline {
   }
   private val oracleTokens = "string_split_regex(trim(text), '\\s+')"
 
+  /** The LSH hyperplanes are md5-derived constants (Ann.lshSignature),
+    * so the oracle can carry the SAME constants as SQL literals — the
+    * whole bucketed ANN pipeline becomes cross-engine checkable.
+    * Sign decisions have >=1e-6 margin on this corpus vs ~1e-16 FP
+    * divergence between engines' fold orders, so bucket membership is
+    * deterministic across engines.
+    */
+  private def lshPlaneValues(nPlanes: Int, dim: Int): String =
+    (0 until nPlanes).map { p =>
+      val comps = (0 until dim).map { j =>
+        ((java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(s"plane-$p-$j").substring(0, 15), 16)
+          .toDouble / math.pow(16, 15)) - 0.5).toString
+      }.mkString("[", ", ", "]")
+      s"($p, $comps)"
+    }.mkString(", ")
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery("l_dedup_exact", (s, dir) => {
@@ -117,12 +134,32 @@ object LlmPipeline {
       ORDER BY node""")),
 
     GraftQuery("l_dedup_simhash", (s, dir) => {
-      // xxhash64 is engine-specific → rows-only (no cross-engine oracle)
+      // md5-based SimHash (hex string) — bit-reproducible in DuckDB
       val sh = docs(s, dir).select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
-      sh.select(col("doc_id"), Dedup.simhash64(col("shingles")).as("simhash"))
-        .withColumn("bucket", shiftright(col("simhash"), 48))
+      sh.select(col("doc_id"), Dedup.simhashHex(col("shingles")).as("simhash"))
+        .withColumn("bucket", substring(col("simhash"), 1, 4))
         .orderBy("doc_id")
-    }, None),
+    }, Some(s"""
+      WITH tok AS (SELECT doc_id, $oracleTokens AS t FROM documents),
+      sh AS (SELECT doc_id, ${oracleShingles(3)} AS s FROM tok),
+      ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      hx AS (SELECT doc_id, substring(md5(g), 1, 16) AS h FROM ex),
+      bits AS (
+        SELECT doc_id, b.b AS b,
+          CASE WHEN ((strpos('0123456789abcdef', substring(h, (b.b // 4) + 1, 1)) - 1)
+                     >> (3 - (b.b % 4))) & 1 = 1 THEN 1 ELSE -1 END AS vote
+        FROM hx CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(0, 64)) b),
+      votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY 1, 2),
+      digits AS (
+        SELECT doc_id, b // 4 AS p,
+          sum(CASE WHEN v > 0 THEN (8 >> (b % 4)) ELSE 0 END) AS dv
+        FROM votes GROUP BY 1, 2),
+      hexstr AS (
+        SELECT doc_id,
+          string_agg(substring('0123456789abcdef', CAST(dv AS INTEGER) + 1, 1), '' ORDER BY p) AS simhash
+        FROM digits GROUP BY doc_id)
+      SELECT doc_id, simhash, substring(simhash, 1, 4) AS bucket
+      FROM hexstr ORDER BY doc_id""")),
 
     GraftQuery("l_ngram_jaccard", (s, dir) => {
       val sh = docs(s, dir).where(col("doc_id") < 30)
@@ -177,22 +214,69 @@ object LlmPipeline {
       ORDER BY query_id, rk"""), headline = true),
 
     GraftQuery("l_ann_lsh", (s, dir) => {
-      // bucketed scale path; bucket membership depends on plane RNG → rows-only
+      // bucketed scale path; planes are md5-derived constants, so the
+      // oracle replays the same constants as SQL literals
       val e = embs(s, dir)
       val q = e.where(col("vec_id") < 5)
       Ann.lshTopK(e, q, dim = 64, nPlanes = 6, k = 5)
         .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
         .orderBy("query_id", "rk")
-    }, None),
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      sg AS (
+        SELECT vec_id,
+          string_agg(CASE WHEN list_dot_product(e.e, pl.v) >= 0 THEN '1' ELSE '0' END,
+                     '' ORDER BY pl.p) AS sig
+        FROM e CROSS JOIN (VALUES ${lshPlaneValues(6, 64)}) pl(p, v)
+        GROUP BY vec_id),
+      es AS (SELECT e.vec_id, e.e, sg.sig FROM e JOIN sg USING (vec_id)),
+      cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_cosine_similarity(q.e, c.e) AS cos
+        FROM es q JOIN es c ON c.sig = q.sig AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5),
+      r AS (
+        SELECT query_id, neighbor_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        FROM cand)
+      SELECT query_id, rk, neighbor_id, round(cos, 4) AS cos FROM r WHERE rk <= 5
+      ORDER BY query_id, rk""")),
 
     GraftQuery("l_ann_ivf", (s, dir) => {
-      // IVF scale path: coarse centroids + inverted-list probe → rows-only
+      // IVF scale path: deterministic coarse centroids (vec_id-sample),
+      // inverted-list probe — fully expressible in the oracle
       val e = embs(s, dir)
       val q = e.where(col("vec_id") < 5)
       Ann.ivfTopK(e, q, nCentroids = 16, nProbe = 4, k = 5)
         .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
         .orderBy("query_id", "rk")
-    }, None),
+    }, Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      c AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < 16),
+      ac AS (
+        SELECT vec_id, e, cent_id FROM (
+          SELECT n.vec_id, n.e, c.cent_id,
+            ROW_NUMBER() OVER (PARTITION BY n.vec_id
+              ORDER BY list_cosine_similarity(n.e, c.ce) DESC, c.cent_id) AS crk
+          FROM e n CROSS JOIN c) WHERE crk = 1),
+      pr AS (
+        SELECT vec_id, e, cent_id FROM (
+          SELECT n.vec_id, n.e, c.cent_id,
+            ROW_NUMBER() OVER (PARTITION BY n.vec_id
+              ORDER BY list_cosine_similarity(n.e, c.ce) DESC, c.cent_id) AS crk
+          FROM e n CROSS JOIN c WHERE n.vec_id < 5) WHERE crk <= 4),
+      cand AS (
+        SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+          max(list_cosine_similarity(p.e, a.e)) AS cos
+        FROM pr p JOIN ac a USING (cent_id)
+        WHERE a.vec_id <> p.vec_id
+        GROUP BY 1, 2),
+      r AS (
+        SELECT query_id, neighbor_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        FROM cand)
+      SELECT query_id, rk, neighbor_id, round(cos, 4) AS cos FROM r WHERE rk <= 5
+      ORDER BY query_id, rk""")),
 
     GraftQuery("l_lang_id", (s, dir) => {
       docs(s, dir).select(col("doc_id"), col("lang"),

@@ -31,10 +31,18 @@ object LlmPipelineExt {
       FROM documents ORDER BY media_id""")),
 
     GraftQuery("l_multimodal_decode", (s, dir) => {
-      // mapPartitions batched decode with the stubbed codec → rows-only
+      // mapPartitions batched decode; the stub codec derives fake
+      // dimensions from first/last payload bytes, which the oracle can
+      // replay because the docs are ASCII (byte == codepoint)
       val media = Multimodal.asMediaTable(docs(s, dir), "doc_id", col("text"), "image/fake")
       Multimodal.decode(media).orderBy("media_id")
-    }, None),
+    }, Some("""
+      SELECT doc_id AS media_id,
+        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        CAST((ascii(substring(text, 1, 1)) % 128) + 1 AS INTEGER) AS width,
+        CAST((ascii(substring(text, length(text), 1)) % 128) + 1 AS INTEGER) AS height,
+        md5(text) AS checksum
+      FROM documents ORDER BY media_id""")),
 
     GraftQuery("l_multimodal_frames", (s, dir) => {
       // frame sampling: 4 windows of 16 bytes; oracle on frame md5s

@@ -38,10 +38,12 @@ class DedupAnnSpec extends SparkSpec {
   }
 
   test("simhash: exact dups share the hash, near-dups are close in hamming") {
-    val sh = docs.select($"doc_id", Dedup.simhash64(Dedup.wordShingles($"text", 3)).as("h"))
-    val m = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sh = docs.select($"doc_id", Dedup.simhashHex(Dedup.wordShingles($"text", 3)).as("h"))
+    val m = sh.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L).length === 16 && m(1L).forall(c => c.isDigit || (c >= 'a' && c <= 'f')))
     assert(m(1L) === m(4L))
-    val hamming = java.lang.Long.bitCount(m(1L) ^ m(2L))
+    val hamming = java.lang.Long.bitCount(
+      java.lang.Long.parseUnsignedLong(m(1L), 16) ^ java.lang.Long.parseUnsignedLong(m(2L), 16))
     assert(hamming <= 16, s"near-dup hamming $hamming")
   }
 
