@@ -64,13 +64,27 @@ final class Lakehouse(spark: SparkSession, dir: String) {
       .agg(count(lit(1)).as("count"))
 
   /** JIT process-scoped view instance. */
+  /** Span view assembled from the event stream (reference:
+    * rust/analytics/src/lakehouse/thread_spans_view.rs + the
+    * process_spans table function in lakehouse/query.rs:138). The
+    * process filter in viewInstance sits on the window partition key,
+    * so Catalyst pushes it through the Window into the parquet scan —
+    * the JIT property of the reference's process-scoped UDTF.
+    */
+  def threadSpans: DataFrame =
+    graft.operators.SpanAssembly
+      .consecutiveSpans(table("events"), "user_id", epochMs(col("ts")), "event_id", "event_type")
+      .select(col("user_id").cast("string").as("process_id"),
+        col("event_id"), col("name"), col("begin_ms"), col("end_ms"), col("duration_ms"))
+
   def viewInstance(view: String, instanceId: String): DataFrame = view match {
-    case "log_entries" => logEntries.where(col("process_id") === instanceId)
-    case "measures"    => measures.where(col("process_id") === instanceId)
-    case "log_stats"   => logStats.where(col("process_id") === instanceId)
+    case "log_entries"  => logEntries.where(col("process_id") === instanceId)
+    case "measures"     => measures.where(col("process_id") === instanceId)
+    case "log_stats"    => logStats.where(col("process_id") === instanceId)
+    case "thread_spans" => threadSpans.where(col("process_id") === instanceId)
     case other => throw new IllegalArgumentException(s"unknown view set: $other")
   }
 
   /** Registered view sets (list_view_sets analog). */
-  def viewSets: Seq[String] = Seq("log_entries", "measures", "log_stats")
+  def viewSets: Seq[String] = Seq("log_entries", "measures", "log_stats", "thread_spans")
 }

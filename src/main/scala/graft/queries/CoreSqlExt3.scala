@@ -65,6 +65,47 @@ object CoreSqlExt3 {
       GROUP BY 1, 2
       ORDER BY nation, o_year""")),
 
+    GraftQuery("q8_market_share", (s, dir) => {
+      // Q8 shape: supplier-nation market share among ASIA customers per
+      // order year. lineitem⋈orders is the one big-big (shuffle) join;
+      // every dimension (part/customer-side nations/region/supplier)
+      // broadcasts. Customer is mid-size — left to AQE, which picks
+      // broadcast at these SFs and shuffle at cluster scale.
+      val p = t(s, dir, "part").where(col("p_type") === "ECONOMY")
+      val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .select(year(col("o_orderdate").cast("date")).as("o_year"), vol.as("volume"), col("nation"))
+        .groupBy("o_year")
+        .agg(round(sum(when(col("nation") === "NATION_4", col("volume")).otherwise(lit(0.0)))
+            / sum(col("volume")), 4).as("mkt_share"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_year")
+    }, Some("""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        round(sum(CASE WHEN n2.n_name = 'NATION_4' THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END)
+              / sum(l_extendedprice*(1.0-l_discount)), 4) AS mkt_share,
+        CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+      GROUP BY 1 ORDER BY o_year""")),
+
     GraftQuery("m_sessionize", (s, dir) => {
       // gap-based sessionization: a >30-minute silence starts a new
       // session — cumulative sum over a boolean gap marker

@@ -244,6 +244,23 @@ object Observability {
       FROM events WHERE CAST(user_id AS VARCHAR) = '7'
       ORDER BY time_ms, event_id""")),
 
+    GraftQuery("m_process_spans", (s, dir) => {
+      // process_spans UDTF analog (reference: lakehouse/query.rs:138):
+      // the JIT span view scoped to one process; the process filter
+      // pushes through the assembly window into the scan
+      new Lakehouse(s, dir).viewInstance("thread_spans", "7")
+        .select("process_id", "event_id", "name", "begin_ms", "end_ms", "duration_ms")
+        .orderBy("begin_ms", "event_id")
+    }, Some("""
+      WITH sp AS (
+        SELECT CAST(user_id AS VARCHAR) AS process_id, event_id,
+          event_type AS name, epoch_ms(ts) AS begin_ms,
+          LEAD(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS end_ms
+        FROM events WHERE CAST(user_id AS VARCHAR) = '7')
+      SELECT process_id, event_id, name, begin_ms, end_ms, end_ms - begin_ms AS duration_ms
+      FROM sp WHERE end_ms IS NOT NULL
+      ORDER BY begin_ms, event_id""")),
+
     GraftQuery("m_math_funcs", (s, dir) => {
       // lerp/unlerp/bin_center (reference: datafusion-extensions/src/math, binning)
       val e = events(s, dir).where(col("event_id") < 1000)
