@@ -69,20 +69,69 @@ object Ann {
     concat_ws("", planes: _*)
   }
 
-  /** IVF-flat ANN: corpus vectors are assigned to their nearest coarse
-    * centroid; each query probes only its `nProbe` nearest centroids'
-    * inverted lists. Centroids here are a deterministic corpus sample
-    * (vec_id < nCentroids) — at scale you'd train them offline and
-    * broadcast; the assignment/probe join shape is identical. Vectors
-    * shuffle once (on centroid id), queries broadcast.
+  private def prepVecs(df: DataFrame): DataFrame = {
+    val e = toDouble(col("embedding"))
+    df.select(col("vec_id"), e.as("e"), norm(e).as("nrm"))
+  }
+
+  /** Lloyd's k-means refinement of coarse IVF centroids, the offline
+    * training step of a real IVF index. Spark-shaped like MLlib KMeans:
+    * centroids are the (tiny) model — broadcast for assignment, updated
+    * as element-wise means via posexplode + partial-agg groupBy (never
+    * shuffling vectors by more than (cent_id, dim, value) rows), and
+    * only the k centroid rows themselves ever reach the driver.
+    * Assignment uses cosine (matching the probe metric); empty clusters
+    * keep their previous centroid. Deterministic: seeded by the
+    * vec_id-sample initialization, no RNG.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
-    def prep(df: DataFrame): DataFrame = {
-      val e = toDouble(col("embedding"))
-      df.select(col("vec_id"), e.as("e"), norm(e).as("nrm"))
+  def kmeansRefine(corpus: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
+    var cents = prepVecs(corpus.where(col("vec_id") < nCentroids))
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"), norm(col("e")).as("cnrm"))
+      .localCheckpoint()
+    val vecs = prepVecs(corpus).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val scored = vecs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("e"), col("cent_id"),
+          (dot(col("e"), col("ce")) / (col("nrm") * col("cnrm"))).as("csim"))
+      val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+      val assigned = scored.withColumn("crk", row_number().over(w)).where(col("crk") === 1)
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("e")).as(Seq("dim", "v")))
+        .groupBy("cent_id", "dim").agg(avg("v").as("m"))
+        .groupBy("cent_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cent_id"), transform(col("dm"), _.getField("m")).as("ce"))
+        .withColumn("cnrm", sqrt(aggregate(col("ce"), lit(0.0), (a, x) => a + x * x)))
+      // left-join so clusters that lost all members keep their centroid
+      cents = cents.as("old").join(means.as("new"), Seq("cent_id"), "left_outer")
+        .select(col("cent_id"),
+          coalesce(col("new.ce"), col("old.ce")).as("ce"),
+          coalesce(col("new.cnrm"), col("old.cnrm")).as("cnrm"))
+        .localCheckpoint()
     }
-    val cents = prep(corpus.where(col("vec_id") < nCentroids))
-      .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cnrm"))
+    cents
+  }
+
+  /** Mean best-centroid cosine over the corpus — the (higher-is-better)
+    * quality measure kmeansRefine improves.
+    */
+  def ivfDistortion(corpus: DataFrame, cents: DataFrame): Double = {
+    val best = prepVecs(corpus).crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        (dot(col("e"), col("ce")) / (col("nrm") * col("cnrm"))).as("csim"))
+      .groupBy("vec_id").agg(max("csim").as("best"))
+    best.agg(avg("best")).head().getDouble(0)
+  }
+
+  /** IVF-flat ANN probe against an explicit centroid table
+    * ((cent_id, ce, cnrm) — e.g. from [[kmeansRefine]]): corpus vectors
+    * are assigned to their nearest centroid; each query probes only its
+    * `nProbe` nearest centroids' inverted lists. Vectors shuffle once
+    * (on centroid id), queries and centroids broadcast.
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, cents: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    def prep(df: DataFrame): DataFrame = prepVecs(df)
     def nearestCents(df: DataFrame, n: Int): DataFrame = {
       val scored = df.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"),
@@ -102,6 +151,16 @@ object Ann {
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
       .where(col("rk") <= k)
+  }
+
+  /** IVF-flat ANN with deterministic sample centroids (vec_id <
+    * nCentroids) — the oracle-checkable configuration; see
+    * [[ivfTopKWith]] / [[kmeansRefine]] for the trained-centroid path.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    val cents = prepVecs(corpus.where(col("vec_id") < nCentroids))
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cnrm"))
+    ivfTopKWith(corpus, queries, cents, nProbe, k)
   }
 
   /** Bucketed ANN: candidates share the query's signature bucket.

@@ -59,6 +59,19 @@ class DedupAnnSpec extends SparkSpec {
     assert(top.head.getAs[Double]("cos") > 0.99)
   }
 
+  test("k-means refinement improves centroid quality, probe stays sane") {
+    val e = Tables.df(spark, sfDir, "embeddings")
+    val sample = Ann.kmeansRefine(e, nCentroids = 8, iters = 0)   // raw vec_id sample
+    val refined = Ann.kmeansRefine(e, nCentroids = 8, iters = 2)  // 2 Lloyd rounds
+    val d0 = Ann.ivfDistortion(e, sample)
+    val d2 = Ann.ivfDistortion(e, refined)
+    assert(d2 >= d0, s"refined distortion $d2 should beat sample $d0")
+    val top = Ann.ivfTopKWith(e, e.where($"vec_id" < 2), refined, nProbe = 3, k = 4)
+      .collect()
+    assert(top.nonEmpty && top.forall(_.getAs[Int]("rk") <= 4))
+    assert(top.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+  }
+
   test("text analysis: counts and quality bounds") {
     val r = docs.select(
       TextAnalysis.tokenCount($"text").as("n"),
