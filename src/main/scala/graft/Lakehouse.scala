@@ -27,8 +27,9 @@ final class Lakehouse(spark: SparkSession, dir: String) {
     * events informational (4), views debug-ish (5). Reference level
     * semantics: 1=Fatal .. 6=Trace, lower = more severe.
     */
-  def logEntries: DataFrame = {
-    val e = table("events")
+  def logEntries: DataFrame = logEntriesFrom(table("events"))
+
+  private def logEntriesFrom(e: DataFrame): DataFrame =
     e.select(
       epochMs(col("ts")).as("time_ms"),
       col("event_id"),
@@ -39,11 +40,11 @@ final class Lakehouse(spark: SparkSession, dir: String) {
       col("event_type").as("target"),
       concat(lit("event "), col("event_id").cast("string")).as("msg"),
       col("props").as("properties"))
-  }
 
   /** Numeric measures view: every event carries a value sample. */
-  def measures: DataFrame = {
-    val e = table("events")
+  def measures: DataFrame = measuresFrom(table("events"))
+
+  private def measuresFrom(e: DataFrame): DataFrame =
     e.select(
       epochMs(col("ts")).as("time_ms"),
       col("event_id"),
@@ -52,37 +53,49 @@ final class Lakehouse(spark: SparkSession, dir: String) {
       lit("units").as("unit"),
       col("value"),
       col("props").as("properties"))
-  }
 
   /** Per-minute per-level counts — the log_stats incremental view shape
     * (reference: rust/analytics/src/lakehouse/log_stats_view.rs:34-42).
     */
-  def logStats: DataFrame =
-    logEntries
+  def logStats: DataFrame = logStatsFrom(table("events"))
+
+  private def logStatsFrom(e: DataFrame): DataFrame =
+    logEntriesFrom(e)
       .groupBy((col("time_ms") - pmod(col("time_ms"), lit(60000L))).as("time_bin_ms"),
         col("process_id"), col("level"), col("target"))
       .agg(count(lit(1)).as("count"))
 
-  /** JIT process-scoped view instance. */
   /** Span view assembled from the event stream (reference:
     * rust/analytics/src/lakehouse/thread_spans_view.rs + the
-    * process_spans table function in lakehouse/query.rs:138). The
-    * process filter in viewInstance sits on the window partition key,
-    * so Catalyst pushes it through the Window into the parquet scan —
-    * the JIT property of the reference's process-scoped UDTF.
+    * process_spans table function in lakehouse/query.rs:138).
     */
-  def threadSpans: DataFrame =
+  def threadSpans: DataFrame = threadSpansFrom(table("events"))
+
+  private def threadSpansFrom(e: DataFrame): DataFrame =
     graft.operators.SpanAssembly
-      .consecutiveSpans(table("events"), "user_id", epochMs(col("ts")), "event_id", "event_type")
+      .consecutiveSpans(e, "user_id", epochMs(col("ts")), "event_id", "event_type")
       .select(col("user_id").cast("string").as("process_id"),
         col("event_id"), col("name"), col("begin_ms"), col("end_ms"), col("duration_ms"))
 
-  def viewInstance(view: String, instanceId: String): DataFrame = view match {
-    case "log_entries"  => logEntries.where(col("process_id") === instanceId)
-    case "measures"     => measures.where(col("process_id") === instanceId)
-    case "log_stats"    => logStats.where(col("process_id") === instanceId)
-    case "thread_spans" => threadSpans.where(col("process_id") === instanceId)
-    case other => throw new IllegalArgumentException(s"unknown view set: $other")
+  /** JIT process-scoped view instance. The scope is applied to the RAW
+    * source column (`user_id`), not the projected string `process_id`:
+    * a `cast(user_id as string) = id` predicate cannot reach the
+    * parquet reader, while `user_id = <id as long>` unwraps to a native
+    * pushed filter — row-group pruning (and file pruning on a
+    * process-partitioned layout), which is the point of the reference's
+    * JIT view_instance/process_spans functions. Non-numeric ids match
+    * nothing, same as under the string comparison.
+    */
+  def viewInstance(view: String, instanceId: String): DataFrame = {
+    val scoped = table("events")
+      .where(col("user_id").cast("long") === lit(instanceId).cast("long"))
+    view match {
+      case "log_entries"  => logEntriesFrom(scoped)
+      case "measures"     => measuresFrom(scoped)
+      case "log_stats"    => logStatsFrom(scoped)
+      case "thread_spans" => threadSpansFrom(scoped)
+      case other => throw new IllegalArgumentException(s"unknown view set: $other")
+    }
   }
 
   /** Registered view sets (list_view_sets analog). */
