@@ -34,4 +34,21 @@ object LogStatsStream {
     minuteStats
       .groupBy(date_trunc("hour", col("time_bin")).as("time_bin"), col("level"))
       .agg(sum("count").as("count"))
+
+  /** Streaming measures → per-minute histogram sketches. The histogram
+    * UDAF is a TypedImperativeAggregate, i.e. a mergeable sketch:
+    * partial histograms are built map-side per micro-batch and merged
+    * into the windowed state, exactly the incremental-materialization
+    * contract of the reference's histogram partitions
+    * (rust/analytics histo queries over time bins).
+    */
+  def measuresHistogram(events: DataFrame, start: Double, end: Double, nbBins: Int,
+      watermark: String = "10 minutes"): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 minute"), col("event_type").as("name"))
+      .agg(graft.functions.Histograms.makeHistogram(start, end, nbBins, col("value")).as("histo"))
+      .select(col("window.start").as("time_bin"), col("name"), col("histo"))
+  }
 }

@@ -39,6 +39,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped like a closed partition") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = LogStatsStream.logStats(mem.toDF(), watermark = "2 minutes")
+      .writeStream.format("memory").queryName("log_stats_late").outputMode("update").start()
+    try {
+      mem.addData(Ev(t(0, 10), 1, "error", 1.0))
+      q.processAllAvailable()
+      // advance event time far past minute 0 + watermark, twice so the
+      // watermark actually commits before the late row arrives
+      mem.addData(Ev(t(30, 0), 1, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(t(31, 0), 1, "view", 1.0))
+      q.processAllAvailable()
+      // now a very late error for minute 0: must be dropped
+      mem.addData(Ev(t(0, 50), 9, "error", 1.0))
+      q.processAllAvailable()
+      val errCount = spark.table("log_stats_late")
+        .where(col("level") === 2).agg(max("count")).head().getLong(0)
+      assert(errCount === 1L, "late row must not reopen the closed window")
+    } finally q.stop()
+  }
+
+  test("streaming histogram sketch merges across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = LogStatsStream.measuresHistogram(mem.toDF(), 0.0, 10.0, 5)
+      .writeStream.format("memory").queryName("histo_stream").outputMode("update").start()
+    try {
+      mem.addData(Ev(t(0, 10), 1, "view", 1.0), Ev(t(0, 20), 1, "view", 3.0))
+      q.processAllAvailable()
+      mem.addData(Ev(t(0, 30), 2, "view", 9.0)) // second batch, same window
+      q.processAllAvailable()
+      val h = spark.table("histo_stream").where(col("name") === "view")
+        .orderBy(col("time_bin")).select("histo.count", "histo.sum", "histo.bins").head()
+      assert(h.getAs[Long]("count") === 3L)
+      assert(h.getAs[Double]("sum") === 13.0)
+      assert(h.getAs[Seq[Long]]("bins").sum === 3L)
+    } finally q.stop()
+  }
+
   test("hour rollup re-aggregates minute stats") {
     val minute = Seq(
       (Timestamp.valueOf("2024-01-01 10:00:00"), 2, 5L),
