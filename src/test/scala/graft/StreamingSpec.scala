@@ -72,8 +72,11 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(Ev(t(0, 30), 2, "view", 9.0)) // second batch, same window
       q.processAllAvailable()
+      // update-mode memory sink keeps one row PER update of the window;
+      // the latest state is the one with the largest sketch count
       val h = spark.table("histo_stream").where(col("name") === "view")
-        .orderBy(col("time_bin")).select("histo.count", "histo.sum", "histo.bins").head()
+        .select("histo.count", "histo.sum", "histo.bins")
+        .orderBy(col("count").desc).head()
       assert(h.getAs[Long]("count") === 3L)
       assert(h.getAs[Double]("sum") === 13.0)
       assert(h.getAs[Seq[Long]]("bins").sum === 3L)
