@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
+import graft.operators.AsofJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -139,6 +140,42 @@ object CoreSqlExt3 {
         min(t_ms) AS start_ms,
         max(t_ms) - min(t_ms) AS duration_ms
       FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""")),
+
+    GraftQuery("m_asof_join", (s, dir) => {
+      // backward as-of join: for each error event, the latest purchase
+      // value at-or-before it for that user (ASOF JOIN semantics via
+      // the union + carry-forward window — see operators.AsofJoin)
+      val e = t(s, dir, "events")
+      val errs = e.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), epochMs(col("ts")).as("t_ms"))
+      val meas = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("m_id"),
+          epochMs(col("ts")).as("mt_ms"), col("value"))
+      AsofJoin.asofBackward(errs, meas, "user_id", col("t_ms"), col("mt_ms"),
+          Seq("value", "m_id"), col("event_id"), col("m_id"))
+        .select(col("user_id"), col("event_id"), col("t_ms"),
+          round(col("value"), 2).as("last_purchase"), col("m_id").as("purchase_id"))
+        .orderBy("user_id", "t_ms", "event_id")
+    }, Some("""
+      WITH l AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS t, 1 AS side, event_id AS seq,
+          CAST(NULL AS DOUBLE) AS v, CAST(NULL AS BIGINT) AS mid
+        FROM events WHERE event_type = 'error'),
+      r AS (
+        SELECT user_id, CAST(NULL AS BIGINT) AS event_id, epoch_ms(ts) AS t, 0 AS side,
+          event_id AS seq, value AS v, event_id AS mid
+        FROM events WHERE event_type = 'purchase'),
+      u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+      c AS (
+        SELECT user_id, event_id, t, side,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, side, seq
+            ROWS UNBOUNDED PRECEDING) AS v,
+          last_value(mid IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, side, seq
+            ROWS UNBOUNDED PRECEDING) AS mid
+        FROM u)
+      SELECT user_id, event_id, t AS t_ms, round(v, 2) AS last_purchase, mid AS purchase_id
+      FROM c WHERE side = 1
+      ORDER BY user_id, t_ms, event_id""")),
 
     GraftQuery("m_measure_rate", (s, dir) => {
       // counter→rate: per-(process, metric) delta over time delta,

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.AsofJoin
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val left = Seq(
+    (1L, 10L, 100L), // before any right row
+    (1L, 11L, 200L), // exactly at a right row (inclusive)
+    (1L, 12L, 250L), // between right rows
+    (2L, 20L, 500L)  // key with no right rows at all
+  ).toDF("k", "lid", "lt")
+
+  private val right = Seq(
+    (1L, 90L, 200L, 7.0),
+    (1L, 91L, 200L, 8.0), // same time: larger seq wins
+    (1L, 92L, 240L, 9.0)
+  ).toDF("k", "rid", "rt", "v")
+
+  private def run() =
+    AsofJoin.asofBackward(left, right, "k", col("lt"), col("rt"),
+        Seq("v", "rid"), col("lid"), col("rid"))
+      .orderBy("k", "lt")
+      .collect()
+      .map(r => (r.getAs[Long]("lid"),
+        Option(r.getAs[java.lang.Double]("v")).map(_.toDouble),
+        Option(r.getAs[java.lang.Long]("rid")).map(_.toLong)))
+
+  test("backward as-of: inclusive boundary, carry-forward, null before first") {
+    val out = run()
+    assert(out(0) === ((10L, None, None)))             // nothing at-or-before t=100
+    assert(out(1) === ((11L, Some(8.0), Some(91L))))   // t=200 inclusive, larger rid wins tie
+    assert(out(2) === ((12L, Some(9.0), Some(92L))))   // latest at-or-before t=250
+    assert(out(3) === ((20L, None, None)))             // key never has right rows
+  }
+
+  test("one shuffle on the key, no join operator in the plan") {
+    val plan = AsofJoin.asofBackward(left, right, "k", col("lt"), col("rt"),
+      Seq("v"), col("lid"), col("rid")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "as-of must not plan a join")
+    assert(plan.contains("Window"))
+  }
+}
