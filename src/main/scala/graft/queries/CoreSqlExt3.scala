@@ -141,6 +141,81 @@ object CoreSqlExt3 {
         max(t_ms) - min(t_ms) AS duration_ms
       FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""")),
 
+    GraftQuery("q10_returned", (s, dir) => {
+      // Q10 shape: top customers by revenue lost to returned items.
+      // lineitem⋈orders shuffles; customer/nation broadcast.
+      val l = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }, Some("""
+      SELECT c_custkey, c_name, n_name, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""")),
+
+    GraftQuery("q12_priority_class", (s, dir) => {
+      // Q12 shape (adapted to available columns): per return flag, how
+      // many items belong to critical- vs normal-priority orders —
+      // conditional counts after a fact-fact join
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!crit, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY l_returnflag""")),
+
+    GraftQuery("q18_large_orders", (s, dir) => {
+      // Q18 shape: orders whose total quantity exceeds a threshold,
+      // with their customer — groupBy-HAVING feeding a join
+      val l = t(s, dir, "lineitem")
+      val big = l.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("total_qty"))
+        .where(col("total_qty") > 55.0)
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          epochMs(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+          round(col("total_qty"), 2).as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(50)
+    }, Some("""
+      WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 55.0)
+      SELECT c_custkey, c_name, o_orderkey,
+        epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS odate_ms,
+        round(total_qty, 2) AS total_qty
+      FROM big
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY total_qty DESC, o_orderkey
+      LIMIT 50""")),
+
     GraftQuery("m_asof_join", (s, dir) => {
       // backward as-of join: for each error event, the latest purchase
       // value at-or-before it for that user (ASOF JOIN semantics via
