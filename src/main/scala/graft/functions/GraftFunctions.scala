@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
 
 /** Registration of graft's custom Catalyst functions.
   *
@@ -30,9 +30,14 @@ object GraftFunctions {
     },
     "graft_dot" -> { args =>
       require(args.length == 2, "graft_dot(a, b)")
-      // SQL callers naturally pass array<float> embeddings; DotProduct
-      // reads raw 8-byte doubles, so coerce both sides explicitly.
-      DotProduct(Cast(args(0), ArrayType(DoubleType)), Cast(args(1), ArrayType(DoubleType)))
+      // DotProduct reads float or double arrays natively (per-element
+      // widening, bit-identical); anything else is coerced explicitly
+      // so SQL callers can't feed it mistyped arrays.
+      def vec(e: Expression): Expression = e.dataType match {
+        case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => e
+        case _ => Cast(e, ArrayType(DoubleType))
+      }
+      DotProduct(vec(args(0)), vec(args(1)))
     },
     "graft_round" -> { args =>
       require(args.length == 2, "graft_round(x, scale)")

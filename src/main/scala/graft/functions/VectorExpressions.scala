@@ -4,10 +4,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** `graft_dot(a, b)` — dot product of two array<double> columns as a
-  * native Catalyst expression with whole-stage codegen.
+/** `graft_dot(a, b)` — dot product of two array<double|float> columns
+  * as a native Catalyst expression with whole-stage codegen.
   *
   * The composable alternative (`aggregate(zip_with(a,b,*),0,+)`) walks
   * the arrays through interpreted higher-order lambdas with boxed
@@ -15,11 +15,25 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * corpus×queries pair counts. This generates the tight primitive
   * loop instead. Summation is left-to-right, bit-identical to the
   * sequential-loop oracle.
+  *
+  * Float arrays (the natural embedding storage type) are read in place
+  * with each ELEMENT widened to double before the multiply —
+  * bit-identical to casting the whole array to array<double> first,
+  * without materializing the cast copy per row. (A float×float
+  * multiply would round to float precision and diverge; the codegen
+  * widens before multiplying.)
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private lazy val lFloat = elemIsFloat(left)
+  private lazy val rFloat = elemIsFloat(right)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -27,7 +41,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      val xv = if (lFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
     s
   }
 
@@ -36,11 +55,13 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val xv = if (lFloat) s"((double) $a.getFloat($i))" else s"$a.getDouble($i)"
+      val yv = if (rFloat) s"((double) $b.getFloat($i))" else s"$b.getDouble($i)"
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $s = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          $s += $a.getDouble($i) * $b.getDouble($i);
+          $s += $xv * $yv;
         }
         ${ev.value} = $s;
       """

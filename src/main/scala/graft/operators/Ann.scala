@@ -35,12 +35,8 @@ object Ann {
     * pair count is corpus × queries.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    def prep(df: DataFrame): DataFrame = {
-      val e = toDouble(col("embedding"))
-      df.select(col("vec_id"), e.as("e"), norm(e).as("nrm"))
-    }
-    val joined = prep(corpus).as("c")
-      .crossJoin(broadcast(prep(queries).as("q")))
+    val joined = prepVecs(corpus).as("c")
+      .crossJoin(broadcast(prepVecs(queries).as("q")))
       .where(col("q.vec_id") =!= col("c.vec_id"))
       .select(
         col("q.vec_id").as("query_id"),
@@ -69,10 +65,12 @@ object Ann {
     concat_ws("", planes: _*)
   }
 
-  private def prepVecs(df: DataFrame): DataFrame = {
-    val e = toDouble(col("embedding"))
-    df.select(col("vec_id"), e.as("e"), norm(e).as("nrm"))
-  }
+  /** Per-row prep: keep the embedding in its stored type (graft_dot
+    * reads float arrays natively with bit-identical widening — no cast
+    * copy per row) and precompute the norm once.
+    */
+  private def prepVecs(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").as("e"), norm(col("embedding")).as("nrm"))
 
   /** Lloyd's k-means refinement of coarse IVF centroids, the offline
     * training step of a real IVF index. Spark-shaped like MLlib KMeans:
@@ -168,11 +166,9 @@ object Ann {
     * per-pair (same prep as bruteForceTopK).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, nPlanes: Int, k: Int): DataFrame = {
-    val sig = (df: DataFrame) => {
-      val e = toDouble(col("embedding"))
-      df.select(col("vec_id"), e.as("e"), norm(e).as("nrm"),
-        lshSignature(col("embedding"), dim, nPlanes).as("sig"))
-    }
+    val sig = (df: DataFrame) =>
+      prepVecs(df).withColumn("sig",
+        lshSignature(col("e"), dim, nPlanes))
     val c = sig(corpus).as("c")
     val q = sig(queries).as("q")
     val joined = c.join(broadcast(q), col("c.sig") === col("q.sig"))

@@ -179,7 +179,9 @@ object LlmPipeline {
       ORDER BY a, b""")),
 
     GraftQuery("l_embed_neardup", (s, dir) => {
-      val e = embs(s, dir).select(col("vec_id"), Ann.toDouble(col("embedding")).as("e"))
+      // raw float arrays: graft_dot widens per element (bit-identical
+      // to the cast, without materializing a double copy per row)
+      val e = embs(s, dir).select(col("vec_id"), col("embedding").as("e"))
         .withColumn("nrm", Ann.norm(col("e")))
       e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
