@@ -19,6 +19,7 @@ object Graft {
     lk.logEntries.createOrReplaceTempView("log_entries")
     lk.measures.createOrReplaceTempView("measures")
     lk.logStats.createOrReplaceTempView("log_stats")
+    lk.threadSpans.createOrReplaceTempView("thread_spans")
   }
 
   /** client.query(sql, begin, end) analog. Timestamps are epoch
@@ -26,7 +27,6 @@ object Graft {
     */
   def query(spark: SparkSession, dir: String, sql: String,
       beginMicros: Option[Long] = None, endMicros: Option[Long] = None): DataFrame = {
-    registerViews(spark, dir)
     if (beginMicros.nonEmpty || endMicros.nonEmpty) {
       // range scoping is an analyzer rule; fail loudly rather than
       // silently returning unscoped data on a session built without it
@@ -40,15 +40,25 @@ object Graft {
     // The range travels through session conf to the analyzer rule, so
     // concurrent query() calls on one session could leak a range into
     // (or unset it under) a sibling's analysis. Serialize the
-    // conf-set → analyze → conf-unset window per session; execution of
-    // the returned DataFrame happens outside the lock and no longer
-    // reads the conf. Unranged queries take the lock too — their
-    // analysis must not observe a sibling's range.
+    // register → conf-set → analyze → conf-unset window per session;
+    // execution of the returned DataFrame happens outside the lock and
+    // no longer reads the conf. Two details are load-bearing:
+    // registerViews must be INSIDE the lock (createOrReplaceTempView
+    // analyzes the view plan — under a sibling's live range it would
+    // bake that range into the stored view, poisoning later queries),
+    // and unranged queries take the lock too.
     spark.synchronized {
+      registerViews(spark, dir)
       beginMicros.foreach(b => spark.conf.set("spark.graft.queryRange.beginMicros", b.toString))
       endMicros.foreach(e => spark.conf.set("spark.graft.queryRange.endMicros", e.toString))
-      try spark.sql(sql) // analysis (and the range rewrite) happens eagerly here
-      finally {
+      try {
+        val df = spark.sql(sql)
+        // Spark 4 analyzes lazily (QueryExecution.lazyAnalyzed): without
+        // forcing it HERE, the range rewrite would read the conf at the
+        // first action — outside this lock, racing sibling queries.
+        df.queryExecution.analyzed
+        df
+      } finally {
         spark.conf.unset("spark.graft.queryRange.beginMicros")
         spark.conf.unset("spark.graft.queryRange.endMicros")
       }

@@ -21,6 +21,34 @@ class GraftApiSpec extends SparkSpec {
     assert(scoped > 0 && scoped < all)
   }
 
+  test("thread_spans view is queryable and concurrent query() calls don't cross-leak ranges") {
+    val spans = Graft.query(spark, sfDir,
+      "SELECT process_id, count(*) AS n, max(duration_ms) AS mx FROM thread_spans GROUP BY process_id")
+    assert(spans.count() > 0)
+    // concurrent ranged + unranged queries on the same session: the
+    // unranged one must see ALL rows every time (no range leak)
+    val all = Graft.query(spark, sfDir, "SELECT count(*) FROM events").head().getLong(0)
+    val threads = (1 to 4).map { i =>
+      new Thread {
+        var ok = true
+        override def run(): Unit = (1 to 5).foreach { _ =>
+          val n =
+            if (i % 2 == 0)
+              Graft.query(spark, sfDir, "SELECT count(*) FROM events").head().getLong(0)
+            else {
+              Graft.query(spark, sfDir, "SELECT count(*) FROM events",
+                Some(micros("2024-01-01T00:00:00Z")), Some(micros("2024-01-15T00:00:00Z")))
+                .head().getLong(0)
+              all // ranged thread only checks it didn't throw
+            }
+          if (n != all) ok = false
+        }
+      }
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(threads.forall(_.ok), "unranged query observed a sibling's range")
+  }
+
   test("observability SQL: histogram over measures via registered functions") {
     val df = Graft.query(spark, sfDir,
       """SELECT name, graft_make_histogram(0.0, 500.0, 10, value) AS h
