@@ -22,6 +22,18 @@ object Graft {
     lk.threadSpans.createOrReplaceTempView("thread_spans")
   }
 
+  // (session, dir) pairs whose views are already registered — avoids
+  // re-reading parquet metadata for ~13 views on every query()
+  private val viewsReady = new java.util.HashSet[(Int, String)]()
+
+  private def ensureViews(spark: SparkSession, dir: String): Unit = viewsReady.synchronized {
+    val k = (System.identityHashCode(spark), dir)
+    if (!viewsReady.contains(k)) {
+      registerViews(spark, dir)
+      viewsReady.add(k)
+    }
+  }
+
   /** client.query(sql, begin, end) analog. Timestamps are epoch
     * microseconds UTC; either bound may be omitted.
     */
@@ -37,31 +49,24 @@ object Graft {
         "time-range scoping requires a session built with " +
           ".withExtensions(new graft.functions.GraftExtensions)")
     }
-    // The range travels through session conf to the analyzer rule, so
-    // concurrent query() calls on one session could leak a range into
-    // (or unset it under) a sibling's analysis. Serialize the
-    // register → conf-set → analyze → conf-unset window per session;
-    // execution of the returned DataFrame happens outside the lock and
-    // no longer reads the conf. Two details are load-bearing:
-    // registerViews must be INSIDE the lock (createOrReplaceTempView
-    // analyzes the view plan — under a sibling's live range it would
-    // bake that range into the stored view, poisoning later queries),
-    // and unranged queries take the lock too.
-    spark.synchronized {
-      registerViews(spark, dir)
-      beginMicros.foreach(b => spark.conf.set("spark.graft.queryRange.beginMicros", b.toString))
-      endMicros.foreach(e => spark.conf.set("spark.graft.queryRange.endMicros", e.toString))
-      try {
-        val df = spark.sql(sql)
-        // Spark 4 analyzes lazily (QueryExecution.lazyAnalyzed): without
-        // forcing it HERE, the range rewrite would read the conf at the
-        // first action — outside this lock, racing sibling queries.
-        df.queryExecution.analyzed
-        df
-      } finally {
-        spark.conf.unset("spark.graft.queryRange.beginMicros")
-        spark.conf.unset("spark.graft.queryRange.endMicros")
-      }
-    }
+    ensureViews(spark, dir)
+    // The range travels to the analyzer rule through a THREAD-LOCAL
+    // ([[graft.plans.QueryRange]]), not session conf: Spark re-runs the
+    // analyzer whenever a derived Dataset is built (head() wraps the
+    // plan in a limit, count() in an aggregate, ...), on whatever
+    // thread does it — session-conf state at those moments belongs to
+    // whoever queries concurrently, and no lock around the original
+    // analysis can cover the later re-analyses. With a thread-local,
+    // only this thread between set/clear sees the range; re-analyses
+    // elsewhere see none, and the rewrite's structural idempotency
+    // keeps the already-injected filter intact.
+    plans.QueryRange.set(beginMicros, endMicros)
+    try {
+      val df = spark.sql(sql)
+      // Spark 4 analyzes lazily (QueryExecution.lazyAnalyzed): force it
+      // while the thread-local is still set.
+      df.queryExecution.analyzed
+      df
+    } finally plans.QueryRange.clear()
   }
 }

@@ -83,12 +83,17 @@ final class Lakehouse(spark: SparkSession, dir: String) {
     * parquet reader, while `user_id = <id as long>` unwraps to a native
     * pushed filter — row-group pruning (and file pruning on a
     * process-partitioned layout), which is the point of the reference's
-    * JIT view_instance/process_spans functions. Non-numeric ids match
-    * nothing, same as under the string comparison.
+    * JIT view_instance/process_spans functions. Only a CANONICAL
+    * numeric id takes that path: "07" or " 7" must match nothing (the
+    * string semantics), not be coerced onto process 7.
     */
   def viewInstance(view: String, instanceId: String): DataFrame = {
-    val scoped = table("events")
-      .where(col("user_id").cast("long") === lit(instanceId).cast("long"))
+    val canonical = scala.util.Try(instanceId.toLong).toOption
+      .filter(_.toString == instanceId)
+    val scoped = canonical match {
+      case Some(id) => table("events").where(col("user_id").cast("long") === id)
+      case None     => table("events").where(lit(false)) // non-canonical: empty
+    }
     view match {
       case "log_entries"  => logEntriesFrom(scoped)
       case "measures"     => measuresFrom(scoped)

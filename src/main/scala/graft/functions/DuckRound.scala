@@ -37,11 +37,17 @@ case class DuckRound(left: Expression, right: Expression)
       val v = ctx.freshName("v")
       val m = ctx.freshName("m")
       val r = ctx.freshName("r")
+      // floor + exact-fraction compare, NOT floor(m + 0.5): the addition
+      // can round up across an integer (m = 0.49999999999999994 gives
+      // m + 0.5 -> 1.0) and diverge from std::round. m - floor(m) is
+      // exact (Sterbenz), so the comparison is exact for all finite m;
+      // NaN falls through (NaN >= .5 is false) and copySign propagates.
       s"""
         double $p = java.lang.Math.pow(10.0, $k);
         double $v = $x * $p;
         double $m = java.lang.Math.abs($v);
-        double $r = ($m >= 4.503599627370496E15) ? $m : java.lang.Math.floor($m + 0.5);
+        double $r = java.lang.Math.floor($m);
+        if ($m - $r >= 0.5) $r += 1.0;
         ${ev.value} = java.lang.Math.copySign($r, $v) / $p;
       """
     })
@@ -51,12 +57,16 @@ case class DuckRound(left: Expression, right: Expression)
 }
 
 object DuckRound {
-  /** Round half away from zero, sign-of-zero preserving (C++ std::round). */
+  /** Round half away from zero, sign-of-zero preserving (C++ std::round).
+    * floor + exact-fraction compare — see the codegen comment for why
+    * floor(m + 0.5) would be wrong.
+    */
   def round(x: Double, scale: Int): Double = {
     val p = math.pow(10.0, scale)
     val v = x * p
     val m = math.abs(v)
-    val r = if (m >= 4503599627370496.0) m else math.floor(m + 0.5)
+    var r = math.floor(m)
+    if (m - r >= 0.5) r += 1.0
     java.lang.Math.copySign(r, v) / p
   }
 }

@@ -48,16 +48,19 @@ object GraftFunctions {
       GraftPropertyGet(args(0), args(1))
     })
 
-  private val registered =
-    java.util.Collections.synchronizedMap(new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  private val registered = new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
 
-  def register(spark: SparkSession): Unit = {
-    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    // marking AFTER installation (and holding the lock throughout) so a
+    // concurrent first caller can't observe the session as registered
+    // while the functions are still being installed
+    if (!registered.containsKey(spark)) {
       val registry =
         spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState.functionRegistry
       builders.foreach { case (name, b) =>
         registry.createOrReplaceTempFunction(name, b, "scala_udf")
       }
+      registered.put(spark, java.lang.Boolean.TRUE)
     }
   }
 }

@@ -14,7 +14,6 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  def toDouble(vec: Column): Column = transform(vec, _.cast("double"))
 
   /** Codegen'd dot product (graft.functions.DotProduct); sessions must
     * have graft functions registered (GraftFunctions.register /
@@ -84,7 +83,7 @@ object Ann {
     */
   def kmeansRefine(corpus: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
     var cents = prepVecs(corpus.where(col("vec_id") < nCentroids))
-      .select(col("vec_id").as("cent_id"), col("e").as("ce"), norm(col("e")).as("cnrm"))
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cnrm"))
       .localCheckpoint()
     val vecs = prepVecs(corpus).localCheckpoint()
     for (_ <- 0 until iters) {
@@ -129,7 +128,6 @@ object Ann {
     */
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, cents: DataFrame,
       nProbe: Int, k: Int): DataFrame = {
-    def prep(df: DataFrame): DataFrame = prepVecs(df)
     def nearestCents(df: DataFrame, n: Int): DataFrame = {
       val scored = df.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"),
@@ -138,9 +136,9 @@ object Ann {
       scored.withColumn("crk", row_number().over(w)).where(col("crk") <= n)
         .drop("csim", "crk")
     }
-    val assigned = nearestCents(prep(corpus), 1)
+    val assigned = nearestCents(prepVecs(corpus), 1)
       .select(col("cent_id"), col("vec_id").as("c_id"), col("e").as("c_e"), col("nrm").as("c_nrm"))
-    val probes = nearestCents(prep(queries), nProbe)
+    val probes = nearestCents(prepVecs(queries), nProbe)
     val joined = assigned.join(broadcast(probes), Seq("cent_id"))
       .where(col("vec_id") =!= col("c_id"))
       .select(col("vec_id").as("query_id"), col("c_id").as("neighbor_id"),

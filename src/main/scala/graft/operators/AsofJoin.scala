@@ -31,19 +31,27 @@ object AsofJoin {
       leftTime: Column, rightTime: Column, rightVals: Seq[String],
       leftSeq: Column, rightSeq: Column): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The right payload travels as ONE nullable struct, so every carried
+    // field comes from the SAME matched row. Carrying columns
+    // independently with last(ignoreNulls) would stitch values from
+    // different right rows whenever a matched row holds a null field —
+    // a row that never existed.
     val l = left.select(
-      (col(key) +: leftCols.filter(_ != key).map(col) :+
-        leftTime.as("__t") :+ lit(1).as("__side") :+ leftSeq.as("__seq")) ++
-        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(s"__r_$v")): _*)
+      col(key) +: leftCols.filter(_ != key).map(col) :+
+        leftTime.as("__t") :+ lit(1).as("__side") :+ leftSeq.as("__seq") :+
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          rightVals.map(v => org.apache.spark.sql.types.StructField(v, right.schema(v).dataType)))
+        ).as("__r"): _*)
     val r = right.select(
-      (col(key) +: leftCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        rightTime.as("__t") :+ lit(0).as("__side") :+ rightSeq.as("__seq")) ++
-        rightVals.map(v => col(v).as(s"__r_$v")): _*)
+      col(key) +: leftCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        rightTime.as("__t") :+ lit(0).as("__side") :+ rightSeq.as("__seq") :+
+        struct(rightVals.map(col): _*).as("__r"): _*)
     val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"), col("__seq"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.unionByName(r).select(
-      (col(key) +: leftCols.filter(_ != key).map(col) :+ col("__t") :+ col("__side")) ++
-        rightVals.map(v => last(col(s"__r_$v"), ignoreNulls = true).over(w).as(v)): _*)
-    carried.where(col("__side") === 1).drop("__side", "__t")
+    val carried = l.unionByName(r)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    carried.where(col("__side") === 1)
+      .select(col(key) +: leftCols.filter(_ != key).map(col) ++:
+        rightVals.map(v => col(s"__m.$v").as(v)): _*)
   }
 }

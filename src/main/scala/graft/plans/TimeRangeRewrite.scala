@@ -33,8 +33,11 @@ case class TimeRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val conf = spark.conf
-    val begin = conf.getOption("spark.graft.queryRange.beginMicros").map(_.toLong)
-    val end = conf.getOption("spark.graft.queryRange.endMicros").map(_.toLong)
+    // thread-local range (per-query, set by Graft.query) wins; session
+    // conf remains as a static configuration channel
+    val (tlBegin, tlEnd) = QueryRange.get
+    val begin = tlBegin.orElse(conf.getOption("spark.graft.queryRange.beginMicros").map(_.toLong))
+    val end = tlEnd.orElse(conf.getOption("spark.graft.queryRange.endMicros").map(_.toLong))
     if (begin.isEmpty && end.isEmpty) return plan
     val colName = conf.getOption("spark.graft.queryRange.column").getOrElse("ts")
     // Unit of a LongType time column. Not every Long named `ts` is epoch

@@ -234,21 +234,19 @@ object CoreSqlExt3 {
     }, Some("""
       WITH l AS (
         SELECT user_id, event_id, epoch_ms(ts) AS t, 1 AS side, event_id AS seq,
-          CAST(NULL AS DOUBLE) AS v, CAST(NULL AS BIGINT) AS mid
+          CAST(NULL AS STRUCT(v DOUBLE, mid BIGINT)) AS r
         FROM events WHERE event_type = 'error'),
       r AS (
         SELECT user_id, CAST(NULL AS BIGINT) AS event_id, epoch_ms(ts) AS t, 0 AS side,
-          event_id AS seq, value AS v, event_id AS mid
+          event_id AS seq, {'v': value, 'mid': event_id} AS r
         FROM events WHERE event_type = 'purchase'),
       u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
       c AS (
         SELECT user_id, event_id, t, side,
-          last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, side, seq
-            ROWS UNBOUNDED PRECEDING) AS v,
-          last_value(mid IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, side, seq
-            ROWS UNBOUNDED PRECEDING) AS mid
+          last_value(r IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, side, seq
+            ROWS UNBOUNDED PRECEDING) AS m
         FROM u)
-      SELECT user_id, event_id, t AS t_ms, round(v, 2) AS last_purchase, mid AS purchase_id
+      SELECT user_id, event_id, t AS t_ms, round(m.v, 2) AS last_purchase, m.mid AS purchase_id
       FROM c WHERE side = 1
       ORDER BY user_id, t_ms, event_id""")),
 

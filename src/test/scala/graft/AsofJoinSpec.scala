@@ -36,6 +36,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(3) === ((20L, None, None)))             // key never has right rows
   }
 
+  test("a matched right row with a null field doesn't stitch fields from older rows") {
+    val r2 = Seq(
+      (1L, 90L, 100L, Some(5.0)),
+      (1L, 91L, 200L, Option.empty[Double]) // newer matched row, null value
+    ).toDF("k", "rid", "rt", "v")
+    val out = AsofJoin.asofBackward(
+        left.where($"lid" === 12L), r2, "k", col("lt"), col("rt"),
+        Seq("v", "rid"), col("lid"), col("rid"))
+      .head()
+    // true match at t=250 is rid=91 whose v is null — v must be null,
+    // NOT 5.0 from the older rid=90 row
+    assert(out.getAs[java.lang.Long]("rid") === 91L)
+    assert(out.getAs[java.lang.Double]("v") === null)
+  }
+
   test("one shuffle on the key, no join operator in the plan") {
     val plan = AsofJoin.asofBackward(left, right, "k", col("lt"), col("rt"),
       Seq("v"), col("lid"), col("rid")).queryExecution.executedPlan.toString

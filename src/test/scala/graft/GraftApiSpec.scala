@@ -26,27 +26,29 @@ class GraftApiSpec extends SparkSpec {
       "SELECT process_id, count(*) AS n, max(duration_ms) AS mx FROM thread_spans GROUP BY process_id")
     assert(spans.count() > 0)
     // concurrent ranged + unranged queries on the same session: the
-    // unranged one must see ALL rows every time (no range leak)
+    // unranged one must see ALL rows every time (no range leak in) and
+    // the ranged one must see exactly its scoped count every time (no
+    // sibling unset/overwrite stripping or changing the range)
+    val b = Some(micros("2024-01-01T00:00:00Z"))
+    val e = Some(micros("2024-01-15T00:00:00Z"))
     val all = Graft.query(spark, sfDir, "SELECT count(*) FROM events").head().getLong(0)
+    val scoped = Graft.query(spark, sfDir, "SELECT count(*) FROM events", b, e).head().getLong(0)
+    assert(scoped > 0 && scoped < all)
     val threads = (1 to 4).map { i =>
       new Thread {
         var ok = true
         override def run(): Unit = (1 to 5).foreach { _ =>
-          val n =
+          val (n, want) =
             if (i % 2 == 0)
-              Graft.query(spark, sfDir, "SELECT count(*) FROM events").head().getLong(0)
-            else {
-              Graft.query(spark, sfDir, "SELECT count(*) FROM events",
-                Some(micros("2024-01-01T00:00:00Z")), Some(micros("2024-01-15T00:00:00Z")))
-                .head().getLong(0)
-              all // ranged thread only checks it didn't throw
-            }
-          if (n != all) ok = false
+              (Graft.query(spark, sfDir, "SELECT count(*) FROM events").head().getLong(0), all)
+            else
+              (Graft.query(spark, sfDir, "SELECT count(*) FROM events", b, e).head().getLong(0), scoped)
+          if (n != want) ok = false
         }
       }
     }
     threads.foreach(_.start()); threads.foreach(_.join())
-    assert(threads.forall(_.ok), "unranged query observed a sibling's range")
+    assert(threads.forall(_.ok), "a query() observed a sibling's range state")
   }
 
   test("observability SQL: histogram over measures via registered functions") {

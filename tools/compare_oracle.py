@@ -20,8 +20,9 @@ def canon(df):
 def cmp_cell(a, b):
     if a is None and b is None: return True
     if isinstance(a, float) and isinstance(b, float):
-        # bitwise, like a hash over the serialized values would be:
-        # distinguishes -0.0 from 0.0, equates NaN with NaN
+        # NaN payloads differ across engines but hash canonically; all
+        # other values compare bitwise (distinguishes -0.0 from 0.0)
+        if math.isnan(a) and math.isnan(b): return True
         import struct
         return struct.pack("<d", a) == struct.pack("<d", b)
     return a == b
