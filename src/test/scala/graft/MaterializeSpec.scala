@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Materialize
+import org.apache.spark.sql.functions._
+
+class MaterializeSpec extends SparkSpec {
+
+  // schema: time_bin_ms, process_id, level, target, count
+  private def statsSource = new Lakehouse(spark, sfDir).logStats
+
+  private def listParquet(dir: String): Map[String, Long] = {
+    val base = java.nio.file.Paths.get(dir)
+    val out = scala.collection.mutable.Map[String, Long]()
+    java.nio.file.Files.walk(base).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        out(base.relativize(p).toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis
+    }
+    out.toMap
+  }
+
+  test("incremental day update matches full recompute and leaves closed days untouched") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mat").toString + "/log_stats"
+    val full = statsSource
+    val cut = full.agg(expr("percentile_approx(time_bin_ms, 0.5)")).head().getLong(0)
+
+    // day 0..mid: initial materialization
+    val first = Materialize.updateByDay(spark, full.where(col("time_bin_ms") < cut), out)
+    assert(first.daysRecomputed > 2 && first.rowsWritten > 0)
+    val before = listParquet(out)
+
+    // source grows: second update recomputes only the open day onward
+    val second = Materialize.updateByDay(spark, full, out)
+    assert(second.daysRecomputed < first.daysRecomputed + 20) // sanity: bounded work
+    val after = listParquet(out)
+
+    // closed days: every pre-existing file except the open-day partition
+    // survives bit-for-bit untouched (same path, same mtime)
+    val openDayDir = before.keys.map(_.split("/")(0)).toSeq.sorted.last
+    val closed = before.filterNot(_._1.startsWith(openDayDir))
+    assert(closed.nonEmpty)
+    closed.foreach { case (f, mtime) =>
+      assert(after.get(f).contains(mtime), s"closed-partition file $f was rewritten")
+    }
+
+    // correctness: lake content equals a from-scratch recompute
+    val lake = spark.read.parquet(out)
+      .select("time_bin_ms", "process_id", "level", "target", "count")
+    val fresh = full.select("time_bin_ms", "process_id", "level", "target", "count")
+    assert(lake.exceptAll(fresh).isEmpty && fresh.exceptAll(lake).isEmpty)
+
+    // idempotency: a third update with the same source changes nothing
+    val third = Materialize.updateByDay(spark, full, out)
+    val lake2 = spark.read.parquet(out)
+      .select("time_bin_ms", "process_id", "level", "target", "count")
+    assert(lake2.exceptAll(fresh).isEmpty && fresh.exceptAll(lake2).isEmpty)
+    assert(third.daysRecomputed <= second.daysRecomputed)
+  }
+}
