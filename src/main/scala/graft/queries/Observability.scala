@@ -133,6 +133,41 @@ object Observability {
       SELECT event_type, ratio, round(COALESCE(q, 500.0), 4) AS q
       FROM est ORDER BY event_type, ratio"""), headline = true),
 
+    GraftQuery("m_histo_timeseries", (s, dir) => {
+      // the reference's flagship dashboard shape: p95-over-time from
+      // per-hour histogram sketches (one partial-agg pass; at scale the
+      // sketches come straight from materialized minute partitions via
+      // sum_histograms instead of raw events)
+      GraftFunctions.register(s)
+      events(s, dir)
+        .groupBy(epochMs(date_trunc("hour", col("ts"))).as("hour_ms"))
+        .agg(Histograms.makeHistogram(HStart, HEnd, HBins, col("value")).as("h"))
+        .select(col("hour_ms"),
+          round(Histograms.quantileFromHistogram(col("h"), 0.95), 4).as("p95"),
+          Histograms.countFromHistogram(col("h")).as("n"))
+        .orderBy("hour_ms")
+    }, Some("""
+      WITH c AS (
+        SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+          LEAST(GREATEST(CAST(FLOOR(value/10.0) AS BIGINT), 0), 49) AS bin_idx,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      cum AS (
+        SELECT hour_ms, bin_idx, CAST(cnt AS DOUBLE) AS cnt,
+          CAST(SUM(cnt) OVER (PARTITION BY hour_ms ORDER BY bin_idx) AS DOUBLE) AS cum,
+          CAST(SUM(cnt) OVER (PARTITION BY hour_ms) AS DOUBLE) AS total
+        FROM c),
+      est AS (
+        SELECT hour_ms,
+          min_by(
+            (1.0 - ((total*0.95 - (cum-cnt))/cnt)) * (0.0 + bin_idx*10.0)
+            + ((total*0.95 - (cum-cnt))/cnt) * (0.0 + (bin_idx+1)*10.0),
+            bin_idx) FILTER (WHERE cum >= total*0.95 AND cnt > 0) AS q,
+          CAST(any_value(total) AS BIGINT) AS n
+        FROM cum GROUP BY hour_ms)
+      SELECT hour_ms, round(COALESCE(q, 500.0), 4) AS p95, n
+      FROM est ORDER BY hour_ms""")),
+
     GraftQuery("m_histo_stats", (s, dir) => {
       histoPerType(s, dir)
         .select(col("event_type"),
