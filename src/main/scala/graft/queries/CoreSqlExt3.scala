@@ -216,6 +216,25 @@ object CoreSqlExt3 {
       ORDER BY total_qty DESC, o_orderkey
       LIMIT 50""")),
 
+    GraftQuery("q_skew_join", (s, dir) => {
+      // salted fact-fact join (operators.Skew): hot order keys spread
+      // over 8 salt partitions; result must equal the plain join, which
+      // is exactly what the oracle computes
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew
+        .saltedJoin(l, o, "l_orderkey", col("l_partkey") * lit(7L) + col("l_linenumber"), 8)
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY o_orderpriority""")),
+
     GraftQuery("m_asof_join", (s, dir) => {
       // backward as-of join: for each error event, the latest purchase
       // value at-or-before it for that user (ASOF JOIN semantics via

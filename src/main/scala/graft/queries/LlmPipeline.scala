@@ -3,6 +3,7 @@ package graft.queries
 import graft.{GraftQuery, Tables}
 import graft.operators.{Ann, Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.{round => round} // DuckDB-compatible rounding (see package.scala)
 
@@ -338,6 +339,65 @@ object LlmPipeline {
         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
         CAST(length(text) AS BIGINT) AS n_chars
       FROM documents ORDER BY doc_id""")),
+
+    GraftQuery("l_curation_pipeline", (s, dir) => {
+      // end-to-end training-data curation: language gate + quality gate
+      // + exact-dedup keeper election + running token budget — the
+      // composite the individual L-operators exist to serve. One
+      // groupBy (dedup) and one window (budget) shuffle; every gate is
+      // a pushdown-friendly scalar predicate.
+      val d = docs(s, dir)
+      val scored = d.select(col("doc_id"), col("lang"),
+          TextAnalysis.langIdHeuristic(col("text")).as("pred_lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          md5(col("text")).as("h"))
+      val keepers = scored.groupBy("h").agg(min("doc_id").as("keeper"))
+      val curated = scored.join(keepers, scored("h") === keepers("h"))
+        .where(col("doc_id") === col("keeper") &&
+          col("pred_lang") === "en" && col("quality") >= 0.3)
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+      // running budget = distributed prefix sum (range partition +
+      // local window + offsets) — a bare global-order window would
+      // collapse everything into one task at scale
+      graft.operators.Prefix
+        .runningSum(curated, Seq(col("quality").desc, col("doc_id")), col("n_tokens"), "cum_tokens")
+        .where(col("cum_tokens") <= 20000L)
+        .orderBy(col("quality").desc, col("doc_id"))
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t, md5(text) AS h,
+          CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+            / GREATEST(length(text), 1) AS punct_ratio,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+              x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+            / GREATEST(len(string_split_regex(trim(text), '\s+')), 1) AS stop_ratio,
+          len(list_filter(string_split_regex(trim(text), '\s+'), x -> list_contains(['the','a','of','and'], x))) AS en,
+          len(list_filter(string_split_regex(trim(text), '\s+'), x -> list_contains(['el','la','de','que'], x))) AS es,
+          len(list_filter(string_split_regex(trim(text), '\s+'), x -> list_contains(['der','die','das','und'], x))) AS de
+        FROM documents),
+      scored AS (
+        SELECT doc_id, h,
+          CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+               WHEN es >= de AND es > 0 THEN 'es'
+               WHEN de > 0 THEN 'de' ELSE 'unk' END AS pred_lang,
+          round(0.5 * stop_ratio + 0.3 * (1.0 - punct_ratio)
+                + 0.2 * LEAST(CAST(len(t) AS DOUBLE) / 200.0, 1.0), 4) AS quality,
+          CAST(len(t) AS BIGINT) AS n_tokens
+        FROM f),
+      keepers AS (SELECT h, min(doc_id) AS keeper FROM scored GROUP BY h),
+      curated AS (
+        SELECT s.doc_id, s.quality, s.n_tokens
+        FROM scored s JOIN keepers k ON s.h = k.h
+        WHERE s.doc_id = k.keeper AND s.pred_lang = 'en' AND s.quality >= 0.3),
+      budget AS (
+        SELECT doc_id, quality, n_tokens,
+          SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM curated)
+      SELECT doc_id, quality, n_tokens, cum_tokens
+      FROM budget WHERE cum_tokens <= 20000
+      ORDER BY quality DESC, doc_id""")),
 
     GraftQuery("l_fingerprint", (s, dir) => {
       docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
