@@ -216,6 +216,110 @@ object CoreSqlExt3 {
       ORDER BY total_qty DESC, o_orderkey
       LIMIT 50""")),
 
+    GraftQuery("q6_forecast", (s, dir) => {
+      // Q6 shape: pure predicate scan + single agg — no join, no group;
+      // all three filters must reach the parquet reader
+      val l = t(s, dir, "lineitem")
+      l.where(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }, Some("""
+      SELECT round(sum(l_extendedprice*l_discount),2) AS revenue,
+        CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    GraftQuery("q14_promo_share", (s, dir) => {
+      // Q14 shape: conditional-revenue ratio over a month of shipments
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= "1996-03-01" && col("l_shipdate") < "1996-04-01")
+      val p = t(s, dir, "part")
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) / sum(rev), 4)
+          .as("promo_share"))
+    }, Some("""
+      SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+          THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END)
+        / sum(l_extendedprice*(1.0-l_discount)), 4) AS promo_share
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'""")),
+
+    GraftQuery("q17_small_qty", (s, dir) => {
+      // Q17 shape: per-part correlated average threshold — revenue from
+      // lines under 50% of their part's average quantity
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").where(col("p_brand") === "Brand#1")
+      val avgQ = l.groupBy(col("l_partkey").as("a_partkey"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(avgQ, col("l_partkey") === col("a_partkey"))
+        .where(col("l_quantity") < col("avg_qty") * 0.5)
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }, Some("""
+      WITH a AS (SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
+                 FROM lineitem GROUP BY 1)
+      SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN a ON l_partkey = a_partkey
+      WHERE p_brand = 'Brand#1' AND l_quantity < avg_qty * 0.5""")),
+
+    GraftQuery("q19_disjunctive", (s, dir) => {
+      // Q19 shape: OR-of-ANDs predicate across the join — the planner
+      // must still push the common join key and prune columns
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val cond =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) && col("l_quantity").between(20, 30))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .where(cond)
+        .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n_items"))
+    }, Some("""
+      SELECT round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""")),
+
+    GraftQuery("q21_waiting_supplier", (s, dir) => {
+      // Q21 shape: double-correlated EXISTS / NOT EXISTS — suppliers on
+      // multi-supplier orders (exists another supplier's line) where no
+      // other supplier's line was returned (not exists r='R')
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      val l1 = l.select(col("l_orderkey").as("o1"), col("l_suppkey").as("s1"))
+      val l2 = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")).distinct()
+      val l3 = l.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3")).distinct()
+      val exists2 = l1.join(l2, col("o1") === col("o2") && col("s1") =!= col("s2"), "left_semi")
+      val notExists3 = exists2.join(l3, col("o1") === col("o3") && col("s1") =!= col("s3"), "left_anti")
+      notExists3.join(broadcast(su), col("s1") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }, Some("""
+      SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      WHERE EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 20""")),
+
     GraftQuery("q_skew_join", (s, dir) => {
       // salted fact-fact join (operators.Skew): hot order keys spread
       // over 8 salt partitions; result must equal the plain join, which
