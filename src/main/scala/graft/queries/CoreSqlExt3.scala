@@ -297,10 +297,12 @@ object CoreSqlExt3 {
       // other supplier's line was returned (not exists r='R')
       val l = t(s, dir, "lineitem")
       val su = t(s, dir, "supplier")
+      // no distinct on the right sides: semi/anti joins are already
+      // duplicate-insensitive, a distinct would only add a shuffle
       val l1 = l.select(col("l_orderkey").as("o1"), col("l_suppkey").as("s1"))
-      val l2 = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")).distinct()
+      val l2 = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
       val l3 = l.where(col("l_returnflag") === "R")
-        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3")).distinct()
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
       val exists2 = l1.join(l2, col("o1") === col("o2") && col("s1") =!= col("s2"), "left_semi")
       val notExists3 = exists2.join(l3, col("o1") === col("o3") && col("s1") =!= col("s3"), "left_anti")
       notExists3.join(broadcast(su), col("s1") === col("s_suppkey"))
