@@ -22,15 +22,29 @@ object Graft {
     lk.threadSpans.createOrReplaceTempView("thread_spans")
   }
 
-  // (session, dir) pairs whose views are already registered — avoids
-  // re-reading parquet metadata for ~13 views on every query()
-  private val viewsReady = new java.util.HashSet[(Int, String)]()
+  // session → dir whose views are currently registered. Weak keys so a
+  // dead session's entry can't be inherited by a new session reusing
+  // its address (an identityHashCode key would allow exactly that),
+  // and so the map can't grow past live sessions. A dir CHANGE on the
+  // same session re-registers — the temp views are session-global, so
+  // serving dirA results from a dirB registration would be silent
+  // corruption. Registration itself runs outside the lock: it is
+  // idempotent (createOrReplaceTempView), and ranges travel via
+  // thread-locals so a sibling's range can't poison it.
+  private val viewsReady = new java.util.WeakHashMap[SparkSession, String]()
 
-  private def ensureViews(spark: SparkSession, dir: String): Unit = viewsReady.synchronized {
-    val k = (System.identityHashCode(spark), dir)
-    if (!viewsReady.contains(k)) {
+  /** Force re-registration on next query() — call after external
+    * writers add files beneath `dir` (the memoized temp views hold the
+    * file listing from registration time).
+    */
+  def refreshViews(spark: SparkSession): Unit =
+    viewsReady.synchronized { viewsReady.remove(spark) }
+
+  private def ensureViews(spark: SparkSession, dir: String): Unit = {
+    val ok = viewsReady.synchronized { viewsReady.get(spark) == dir }
+    if (!ok) {
       registerViews(spark, dir)
-      viewsReady.add(k)
+      viewsReady.synchronized { viewsReady.put(spark, dir) }
     }
   }
 

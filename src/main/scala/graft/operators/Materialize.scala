@@ -27,31 +27,40 @@ object Materialize {
 
   final case class UpdateStats(daysRecomputed: Long, rowsWritten: Long)
 
+  /** The lake's newest `date=` partition, from DIRECTORY NAMES alone —
+    * no file listing inside partitions, no parquet footer reads, so
+    * open-day detection is O(days), not O(history). Hadoop FS API, so
+    * file:/hdfs://s3a:// lakes all work (a java.io.File check would
+    * silently report non-local lakes as absent and degrade every
+    * update to a full rewrite).
+    */
+  private def openDay(spark: SparkSession, outDir: String): Option[String] = {
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .map(_.getPath.getName.stripPrefix("date="))
+      .sorted.lastOption // ISO dates: lexicographic == chronological
+  }
+
   /** Incrementally materialize `stats` (any frame with an epoch-ms
     * `time_bin_ms` column) into `outDir`, partitioned by derived
     * `date`. Returns what was recomputed.
     */
   def updateByDay(spark: SparkSession, stats: DataFrame, outDir: String): UpdateStats = {
     val withDate = stats.withColumn("date", to_date(timestamp_millis(col("time_bin_ms"))))
-    val openDay: Option[java.sql.Date] =
-      if (new java.io.File(outDir).exists())
-        spark.read.parquet(outDir).agg(max("date")).head().getAs[java.sql.Date](0) match {
-          case null => None
-          case d => Some(d)
-        }
-      else None
-    val fresh = openDay match {
-      case Some(d) => withDate.where(col("date") >= lit(d))
+    val fresh = (openDay(spark, outDir) match {
+      case Some(d) => withDate.where(col("date") >= to_date(lit(d)))
       case None => withDate
-    }
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try fresh.write.mode("overwrite").partitionBy("date").parquet(outDir)
-    finally prevMode match {
-      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    val agg = fresh.agg(countDistinct("date"), count(lit(1))).head()
-    UpdateStats(agg.getLong(0), agg.getLong(1))
+    }).persist() // written AND counted below — never recompute the source agg twice
+    try {
+      // per-write option, not session conf: a conf toggle would race
+      // concurrent writers on the same session
+      fresh.write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy("date").parquet(outDir)
+      val agg = fresh.agg(countDistinct("date"), count(lit(1))).head()
+      UpdateStats(agg.getLong(0), agg.getLong(1))
+    } finally fresh.unpersist()
   }
 }

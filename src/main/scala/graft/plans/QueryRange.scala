@@ -18,15 +18,22 @@ package graft.plans
   * session state.
   */
 object QueryRange {
-  private val tl = new ThreadLocal[(Option[Long], Option[Long])] {
-    override def initialValue: (Option[Long], Option[Long]) = (None, None)
+  private val tl = new ThreadLocal[Option[(Option[Long], Option[Long])]] {
+    override def initialValue: Option[(Option[Long], Option[Long])] = None
   }
 
+  /** Declare this thread's per-query range. Tri-state matters:
+    * set(None, None) means "this query is EXPLICITLY unranged" — the
+    * rule must not fall back to a static conf range for it — while an
+    * absent thread-local (no query() in flight) lets the conf apply.
+    */
   def set(beginMicros: Option[Long], endMicros: Option[Long]): Unit =
-    tl.set((beginMicros, endMicros))
+    tl.set(Some((beginMicros, endMicros)))
 
   def clear(): Unit = tl.remove()
 
-  /** (beginMicros, endMicros) for the current thread; (None, None) when unset. */
-  def get: (Option[Long], Option[Long]) = tl.get()
+  /** Some((begin, end)) while a query() is in flight on this thread;
+    * None otherwise.
+    */
+  def get: Option[(Option[Long], Option[Long])] = tl.get()
 }

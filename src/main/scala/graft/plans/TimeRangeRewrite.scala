@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Expression, GreaterThanOrEqual, LessThan, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Analyzer rule mirroring the reference's TableScanRewrite
@@ -22,23 +23,43 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * Injected as a resolution rule (GraftExtensions) so the normal
   * optimizer batches push the added Filter into the source afterwards.
   *
-  * Idempotency is structural, not stateful: a scan already sitting
-  * directly under a Filter whose condition semantically contains the
-  * range conjunct is left alone. (A mutable TreeNodeTag guard would be
-  * one-shot per shared plan instance — a self-join expanding the same
-  * view twice, or a re-analyzed cached plan, would silently lose the
-  * range on later encounters.)
+  * Idempotency is two-layered. A tag on each Filter THIS RULE creates
+  * marks it final — later re-analyses (derived Datasets re-run the
+  * analyzer, possibly under a different live range) must not stack a
+  * second, conflicting range on top. (Tagging the scan LEAF would be
+  * wrong — a self-join shares one leaf instance across both sides and
+  * would lose its second wrap; each side gets its own injected Filter,
+  * so tagging those is safe.) The structural check — scan directly
+  * under a Filter semantically containing the range conjuncts — backs
+  * the tag up for plan copies that drop tags.
   */
 case class TimeRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val conf = spark.conf
-    // thread-local range (per-query, set by Graft.query) wins; session
-    // conf remains as a static configuration channel
-    val (tlBegin, tlEnd) = QueryRange.get
-    val begin = tlBegin.orElse(conf.getOption("spark.graft.queryRange.beginMicros").map(_.toLong))
-    val end = tlEnd.orElse(conf.getOption("spark.graft.queryRange.endMicros").map(_.toLong))
-    if (begin.isEmpty && end.isEmpty) return plan
+    // A thread-local range (per-query, set by Graft.query) is
+    // AUTHORITATIVE while present — including the explicit
+    // "unranged query" state, which must not inherit a static conf
+    // range. The conf channel only applies when no query() is in
+    // flight on this thread. Mixing bounds from the two channels is
+    // never allowed.
+    val (begin, end) = QueryRange.get match {
+      case Some((b, e)) => (b, e)
+      case None => (
+        conf.getOption("spark.graft.queryRange.beginMicros").map(_.toLong),
+        conf.getOption("spark.graft.queryRange.endMicros").map(_.toLong))
+    }
+    // An EXPLICITLY unranged query() must stay unranged even when its
+    // derived Datasets are re-analyzed later under a live static conf
+    // range. The decision is recorded as a tagged no-op Filter(true)
+    // above each time leaf — it must live in THIS query's plan
+    // instance, never as a tag on the leaf itself: temp views share one
+    // leaf object across queries, so a leaf tag set by an unranged
+    // query would silently unscope every later ranged query on the
+    // same view. The optimizer strips the trivial filter after
+    // analysis, so it costs nothing at execution.
+    val explicitNoRange = QueryRange.get.isDefined && begin.isEmpty && end.isEmpty
+    if (begin.isEmpty && end.isEmpty && !explicitNoRange) return plan
     val colName = conf.getOption("spark.graft.queryRange.column").getOrElse("ts")
     // Unit of a LongType time column. Not every Long named `ts` is epoch
     // nanos, so scaling is gated: explicit conf wins; otherwise nanos is
@@ -79,10 +100,22 @@ case class TimeRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     def inject(p: LogicalPlan): LogicalPlan = p match {
+      // A filter WE injected is final, whatever range is live now: a
+      // derived Dataset (head's limit, count's agg) re-runs the
+      // analyzer later, possibly under a different live range (e.g. a
+      // static conf range after the per-query thread-local cleared) —
+      // re-wrapping would intersect the two ranges and silently return
+      // the wrong window. The semantic check stays as well, for plan
+      // copies that drop tags.
       case f @ Filter(cond, leaf: LeafNode)
-          if timeAttr(leaf, colName).exists(a => alreadyScoped(cond, a)) => f
+          if f.getTagValue(TimeRangeRewrite.InjectedTag).isDefined ||
+            (!explicitNoRange && timeAttr(leaf, colName).exists(a => alreadyScoped(cond, a))) => f
       case leaf: LeafNode if timeAttr(leaf, colName).isDefined =>
-        Filter(condFor(timeAttr(leaf, colName).get), leaf)
+        val fl =
+          if (explicitNoRange) Filter(Literal.TrueLiteral, leaf)
+          else Filter(condFor(timeAttr(leaf, colName).get), leaf)
+        fl.setTagValue(TimeRangeRewrite.InjectedTag, true)
+        fl
       case other => other.mapChildren(inject)
     }
     inject(plan)
@@ -92,4 +125,10 @@ case class TimeRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     leaf.output.find(a => a.name == name &&
       (a.dataType == TimestampType || a.dataType == TimestampNTZType ||
         a.dataType == LongType))
+}
+
+object TimeRangeRewrite {
+  /** Marks Filters injected by this rule as final across re-analyses. */
+  val InjectedTag: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.queryRange.injected")
+
 }

@@ -37,18 +37,44 @@ class GraftApiSpec extends SparkSpec {
     val threads = (1 to 4).map { i =>
       new Thread {
         var ok = true
-        override def run(): Unit = (1 to 5).foreach { _ =>
-          val (n, want) =
-            if (i % 2 == 0)
-              (Graft.query(spark, sfDir, "SELECT count(*) FROM events").head().getLong(0), all)
-            else
-              (Graft.query(spark, sfDir, "SELECT count(*) FROM events", b, e).head().getLong(0), scoped)
-          if (n != want) ok = false
-        }
+        override def run(): Unit =
+          // an exception is as much a race symptom as a wrong count —
+          // it must fail the test, not die silently with ok still true
+          try (1 to 5).foreach { _ =>
+            val (n, want) =
+              if (i % 2 == 0)
+                (Graft.query(spark, sfDir, "SELECT count(*) FROM events").head().getLong(0), all)
+              else
+                (Graft.query(spark, sfDir, "SELECT count(*) FROM events", b, e).head().getLong(0), scoped)
+            if (n != want) ok = false
+          } catch { case _: Throwable => ok = false }
       }
     }
     threads.foreach(_.start()); threads.foreach(_.join())
     assert(threads.forall(_.ok), "a query() observed a sibling's range state")
+  }
+
+  test("per-query range is authoritative over a static conf range, and doesn't stack on re-analysis") {
+    val all = Graft.query(spark, sfDir, "SELECT count(*) FROM events").head().getLong(0)
+    val b = Some(micros("2024-01-01T00:00:00Z"))
+    val e = Some(micros("2024-01-15T00:00:00Z"))
+    val scoped = Graft.query(spark, sfDir, "SELECT count(*) FROM events", b, e).head().getLong(0)
+    // static conf range = a DIFFERENT, non-overlapping window
+    spark.conf.set("spark.graft.queryRange.beginMicros", micros("2024-03-01T00:00:00Z").toString)
+    spark.conf.set("spark.graft.queryRange.endMicros", micros("2024-03-15T00:00:00Z").toString)
+    try {
+      // head() triggers re-analysis AFTER the thread-local cleared, with
+      // the conf range live — the injected filter must stay authoritative
+      // (stacking would intersect disjoint windows → 0 rows)
+      val n = Graft.query(spark, sfDir, "SELECT count(*) FROM events", b, e).head().getLong(0)
+      assert(n === scoped, s"per-query range result changed under a static conf range: $n vs $scoped")
+      // an explicitly unranged query() must NOT inherit the conf range
+      val n2 = Graft.query(spark, sfDir, "SELECT count(*) FROM events").head().getLong(0)
+      assert(n2 === all, s"unranged query() inherited the static conf range: $n2 vs $all")
+    } finally {
+      spark.conf.unset("spark.graft.queryRange.beginMicros")
+      spark.conf.unset("spark.graft.queryRange.endMicros")
+    }
   }
 
   test("observability SQL: histogram over measures via registered functions") {
