@@ -216,6 +216,31 @@ object CoreSqlExt3 {
       ORDER BY total_qty DESC, o_orderkey
       LIMIT 50""")),
 
+    GraftQuery("q_window_frames", (s, dir) => {
+      // sliding/expanding frame semantics: ROWS moving average,
+      // RANGE running sum over a value window, and frame-bounded
+      // min/max — the frame-clause surface beyond q_window_funcs
+      val e = t(s, dir, "events").where(col("user_id") < 10)
+      val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val rows5 = byTime.rowsBetween(-4, 0)
+      val rng = Window.partitionBy("user_id").orderBy(col("value"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      e.select(col("user_id"), col("event_id"),
+          round(avg("value").over(rows5), 4).as("ma5"),
+          round(min("value").over(rows5), 2).as("min5"),
+          round(sum("value").over(rng), 2).as("running_by_value"))
+        .orderBy("user_id", "event_id")
+    }, Some("""
+      SELECT user_id, event_id,
+        round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS ma5,
+        round(min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS min5,
+        round(sum(value) OVER (PARTITION BY user_id ORDER BY value
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_by_value
+      FROM events WHERE user_id < 10
+      ORDER BY user_id, event_id""")),
+
     GraftQuery("q6_forecast", (s, dir) => {
       // Q6 shape: pure predicate scan + single agg — no join, no group;
       // all three filters must reach the parquet reader
