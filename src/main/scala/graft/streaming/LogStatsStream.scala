@@ -35,6 +35,20 @@ object LogStatsStream {
       .groupBy(date_trunc("hour", col("time_bin")).as("time_bin"), col("level"))
       .agg(sum("count").as("count"))
 
+  /** Streaming exact-dedup for a document ingest: drop payloads whose
+    * content hash was already seen, with state bounded by the event-time
+    * watermark (a bare dropDuplicates would grow state forever at
+    * 100 TB). Duplicates arriving within the watermark window are
+    * suppressed; a re-ingest after the watermark passes is treated as
+    * new — the same closed-partition semantics as the batch dedup +
+    * incremental materialization pair.
+    */
+  def dedupStream(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("h", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("h")
+
   /** Streaming measures → per-minute histogram sketches. The histogram
     * UDAF is a TypedImperativeAggregate, i.e. a mergeable sketch:
     * partial histograms are built map-side per micro-batch and merged

@@ -7,6 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class StreamDoc(ts: Timestamp, doc_id: Long, text: String)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -80,6 +81,25 @@ class StreamingSpec extends SparkSpec {
       assert(h.getAs[Long]("count") === 3L)
       assert(h.getAs[Double]("sum") === 13.0)
       assert(h.getAs[Seq[Long]]("bins").sum === 3L)
+    } finally q.stop()
+  }
+
+  test("streaming dedup suppresses same-hash docs across micro-batches, state watermark-bounded") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val q = LogStatsStream.dedupStream(mem.toDF(), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      mem.addData(
+        StreamDoc(t(0, 10), 1L, "the quick brown fox"),
+        StreamDoc(t(0, 20), 2L, "the quick brown fox"), // same batch dup
+        StreamDoc(t(0, 30), 3L, "something else"))
+      q.processAllAvailable()
+      mem.addData(StreamDoc(t(1, 0), 4L, "the quick brown fox")) // cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(3L))
+      assert((ids & Set(1L, 2L, 4L)).size === 1, s"exactly one copy must survive, got $ids")
     } finally q.stop()
   }
 
