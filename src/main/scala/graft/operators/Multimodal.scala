@@ -64,6 +64,48 @@ object Multimodal {
     }(enc)
   }
 
+  val audioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_channels", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("checksum", StringType, nullable = false)))
+
+  /** STUB audio decoder: deterministic fake stream parameters from the
+    * payload bytes (sample rate from the first byte, channel count
+    * from the last, duration from byte length at the fake rate). Swap
+    * for a real codec; integer-only arithmetic keeps it replayable by
+    * the cross-engine oracle.
+    */
+  def decodeAudioStub(bytes: Array[Byte]): (Int, Int, Long) = {
+    if (bytes == null || bytes.isEmpty) (0, 0, 0L)
+    else {
+      val rate = 8000 + ((bytes(0) & 0x7f) % 8) * 1000
+      val channels = ((bytes(bytes.length - 1) & 0x7f) % 2) + 1
+      val durMs = bytes.length.toLong * 8000L / (rate * channels)
+      (rate, channels, durMs)
+    }
+  }
+
+  /** Partition-local batched audio decode — same mapPartitions shape as
+    * [[decode]], audio-typed output.
+    */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioSchema)
+    media.select("media_id", "media").mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        val (rate, channels, durMs) = decodeAudioStub(bytes)
+        md.reset()
+        val sum = md.digest(bytes).map("%02x".format(_)).mkString
+        Row(id, bytes.length.toLong, rate, channels, durMs, sum)
+      }
+    }(enc)
+  }
+
   /** Frame sampling: n evenly spaced fixed-size byte windows from each
     * payload, first window at offset 0 and last ending at the payload
     * tail — pure column ops (codegen'd), no decode needed.

@@ -44,6 +44,30 @@ object LlmPipelineExt {
         md5(text) AS checksum
       FROM documents ORDER BY media_id""")),
 
+    GraftQuery("l_multimodal_audio", (s, dir) => {
+      // audio-shaped decode: same batched mapPartitions plumbing,
+      // stream-parameter metadata; integer-only stub → exact oracle
+      val media = Multimodal.asMediaTable(docs(s, dir), "doc_id", col("text"), "audio/fake")
+      Multimodal.decodeAudio(media).orderBy("media_id")
+    }, Some("""
+      WITH b AS (
+        SELECT doc_id AS media_id,
+          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+          ascii(substring(text, 1, 1)) % 128 AS first_b,
+          ascii(substring(text, length(text), 1)) % 128 AS last_b,
+          md5(text) AS checksum
+        FROM documents),
+      p AS (
+        SELECT media_id, n_bytes,
+          CAST(8000 + (first_b % 8) * 1000 AS INTEGER) AS sample_rate,
+          CAST((last_b % 2) + 1 AS INTEGER) AS n_channels,
+          checksum
+        FROM b)
+      SELECT media_id, n_bytes, sample_rate, n_channels,
+        n_bytes * 8000 // (sample_rate * n_channels) AS duration_ms,
+        checksum
+      FROM p ORDER BY media_id""")),
+
     GraftQuery("l_multimodal_frames", (s, dir) => {
       // frame sampling: 4 windows of 16 bytes; oracle on frame md5s
       val media = Multimodal.asMediaTable(docs(s, dir), "doc_id", col("text"), "video/fake")
