@@ -40,13 +40,19 @@ object Graft {
   def refreshViews(spark: SparkSession): Unit =
     viewsReady.synchronized { viewsReady.remove(spark) }
 
-  private def ensureViews(spark: SparkSession, dir: String): Unit = {
-    val ok = viewsReady.synchronized { viewsReady.get(spark) == dir }
-    if (!ok) {
-      registerViews(spark, dir)
-      viewsReady.synchronized { viewsReady.put(spark, dir) }
+  private def ensureViews(spark: SparkSession, dir: String): Unit =
+    // per-session monitor: the session's temp-view namespace is the
+    // resource being mutated, so same-session registrations (possibly
+    // for DIFFERENT dirs — interleaving those would leave a mixed-lake
+    // registration recorded as one dir) serialize, while unrelated
+    // sessions never contend
+    spark.synchronized {
+      val ok = viewsReady.synchronized { viewsReady.get(spark) == dir }
+      if (!ok) {
+        registerViews(spark, dir)
+        viewsReady.synchronized { viewsReady.put(spark, dir) }
+      }
     }
-  }
 
   /** client.query(sql, begin, end) analog. Timestamps are epoch
     * microseconds UTC; either bound may be omitted.

@@ -41,6 +41,10 @@ object Materialize {
     else fs.listStatus(path).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
       .map(_.getPath.getName.stripPrefix("date="))
+      // only real ISO dates: a null time_bin would have produced a
+      // date=__HIVE_DEFAULT_PARTITION__ directory that sorts after
+      // every date ('_' > '9') and would poison the filter forever
+      .filter(_.matches("\\d{4}-\\d{2}-\\d{2}"))
       .sorted.lastOption // ISO dates: lexicographic == chronological
   }
 

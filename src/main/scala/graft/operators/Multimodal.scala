@@ -43,26 +43,33 @@ object Multimodal {
     else ((bytes(0) & 0x7f) + 1, (bytes(bytes.length - 1) & 0x7f) + 1)
   }
 
-  /** Partition-local batched decode — the mapInPandas shape. Each
-    * partition's rows stream through one decoder instance; output is a
-    * typed Dataset with `decodedSchema`.
+  /** Shared batched-decode skeleton (the mapInPandas shape): each
+    * partition's rows stream through one decoder/digest instance;
+    * `fields` maps (payload bytes) to the schema's post-(media_id,
+    * n_bytes) fields, checksum appended last.
     */
-  def decode(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
+  private def decodePartitions(media: DataFrame, schema: StructType)(
+      fields: Array[Byte] => Seq[Any]): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(schema)
     media.select("media_id", "media").mapPartitions { rows =>
       // per-partition decoder setup would go here (model load, codec init)
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-        val (w, h) = decodeStub(bytes)
         md.reset()
         val sum = md.digest(bytes).map("%02x".format(_)).mkString
-        Row(id, bytes.length.toLong, w, h, sum)
+        Row.fromSeq(id +: bytes.length.toLong +: (fields(bytes) :+ sum))
       }
     }(enc)
   }
+
+  /** Partition-local batched decode; output has `decodedSchema`. */
+  def decode(media: DataFrame): DataFrame =
+    decodePartitions(media, decodedSchema) { bytes =>
+      val (w, h) = decodeStub(bytes)
+      Seq(w, h)
+    }
 
   val audioSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -88,23 +95,15 @@ object Multimodal {
     }
   }
 
-  /** Partition-local batched audio decode — same mapPartitions shape as
-    * [[decode]], audio-typed output.
-    */
-  def decodeAudio(media: DataFrame): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.row(audioSchema)
-    media.select("media_id", "media").mapPartitions { rows =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      rows.map { r =>
-        val id = r.getLong(0)
-        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-        val (rate, channels, durMs) = decodeAudioStub(bytes)
-        md.reset()
-        val sum = md.digest(bytes).map("%02x".format(_)).mkString
-        Row(id, bytes.length.toLong, rate, channels, durMs, sum)
-      }
-    }(enc)
-  }
+  /** Partition-local batched audio decode; output has `audioSchema`. */
+  def decodeAudio(media: DataFrame): DataFrame =
+    decodePartitions(media, audioSchema) { bytes =>
+      val (rate, channels, durMs) = decodeAudioStub(bytes)
+      // explicit boxing: a mixed Int/Long Seq gets numeric-harmonized
+      // by scalac (weak lub) — the Ints would silently widen to Long
+      // and break the row encoder's INT fields
+      Seq(Int.box(rate), Int.box(channels), Long.box(durMs))
+    }
 
   /** Frame sampling: n evenly spaced fixed-size byte windows from each
     * payload, first window at offset 0 and last ending at the payload

@@ -43,7 +43,8 @@ case class TimeRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // range. The conf channel only applies when no query() is in
     // flight on this thread. Mixing bounds from the two channels is
     // never allowed.
-    val (begin, end) = QueryRange.get match {
+    val tlRange = QueryRange.get
+    val (begin, end) = tlRange match {
       case Some((b, e)) => (b, e)
       case None => (
         conf.getOption("spark.graft.queryRange.beginMicros").map(_.toLong),
@@ -58,7 +59,7 @@ case class TimeRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // query would silently unscope every later ranged query on the
     // same view. The optimizer strips the trivial filter after
     // analysis, so it costs nothing at execution.
-    val explicitNoRange = QueryRange.get.isDefined && begin.isEmpty && end.isEmpty
+    val explicitNoRange = tlRange.isDefined && begin.isEmpty && end.isEmpty
     if (begin.isEmpty && end.isEmpty && !explicitNoRange) return plan
     val colName = conf.getOption("spark.graft.queryRange.column").getOrElse("ts")
     // Unit of a LongType time column. Not every Long named `ts` is epoch

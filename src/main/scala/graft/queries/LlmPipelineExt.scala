@@ -39,8 +39,10 @@ object LlmPipelineExt {
     }, Some("""
       SELECT doc_id AS media_id,
         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        CAST((ascii(substring(text, 1, 1)) % 128) + 1 AS INTEGER) AS width,
-        CAST((ascii(substring(text, length(text), 1)) % 128) + 1 AS INTEGER) AS height,
+        CAST(CASE WHEN length(text) = 0 THEN 0
+          ELSE (ascii(substring(text, 1, 1)) % 128) + 1 END AS INTEGER) AS width,
+        CAST(CASE WHEN length(text) = 0 THEN 0
+          ELSE (ascii(substring(text, length(text), 1)) % 128) + 1 END AS INTEGER) AS height,
         md5(text) AS checksum
       FROM documents ORDER BY media_id""")),
 
@@ -59,12 +61,14 @@ object LlmPipelineExt {
         FROM documents),
       p AS (
         SELECT media_id, n_bytes,
-          CAST(8000 + (first_b % 8) * 1000 AS INTEGER) AS sample_rate,
-          CAST((last_b % 2) + 1 AS INTEGER) AS n_channels,
+          CAST(CASE WHEN n_bytes = 0 THEN 0
+            ELSE 8000 + (first_b % 8) * 1000 END AS INTEGER) AS sample_rate,
+          CAST(CASE WHEN n_bytes = 0 THEN 0 ELSE (last_b % 2) + 1 END AS INTEGER) AS n_channels,
           checksum
         FROM b)
       SELECT media_id, n_bytes, sample_rate, n_channels,
-        n_bytes * 8000 // (sample_rate * n_channels) AS duration_ms,
+        CASE WHEN n_bytes = 0 THEN 0
+          ELSE n_bytes * 8000 // (sample_rate * n_channels) END AS duration_ms,
         checksum
       FROM p ORDER BY media_id""")),
 

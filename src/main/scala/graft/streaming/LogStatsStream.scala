@@ -48,6 +48,7 @@ object LogStatsStream {
       .withColumn("h", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("h")
+      .drop("h") // internal dedup key — output keeps the input schema
 
   /** Streaming measures → per-minute histogram sketches. The histogram
     * UDAF is a TypedImperativeAggregate, i.e. a mergeable sketch:
