@@ -216,6 +216,58 @@ object CoreSqlExt3 {
       ORDER BY total_qty DESC, o_orderkey
       LIMIT 50""")),
 
+    GraftQuery("q_pivot", (s, dir) => {
+      // PIVOT: per-nation order counts/revenue pivoted by order priority
+      // class — Spark's relational pivot; the oracle uses conditional
+      // aggregation (the universal PIVOT lowering)
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val cls = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .otherwise("low")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .pivot(cls, Seq("high", "low"))
+        .agg(count(lit(1)))
+        .select(col("n_name"),
+          coalesce(col("high"), lit(0L)).as("high"),
+          coalesce(col("low"), lit(0L)).as("low"))
+        .orderBy("n_name")
+    }, Some("""
+      SELECT n_name,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high,
+        CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""")),
+
+    GraftQuery("q_grouping_sets", (s, dir) => {
+      // arbitrary GROUPING SETS (beyond rollup/cube) with grouping_id
+      // disambiguating the aggregation level
+      val s2 = s
+      Tables.df(s2, dir, "orders").createOrReplaceTempView("orders_gs")
+      s2.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          grouping_id(o_orderstatus, o_orderpriority) AS gid,
+          CAST(count(*) AS BIGINT) AS n,
+          sum(o_totalprice) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        ORDER BY gid, o_orderstatus, o_orderpriority""")
+        // DuckDB-exact rounding must happen OUTSIDE the SQL string —
+        // `round` inside spark.sql resolves to Spark's builtin
+        .withColumn("total", round(col("total"), 2))
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        CAST(count(*) AS BIGINT) AS n,
+        round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+      ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
     GraftQuery("q_window_frames", (s, dir) => {
       // sliding/expanding frame semantics: ROWS moving average,
       // RANGE running sum over a value window, and frame-bounded
