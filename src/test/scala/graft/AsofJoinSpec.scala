@@ -51,6 +51,32 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.getAs[java.lang.Double]("v") === null)
   }
 
+  test("matches a brute-force reference on randomized inputs (incl. null fields, ties)") {
+    val rnd = new scala.util.Random(42)
+    val leftRows = Seq.tabulate(300)(i =>
+      (rnd.nextInt(6).toLong, i.toLong, rnd.nextInt(50).toLong))
+    val rightRows = Seq.tabulate(200)(i =>
+      (rnd.nextInt(6).toLong, (1000 + i).toLong, rnd.nextInt(50).toLong,
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextDouble())))
+    val l = leftRows.toDF("k", "lid", "lt")
+    val r = rightRows.toDF("k", "rid", "rt", "v")
+    val got = AsofJoin.asofBackward(l, r, "k", col("lt"), col("rt"),
+        Seq("v", "rid"), col("lid"), col("rid"))
+      .collect()
+      .map(row => row.getAs[Long]("lid") ->
+        (Option(row.getAs[java.lang.Double]("v")).map(_.toDouble),
+          Option(row.getAs[java.lang.Long]("rid")).map(_.toLong)))
+      .toMap
+    // brute force: per left row, the max-(rt, rid) right row with rt <= lt
+    leftRows.foreach { case (k, lid, lt) =>
+      val want = rightRows.filter(rr => rr._1 == k && rr._3 <= lt)
+        .sortBy(rr => (rr._3, rr._2)).lastOption
+      assert(got(lid) === ((want.flatMap(_._4), want.map(_._2))),
+        s"lid=$lid k=$k lt=$lt")
+    }
+    assert(got.size === leftRows.size)
+  }
+
   test("one shuffle on the key, no join operator in the plan") {
     val plan = AsofJoin.asofBackward(left, right, "k", col("lt"), col("rt"),
       Seq("v"), col("lid"), col("rid")).queryExecution.executedPlan.toString
