@@ -216,6 +216,51 @@ object CoreSqlExt3 {
       ORDER BY total_qty DESC, o_orderkey
       LIMIT 50""")),
 
+    GraftQuery("q_unpivot", (s, dir) => {
+      // UNPIVOT/melt: wide per-part numeric columns to (part, metric,
+      // value) long form via stack — the inverse of q_pivot
+      t(s, dir, "part").where(col("p_partkey") <= 500)
+        .select(col("p_partkey"),
+          expr("stack(2, 'size', CAST(p_size AS DOUBLE), 'retail', p_retailprice) AS (metric, value)"))
+        .withColumn("value", round(col("value"), 2))
+        .orderBy("p_partkey", "metric")
+    }, Some("""
+      SELECT p_partkey, u.metric, round(u.value, 2) AS value
+      FROM part, LATERAL (VALUES ('size', CAST(p_size AS DOUBLE)),
+                                 ('retail', p_retailprice)) u(metric, value)
+      WHERE p_partkey <= 500
+      ORDER BY p_partkey, metric""")),
+
+    GraftQuery("q_string_agg", (s, dir) => {
+      // ordered string aggregation (listagg) — per-region nation roster
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name")
+    }, Some("""
+      SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        CAST(count(*) AS BIGINT) AS n
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""")),
+
+    GraftQuery("q_median_mode", (s, dir) => {
+      // exact median (interpolated) and modal category per return flag
+      val l = t(s, dir, "lineitem")
+      l.groupBy("l_returnflag")
+        .agg(round(median(col("l_extendedprice")), 3).as("med_price"),
+          round(median(col("l_quantity")), 3).as("med_qty"),
+          mode(col("l_linestatus")).as("mode_status"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+        round(median(l_extendedprice), 3) AS med_price,
+        round(CAST(median(l_quantity) AS DOUBLE), 3) AS med_qty,
+        mode(l_linestatus) AS mode_status
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
     GraftQuery("q_pivot", (s, dir) => {
       // PIVOT: per-nation order counts/revenue pivoted by order priority
       // class — Spark's relational pivot; the oracle uses conditional
