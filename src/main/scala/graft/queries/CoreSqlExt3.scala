@@ -463,6 +463,32 @@ object CoreSqlExt3 {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY o_orderpriority""")),
 
+    GraftQuery("m_band_join", (s, dir) => {
+      // temporal correlation: purchases within 30 min of each error,
+      // per user — bucketed band join (operators.BandJoin), never a
+      // per-key nested loop; oracle uses the direct inequality join
+      val e = t(s, dir, "events")
+      val errs = e.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purch = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      graft.operators.BandJoin.within(errs, purch, "user_id",
+          epochMs(col("ts")), epochMs(col("ts")), widthMs = 1800000L)
+        .select(col("l_user_id").as("user_id"),
+          col("l_event_id").as("err_id"), col("r_event_id").as("pur_id"),
+          (epochMs(col("r_ts")) - epochMs(col("l_ts"))).as("dt_ms"),
+          round(col("r_value"), 2).as("value"))
+        .orderBy("user_id", "err_id", "pur_id")
+    }, Some("""
+      SELECT e.user_id AS user_id, e.event_id AS err_id, p.event_id AS pur_id,
+        epoch_ms(p.ts) - epoch_ms(e.ts) AS dt_ms,
+        round(p.value, 2) AS value
+      FROM events e JOIN events p
+        ON e.user_id = p.user_id
+        AND abs(epoch_ms(e.ts) - epoch_ms(p.ts)) <= 1800000
+      WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+      ORDER BY e.user_id, err_id, pur_id""")),
+
     GraftQuery("m_asof_join", (s, dir) => {
       // backward as-of join: for each error event, the latest purchase
       // value at-or-before it for that user (ASOF JOIN semantics via
