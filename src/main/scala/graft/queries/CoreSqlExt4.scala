@@ -56,9 +56,11 @@ object CoreSqlExt4 {
         .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
         .select(col("l_partkey"), col("l_quantity").cast("long").as("q"))
       val perPart = flt.groupBy("l_partkey").agg(sum("q").as("qty_value"))
-      // scalar subquery = 1-row broadcast cross join (no driver collect;
-      // at 100 TB the total is a map-side-combined single-row agg)
-      val total = flt.agg((sum("q") * lit(0.001)).as("threshold"))
+      // scalar subquery = 1-row broadcast cross join (no driver collect).
+      // The total is derived from the per-part sums (exact: integer sums
+      // compose) so both branches share one groupBy exchange — the fact
+      // scan runs once (ReusedExchange), not twice.
+      val total = perPart.agg((sum("qty_value") * lit(0.001)).as("threshold"))
       perPart.crossJoin(broadcast(total))
         .where(col("qty_value") > col("threshold"))
         .select(col("l_partkey"), col("qty_value"))
@@ -98,8 +100,12 @@ object CoreSqlExt4 {
       // Q15 shape: aggregate view (supplier revenue over a quarter),
       // then the supplier(s) achieving the view's max via a scalar
       // subquery. Integer quantity total keeps the equality exact.
+      // explicit isNotNull keeps both branches' scan subtrees identical
+      // (the supplier join pushes one into the main branch only), so AQE
+      // reuses the groupBy stage — one fact scan instead of two
       val l = t(s, dir, "lineitem")
-        .where(col("l_shipdate") >= "1999-01-01" && col("l_shipdate") < "1999-04-01")
+        .where(col("l_shipdate") >= "1999-01-01" && col("l_shipdate") < "1999-04-01" &&
+          col("l_suppkey").isNotNull)
       val rev = l.groupBy("l_suppkey")
         .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
       val top = rev.agg(max("total_qty").as("max_qty"))
