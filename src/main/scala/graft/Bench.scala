@@ -34,7 +34,7 @@ object Bench {
     // The machine's timing is noisy (same plan 1-10x across runs);
     // best-of-N per query is the steady-state signal. Honest labeling:
     // the JSON carries reps so the number is identifiable as best-of-N.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.headlineQueries.map { q =>
       // a failed query reports -1 per query and poisons the total to
       // null below — a failure must never improve the headline number
