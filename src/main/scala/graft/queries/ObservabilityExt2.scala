@@ -92,6 +92,36 @@ object ObservabilityExt2 {
         max(epoch_ms(ts)) AS max_event_time_ms
       FROM events GROUP BY 1, 2 ORDER BY process_id, tag""")),
 
+    GraftQuery("m_props_array", (s, dir) => {
+      // properties_to_array / properties_length / jsonb_format_json
+      // family (properties_udf.rs:76,147, format_json.rs:37): flat
+      // properties → sorted key=value entry array + canonical JSON.
+      // Props are enriched to a 3-key map first (the raw table is
+      // single-key, which wouldn't exercise ordering).
+      val e = events(s, dir).where(col("event_id") < 2000)
+      val m = map(
+        lit("k"), get_json_object(col("props"), "$.k"),
+        lit("type"), col("event_type"),
+        lit("m7"), (col("event_id") % 7).cast("string"))
+      e.select(col("event_id"),
+          size(map_keys(m)).cast("long").as("n_props"),
+          array_join(sort_array(transform(map_entries(m),
+            ent => concat(ent.getField("key"), lit("="), ent.getField("value")))), ",").as("kv"),
+          to_json(m).as("props_json"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH e AS (
+        SELECT event_id,
+          regexp_extract(props, '"k": ([0-9]+)', 1) AS kv_k,
+          event_type AS kv_type,
+          CAST(event_id % 7 AS VARCHAR) AS kv_m7
+        FROM events WHERE event_id < 2000)
+      SELECT event_id,
+        CAST(3 AS BIGINT) AS n_props,
+        'k=' || kv_k || ',m7=' || kv_m7 || ',type=' || kv_type AS kv,
+        '{"k":"' || kv_k || '","type":"' || kv_type || '","m7":"' || kv_m7 || '"}' AS props_json
+      FROM e ORDER BY event_id""")),
+
     GraftQuery("q_date_bin", (s, dir) => {
       // DataFusion date_bin('15 minutes', time): arbitrary-stride
       // binning via epoch arithmetic (integer ops, engine-exact)
