@@ -77,5 +77,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         b))
     }
     ext.injectResolutionRule(session => graft.plans.TimeRangeRewrite(session))
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -92,6 +92,41 @@ object ObservabilityExt2 {
         max(epoch_ms(ts)) AS max_event_time_ms
       FROM events GROUP BY 1, 2 ORDER BY process_id, tag""")),
 
+    GraftQuery("m_asof_native", (s, dir) => {
+      // the SAME as-of semantics as m_asof_join, but through the native
+      // Catalyst operator (AsofJoinNode → AsofJoinStrategy →
+      // AsofJoinExec streaming merge) instead of the composed window
+      // formulation — both are oracle-checked so the two
+      // implementations are pinned to each other
+      val e = events(s, dir)
+      val errs = e.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), epochMs(col("ts")).as("t_ms"))
+      val meas = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("m_id"),
+          epochMs(col("ts")).as("mt_ms"), col("value"))
+      graft.plans.AsofJoinNative.join(errs, meas, Seq("user_id"), "t_ms", "mt_ms")
+        .select(col("user_id"), col("event_id"), col("t_ms"),
+          round(col("value"), 2).as("last_purchase"), col("m_id").as("purchase_id"))
+        .orderBy("user_id", "t_ms", "event_id")
+    }, Some("""
+      WITH l AS (SELECT user_id, event_id, epoch_ms(ts) AS t_ms
+                 FROM events WHERE event_type = 'error'),
+      r AS (SELECT user_id, event_id AS m_id, epoch_ms(ts) AS mt_ms, value
+            FROM events WHERE event_type = 'purchase'),
+      j AS (
+        SELECT l.user_id, l.event_id, l.t_ms, r.value, r.m_id,
+          row_number() OVER (PARTITION BY l.user_id, l.event_id
+                             ORDER BY r.mt_ms DESC, r.m_id DESC) AS rn
+        FROM l JOIN r ON l.user_id = r.user_id AND r.mt_ms <= l.t_ms)
+      SELECT user_id, event_id, t_ms, round(value, 2) AS last_purchase,
+        m_id AS purchase_id
+      FROM j WHERE rn = 1
+      UNION ALL
+      SELECT l.user_id, l.event_id, l.t_ms, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+      FROM l WHERE NOT EXISTS (
+        SELECT 1 FROM r WHERE r.user_id = l.user_id AND r.mt_ms <= l.t_ms)
+      ORDER BY user_id, t_ms, event_id""")),
+
     GraftQuery("m_props_array", (s, dir) => {
       // properties_to_array / properties_length / jsonb_format_json
       // family (properties_udf.rs:76,147, format_json.rs:37): flat
