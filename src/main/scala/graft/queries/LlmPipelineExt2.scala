@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{round => round} // DuckDB-compatible rounding (see package.scala)
+
+/** Curation-pipeline tranche 2: the remaining operators a production
+  * training-data pipeline runs at scale — repetition/boilerplate
+  * scoring (Gopher-style quality rule), benchmark-contamination
+  * checking (n-gram overlap vs an eval set), deterministic stratified
+  * sampling (hash-threshold, zero-shuffle), and PII redaction.
+  */
+object LlmPipelineExt2 {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "documents")
+
+  /** DuckDB word-shingle fragments (same family as LlmPipeline's). */
+  private def oracleShingles(n: Int): String = {
+    val lastTok = n - 1
+    s"list_distinct(list_transform(range(1, GREATEST(len(t) - $lastTok, 1) + 1), i -> array_to_string(t[i:i+$lastTok], ' ')))"
+  }
+  private val oracleTokens = "string_split_regex(trim(text), '\\s+')"
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("l_repetition", (s, dir) => {
+      // repeated-word / low-diversity scoring (the Gopher "fraction of
+      // most common word" rule): top_count/n_tokens and
+      // n_distinct/n_tokens per doc. Two partial-agg-friendly groupBys;
+      // all comparisons integer-exact.
+      val tok = docs(s, dir).select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), max("c").as("top_count"),
+          count(lit(1)).as("n_distinct"))
+        .select(col("doc_id"), col("n_tokens"), col("top_count"), col("n_distinct"),
+          round(col("top_count").cast("double") / col("n_tokens"), 4).as("rep_ratio"),
+          round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("diversity"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+                   FROM documents),
+      c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+      a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(max(c) AS BIGINT) AS top_count,
+              CAST(count(*) AS BIGINT) AS n_distinct
+            FROM c GROUP BY 1)
+      SELECT doc_id, n_tokens, top_count, n_distinct,
+        round(CAST(top_count AS DOUBLE)/n_tokens, 4) AS rep_ratio,
+        round(CAST(n_distinct AS DOUBLE)/n_tokens, 4) AS diversity
+      FROM a ORDER BY doc_id""")),
+
+    GraftQuery("l_contamination", (s, dir) => {
+      // benchmark-contamination check: fraction of each candidate doc's
+      // distinct 3-gram shingles that appear in the eval set (source
+      // 'src0' plays the held-out benchmark). The benchmark shingle
+      // set is distinct + broadcast — candidates never shuffle; at
+      // 100 TB this is the standard decontamination sweep shape.
+      val sh = docs(s, dir).select(col("doc_id"), col("source"),
+        explode(Dedup.wordShingles(col("text"), 3)).as("sh"))
+      val bench = sh.where(col("source") === "src0")
+        .select("sh").distinct().withColumn("hit", lit(1L))
+      sh.where(col("source") =!= "src0")
+        .join(broadcast(bench), Seq("sh"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_shingles"), 4).as("contamination"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH tok AS (SELECT doc_id, source, $oracleTokens AS t FROM documents),
+      sh AS (SELECT doc_id, source, unnest(${oracleShingles(3)}) AS sh FROM tok),
+      bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+      j AS (SELECT s.doc_id, CASE WHEN b.sh IS NULL THEN 0 ELSE 1 END AS hit
+            FROM sh s LEFT JOIN bench b ON s.sh = b.sh
+            WHERE s.source <> 'src0')
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        CAST(sum(hit) AS BIGINT) AS n_hits,
+        round(CAST(sum(hit) AS DOUBLE)/count(*), 4) AS contamination
+      FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
+    GraftQuery("l_stratified_sample", (s, dir) => {
+      // deterministic stratified sampling: per-language rates applied
+      // via an md5 hash threshold — reproducible across engines AND
+      // across runs/cluster sizes (no RNG, no shuffle; the sample
+      // decision is a scalar predicate that rides the scan). Output is
+      // the per-(source, lang) sample accounting.
+      val d = docs(s, dir)
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").cast("double") / lit(4294967296.0)
+      val rate = when(col("lang") === "en", 0.5)
+        .when(col("lang") === "fr", 0.25).otherwise(0.1)
+      d.withColumn("keep", (u < rate).cast("long"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_total"), sum("keep").as("n_sampled"))
+        .orderBy("source", "lang")
+    }, Some("""
+      WITH d AS (
+        SELECT source, lang,
+          CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    / 4294967296.0
+                 < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'fr' THEN 0.25 ELSE 0.1 END)
+               THEN 1 ELSE 0 END AS keep
+        FROM documents)
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_total,
+        CAST(sum(keep) AS BIGINT) AS n_sampled
+      FROM d GROUP BY source, lang ORDER BY source, lang""")),
+
+    GraftQuery("l_pii_scrub", (s, dir) => {
+      // PII redaction: emails and phone-shaped strings replaced with
+      // placeholder tags + per-doc match accounting. The corpus is
+      // synthetic word soup, so PII is injected deterministically
+      // first — the redaction pipeline (regexp_replace chain riding
+      // the scan, no shuffle) is what's under test.
+      val full = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"), lit("@mail.example.com or 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"), lit(" now"))
+      val emailRe = "u[0-9]+@[a-z.]+com"
+      val phoneRe = "555-[0-9]{4}"
+      docs(s, dir).select(col("doc_id"),
+          size(regexp_extract_all(full, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(full, lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(full, emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id,
+          text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 555-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS ftext
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(ftext, 'u[0-9]+@[a-z.]+com')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(ftext, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        md5(regexp_replace(regexp_replace(ftext, 'u[0-9]+@[a-z.]+com', '<EMAIL>', 'g'),
+          '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+      FROM d ORDER BY doc_id"""))
+  )
+}
