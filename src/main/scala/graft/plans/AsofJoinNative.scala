@@ -38,14 +38,27 @@ import org.apache.spark.sql.graftshim.Shim
   */
 object AsofJoinNative {
 
-  /** Backward as-of join `left` with `right` on equal `key`, matching
-    * the latest right row at-or-before the left row's time.
-    * Right columns are suffixed with `rightSuffix` when they collide
-    * with left names. Both time columns must have the same type.
+  /** As-of join `left` with `right` on equal `key`.
+    *
+    *  - `direction = "backward"` (default): the LATEST right row with
+    *    `rightTime <= leftTime`;
+    *  - `direction = "forward"`: the EARLIEST right row with
+    *    `rightTime >= leftTime`.
+    *
+    * `tolerance` (in the time column's own units — µs for timestamps,
+    * days for dates) bounds the allowed gap |leftTime - rightTime|;
+    * rows beyond it join with nulls. Tolerance requires an integral
+    * time type. Right columns are suffixed with `rightSuffix` when
+    * they collide with left names. Both time columns must have the
+    * same type.
     */
   def join(left: DataFrame, right: DataFrame, key: Seq[String],
-      leftTime: String, rightTime: String, rightSuffix: String = "_r"): DataFrame = {
+      leftTime: String, rightTime: String, rightSuffix: String = "_r",
+      direction: String = "backward", tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    require(tolerance.forall(_ >= 0), "tolerance must be >= 0")
     Shim.addStrategy(spark, AsofJoinStrategy)
     val lPlan = left.queryExecution.analyzed
     // de-collide right column names BEFORE analysis capture so the
@@ -67,7 +80,10 @@ object AsofJoinNative {
       if (leftNames.contains(rightTime)) rightTime + rightSuffix else rightTime)
     require(lT.dataType == rT.dataType,
       s"time column types differ: ${lT.dataType} vs ${rT.dataType}")
-    Shim.ofRows(spark, AsofJoinNode(lPlan, rPlan, lKeys, rKeys, lT, rT))
+    if (tolerance.isDefined) AsofJoinExec.timeExtractor(lT.dataType) // fail fast
+    Shim.ofRows(spark,
+      AsofJoinNode(lPlan, rPlan, lKeys, rKeys, lT, rT,
+        forward = direction == "forward", tolerance = tolerance))
   }
 }
 
@@ -77,7 +93,8 @@ object AsofJoinNative {
 case class AsofJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
-    leftTime: Attribute, rightTime: Attribute) extends BinaryNode {
+    leftTime: Attribute, rightTime: Attribute,
+    forward: Boolean = false, tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(a => a.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -87,8 +104,8 @@ case class AsofJoinNode(
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoinNode(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -97,10 +114,27 @@ object AsofJoinStrategy extends SparkStrategy {
   * by key and sorted by (key, time) — EnsureRequirements materializes
   * that from the declared requirements below.
   */
+object AsofJoinExec {
+  /** Long view of a time value for tolerance arithmetic; only integral
+    * time types support tolerance (fail fast at plan build).
+    */
+  def timeExtractor(dt: org.apache.spark.sql.types.DataType): Any => Long = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | TimestampType | TimestampNTZType => (v: Any) => v.asInstanceOf[Long]
+      case IntegerType | DateType => (v: Any) => v.asInstanceOf[Int].toLong
+      case ShortType => (v: Any) => v.asInstanceOf[Short].toLong
+      case other => throw new IllegalArgumentException(
+        s"tolerance unsupported for time type $other (need an integral type)")
+    }
+  }
+}
+
 case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
-    leftTime: Attribute, rightTime: Attribute) extends BinaryExecNode {
+    leftTime: Attribute, rightTime: Attribute,
+    forward: Boolean = false, tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(a => a.withNullability(true))
@@ -140,10 +174,15 @@ case class AsofJoinExec(
       val result = UnsafeProjection.create(output,
         left.output ++ right.output.map(_.withNullability(true)))
 
+      val toLong: Any => Long =
+        if (tolerance.isDefined) AsofJoinExec.timeExtractor(timeType) else null
+
       val rBuf = rIt.buffered
-      // carry state: the latest qualifying right row and its key — O(1)
+      // carry state: the current candidate right row, its key and time
+      // — O(1) regardless of partition size
       var carry: InternalRow = null
       var carryKey: UnsafeRow = null
+      var carryTime: Any = null
 
       lIt.map { lRow =>
         val lKey = lKeyProj(lRow)
@@ -151,18 +190,21 @@ case class AsofJoinExec(
         if (lKey.anyNull || lTimeVal == null) {
           result(joined(lRow, nullRight))
         } else {
-          // drop carry from an earlier key group
-          if (carry != null && keyOrd.compare(carryKey, lKey) != 0) {
-            carry = null; carryKey = null
+          // drop a carry that can no longer match: different key group,
+          // or (forward mode) a candidate now in the past
+          if (carry != null && (keyOrd.compare(carryKey, lKey) != 0 ||
+              (forward && timeOrd.compare(carryTime, lTimeVal) < 0))) {
+            carry = null; carryKey = null; carryTime = null
           }
-          // advance right while it is (smaller key) or (same key,
-          // time <= left time); the last qualifying row wins. Each
-          // qualifying row is copied as it is consumed — the sort
-          // iterator REUSES its UnsafeRow, so any peek-ahead would
-          // mutate a row held by reference. Every right row is copied
-          // at most once over the whole partition (pointer only moves
-          // forward), so this stays O(m) total.
-          var advancing = true
+          // advance the right side. Backward: consume every row with
+          // (key, time) at-or-before (lKey, lTime) — the LAST one wins.
+          // Forward: consume rows strictly before lTime, then take the
+          // FIRST at-or-after. Each consumed qualifying row is copied
+          // at consume time — the sort iterator REUSES its UnsafeRow,
+          // so a peek-ahead would mutate a row held by reference.
+          // Every right row is copied at most once over the whole
+          // partition (the pointer only moves forward): O(m) total.
+          var advancing = !forward || carry == null
           while (advancing && rBuf.hasNext) {
             val rHead = rBuf.head
             val rKey = rKeyProj(rHead)
@@ -171,15 +213,35 @@ case class AsofJoinExec(
             else if (kc == 0) {
               val rTimeVal = rTimeRef.eval(rHead)
               if (rTimeVal == null) { rBuf.next(); () } // unusable
-              else if (timeOrd.compare(rTimeVal, lTimeVal) <= 0) {
-                carry = rBuf.next().copy()
-                if (carryKey == null || keyOrd.compare(carryKey, lKey) != 0) {
-                  carryKey = lKey.copy() // kc == 0: right key == left key
+              else if (!forward) {
+                if (timeOrd.compare(rTimeVal, lTimeVal) <= 0) {
+                  carry = rBuf.next().copy()
+                  carryTime = InternalRow.copyValue(rTimeVal)
+                  if (carryKey == null || keyOrd.compare(carryKey, lKey) != 0) {
+                    carryKey = lKey.copy() // kc == 0: right key == left key
+                  }
+                } else advancing = false // same key, future time: stop
+              } else {
+                if (timeOrd.compare(rTimeVal, lTimeVal) < 0) { rBuf.next(); () } // past: discard
+                else {
+                  carry = rBuf.next().copy()
+                  // copyValue: a UTF8String/complex time value would
+                  // otherwise alias the reused row buffer
+                  carryTime = InternalRow.copyValue(rTimeVal)
+                  carryKey = lKey.copy()
+                  advancing = false // first at-or-after wins
                 }
-              } else advancing = false // same key, future time: stop
+              }
             } else advancing = false // right is ahead: stop
           }
-          result(joined(lRow, if (carry != null) carry else nullRight))
+          val withinTol = carry != null && (tolerance match {
+            case None => true
+            case Some(tol) =>
+              val gap = if (forward) toLong(carryTime) - toLong(lTimeVal)
+                        else toLong(lTimeVal) - toLong(carryTime)
+              gap <= tol
+          })
+          result(joined(lRow, if (withinTol) carry else nullRight))
         }
       }
     }

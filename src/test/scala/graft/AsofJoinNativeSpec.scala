@@ -78,15 +78,69 @@ class AsofJoinNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val r = rRows.toDF("k", "rid", "rt")
     val out = AsofJoinNative.join(l, r, Seq("k"), "lt", "rt")
       .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
-    // brute force: max (rt, rid) with rt <= lt per key — (rt, rid)
-    // lexicographic max IS the (key,time)-sorted last row because rid
-    // is unique, mirroring the exec's "last qualifying row wins"
-    val expected = lRows.map { case (k, lid, lt) =>
+    // brute force: any right row holding the max rt <= lt is a valid
+    // match — among ties on (key, time) the exec's pick follows sort
+    // arrival order, which the operator does not pin
+    lRows.foreach { case (k, lid, lt) =>
       val cands = rRows.filter(rr => rr._1 == k && rr._3 <= lt)
-      lid -> (if (cands.isEmpty) None
-              else Some(cands.maxBy(rr => (rr._3, rr._2))._2))
-    }.toMap
-    assert(out === expected)
+      if (cands.isEmpty) assert(out(lid) === None, s"lid=$lid")
+      else {
+        val bestT = cands.map(_._3).max
+        val valid = cands.filter(_._3 == bestT).map(_._2).toSet
+        assert(out(lid).exists(valid), s"lid=$lid got ${out(lid)} valid=$valid")
+      }
+    }
+  }
+
+  test("forward direction: earliest right at-or-after, first wins ties") {
+    val out = AsofJoinNative.join(left, right, Seq("k"), "lt", "rt",
+        direction = "forward")
+      .orderBy("lid").collect()
+      .map(r => (r.getAs[Long]("lid"), Option(r.getAs[java.lang.Long]("rid")).map(_.toLong)))
+    assert(out(0) === ((10L, Some(90L)))) // earliest rt >= 100 is rt=200; FIRST of the tie pair
+    assert(out(1) === ((11L, Some(90L)))) // rt=200 >= 200 inclusive
+    assert(out(2) === ((12L, None)))      // nothing at-or-after except 240? no: 240 < 250 → none
+    assert(out(3) === ((20L, None)))
+  }
+
+  test("tolerance bounds the match gap in both directions") {
+    val back = AsofJoinNative.join(left, right, Seq("k"), "lt", "rt",
+        tolerance = Some(10L))
+      .orderBy("lid").collect()
+      .map(r => Option(r.getAs[java.lang.Long]("rid")).map(_.toLong))
+    // lt=200: gap 0 → match; lt=250: latest rt=240, gap 10 → match;
+    // lt=100: no prior row
+    assert(back.toSeq === Seq(None, Some(91L), Some(92L), None))
+    val backTight = AsofJoinNative.join(left, right, Seq("k"), "lt", "rt",
+        tolerance = Some(5L))
+      .orderBy("lid").collect()
+      .map(r => Option(r.getAs[java.lang.Long]("rid")).map(_.toLong))
+    assert(backTight.toSeq === Seq(None, Some(91L), None, None))
+    val fwd = AsofJoinNative.join(left, right, Seq("k"), "lt", "rt",
+        direction = "forward", tolerance = Some(50L))
+      .orderBy("lid").collect()
+      .map(r => Option(r.getAs[java.lang.Long]("rid")).map(_.toLong))
+    // lt=100: next rt=200, gap 100 > 50 → null; lt=200: gap 0 → 90
+    assert(fwd.toSeq === Seq(None, Some(90L), None, None))
+  }
+
+  test("forward matches brute force on randomized inputs") {
+    val rnd = new scala.util.Random(11)
+    val lRows = Seq.tabulate(400)(i => (rnd.nextInt(8).toLong, i.toLong, rnd.nextInt(60).toLong))
+    val rRows = Seq.tabulate(250)(i => (rnd.nextInt(8).toLong, (1000 + i).toLong, rnd.nextInt(60).toLong))
+    val out = AsofJoinNative.join(lRows.toDF("k", "lid", "lt"), rRows.toDF("k", "rid", "rt"),
+        Seq("k"), "lt", "rt", direction = "forward")
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    // forward: any right row holding the min rt >= lt is a valid match
+    lRows.foreach { case (k, lid, lt) =>
+      val cands = rRows.filter(rr => rr._1 == k && rr._3 >= lt)
+      if (cands.isEmpty) assert(out(lid) === None, s"lid=$lid")
+      else {
+        val bestT = cands.map(_._3).min
+        val valid = cands.filter(_._3 == bestT).map(_._2).toSet
+        assert(out(lid).exists(valid), s"lid=$lid got ${out(lid)} valid=$valid")
+      }
+    }
   }
 
   test("plans as a streaming merge over co-partitioned sorted children") {
