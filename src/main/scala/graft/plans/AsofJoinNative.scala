@@ -63,13 +63,22 @@ object AsofJoinNative {
     val lPlan = left.queryExecution.analyzed
     // de-collide right column names BEFORE analysis capture so the
     // operator's output attribute names are unambiguous
+    require(rightSuffix.nonEmpty, "rightSuffix must be non-empty")
     val leftNames = left.columns.toSet
+    right.columns.filter(leftNames.contains).foreach { c =>
+      require(!right.columns.contains(c + rightSuffix),
+        s"renaming $c to $c$rightSuffix collides with an existing right column")
+    }
     val renamed = right.columns.foldLeft(right) { (df, c) =>
       if (leftNames.contains(c)) df.withColumnRenamed(c, c + rightSuffix) else df
     }
     val rPlan = renamed.queryExecution.analyzed
+    // resolve names like the rest of the DataFrame API does (honors
+    // spark.sql.caseSensitive, which defaults to insensitive)
+    val resolver = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.resolver
     def attr(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
+      plan.output.find(a => resolver(a.name, name)).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
     val lKeys = key.map(attr(lPlan, _))
@@ -217,9 +226,9 @@ case class AsofJoinExec(
                 if (timeOrd.compare(rTimeVal, lTimeVal) <= 0) {
                   carry = rBuf.next().copy()
                   carryTime = InternalRow.copyValue(rTimeVal)
-                  if (carryKey == null || keyOrd.compare(carryKey, lKey) != 0) {
-                    carryKey = lKey.copy() // kc == 0: right key == left key
-                  }
+                  // the drop block above nulls carryKey on key change,
+                  // so a non-null carryKey already equals lKey
+                  if (carryKey == null) carryKey = lKey.copy()
                 } else advancing = false // same key, future time: stop
               } else {
                 if (timeOrd.compare(rTimeVal, lTimeVal) < 0) { rBuf.next(); () } // past: discard

@@ -104,7 +104,14 @@ object ObservabilityExt2 {
       val meas = e.where(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("m_id"),
           epochMs(col("ts")).as("mt_ms"), col("value"))
-      graft.plans.AsofJoinNative.join(errs, meas, Seq("user_id"), "t_ms", "mt_ms")
+      // the exec's pick among equal (key, time) right rows follows sort
+      // arrival order — fold the unique m_id into sub-ms time so the
+      // winner is total-ordered and matches the oracle's (mt_ms, m_id)
+      // DESC tiebreak even if two purchases ever share a millisecond.
+      // event_id < 1e6 at every SF, so ms*1e6 + id stays within Long.
+      val errsT = errs.withColumn("t2", col("t_ms") * 1000000L + lit(999999L))
+      val measT = meas.withColumn("mt2", col("mt_ms") * 1000000L + col("m_id"))
+      graft.plans.AsofJoinNative.join(errsT, measT, Seq("user_id"), "t2", "mt2")
         .select(col("user_id"), col("event_id"), col("t_ms"),
           round(col("value"), 2).as("last_purchase"), col("m_id").as("purchase_id"))
         .orderBy("user_id", "t_ms", "event_id")

@@ -7,7 +7,24 @@ import org.apache.spark.sql.types._
 /** CSV/JSON side-table sources must roundtrip lakehouse data exactly
   * (schema-pinned, no inference) and join back against parquet views.
   */
-class TextSourcesSpec extends SparkSpec {
+class TextSourcesSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer[String]()
+  private def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tmpDirs += d; d
+  }
+  override def afterAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    tmpDirs.foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    super.afterAll()
+  }
 
   private lazy val base = {
     // timestamps flattened to epoch micros for text-format roundtrip
@@ -21,7 +38,7 @@ class TextSourcesSpec extends SparkSpec {
     StructField("value", DoubleType)))
 
   test("CSV roundtrip: schema pinned, all rows and values preserved") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val dir = tmpDir("graft-csv")
     base.write.mode("overwrite").option("header", "true").csv(dir)
     val back = TextSources.csv(spark, dir, schema)
     assert(back.schema === schema) // explicit schema, not inferred
@@ -30,7 +47,7 @@ class TextSourcesSpec extends SparkSpec {
   }
 
   test("JSON-lines roundtrip joins back against the parquet view") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val dir = tmpDir("graft-json")
     base.write.mode("overwrite").json(dir)
     val back = TextSources.json(spark, dir, schema)
     assert(back.schema === schema)
@@ -40,7 +57,7 @@ class TextSourcesSpec extends SparkSpec {
   }
 
   test("FAILFAST surfaces corrupt rows instead of nulling them") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-bad").toString
+    val dir = tmpDir("graft-bad")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.json"),
       "{\"event_id\": \"not-a-number\"}\n".getBytes)
     val ex = intercept[Exception] {
