@@ -78,5 +78,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectResolutionRule(session => graft.plans.TimeRangeRewrite(session))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)
   }
 }

@@ -60,6 +60,28 @@ object AsofJoinNative {
       s"direction must be backward|forward, got $direction")
     require(tolerance.forall(_ >= 0), "tolerance must be >= 0")
     Shim.addStrategy(spark, AsofJoinStrategy)
+    val r = TemporalJoinResolution.resolve(left, right, key, leftTime, rightTime, rightSuffix)
+    if (tolerance.isDefined) AsofJoinExec.timeExtractor(r.leftTime.dataType) // fail fast
+    Shim.ofRows(spark,
+      AsofJoinNode(r.leftPlan, r.rightPlan, r.leftKeys, r.rightKeys, r.leftTime, r.rightTime,
+        forward = direction == "forward", tolerance = tolerance))
+  }
+}
+
+/** Shared name-resolution for the native temporal joins: de-collides
+  * right column names with a suffix (guarded against secondary
+  * collisions), resolves key/time attributes with the session's
+  * resolver (honors spark.sql.caseSensitive), and checks time types.
+  */
+private[plans] object TemporalJoinResolution {
+  final case class Resolved(
+      leftPlan: LogicalPlan, rightPlan: LogicalPlan,
+      leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+      leftTime: Attribute, rightTime: Attribute)
+
+  def resolve(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftTime: String, rightTime: String, rightSuffix: String): Resolved = {
+    val spark = left.sparkSession
     val lPlan = left.queryExecution.analyzed
     // de-collide right column names BEFORE analysis capture so the
     // operator's output attribute names are unambiguous
@@ -73,8 +95,6 @@ object AsofJoinNative {
       if (leftNames.contains(c)) df.withColumnRenamed(c, c + rightSuffix) else df
     }
     val rPlan = renamed.queryExecution.analyzed
-    // resolve names like the rest of the DataFrame API does (honors
-    // spark.sql.caseSensitive, which defaults to insensitive)
     val resolver = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.conf.resolver
     def attr(plan: LogicalPlan, name: String): Attribute =
@@ -89,10 +109,7 @@ object AsofJoinNative {
       if (leftNames.contains(rightTime)) rightTime + rightSuffix else rightTime)
     require(lT.dataType == rT.dataType,
       s"time column types differ: ${lT.dataType} vs ${rT.dataType}")
-    if (tolerance.isDefined) AsofJoinExec.timeExtractor(lT.dataType) // fail fast
-    Shim.ofRows(spark,
-      AsofJoinNode(lPlan, rPlan, lKeys, rKeys, lT, rT,
-        forward = direction == "forward", tolerance = tolerance))
+    Resolved(lPlan, rPlan, lKeys, rKeys, lT, rT)
   }
 }
 

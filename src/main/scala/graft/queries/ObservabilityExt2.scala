@@ -134,6 +134,33 @@ object ObservabilityExt2 {
         SELECT 1 FROM r WHERE r.user_id = l.user_id AND r.mt_ms <= l.t_ms)
       ORDER BY user_id, t_ms, event_id""")),
 
+    GraftQuery("m_band_native", (s, dir) => {
+      // same band-join semantics as m_band_join, but through the native
+      // sliding-merge operator (BandJoinNode → BandJoinExec) instead of
+      // the bucketed 3×-explode composition; both oracle-checked, so the
+      // two implementations are pinned to each other
+      val e = events(s, dir)
+      val errs = e.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), epochMs(col("ts")).as("t_ms"))
+      val purch = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pur_id"),
+          epochMs(col("ts")).as("pt_ms"), col("value"))
+      graft.plans.BandJoinNative.join(errs, purch, Seq("user_id"), "t_ms", "pt_ms",
+          width = 1800000L)
+        .select(col("user_id"), col("event_id").as("err_id"), col("pur_id"),
+          (col("pt_ms") - col("t_ms")).as("dt_ms"),
+          round(col("value"), 2).as("value"))
+        .orderBy("user_id", "err_id", "pur_id")
+    }, Some("""
+      SELECT e.user_id AS user_id, e.event_id AS err_id, p.event_id AS pur_id,
+        epoch_ms(p.ts) - epoch_ms(e.ts) AS dt_ms,
+        round(p.value, 2) AS value
+      FROM events e JOIN events p
+        ON e.user_id = p.user_id
+        AND abs(epoch_ms(e.ts) - epoch_ms(p.ts)) <= 1800000
+      WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+      ORDER BY e.user_id, err_id, pur_id""")),
+
     GraftQuery("m_props_array", (s, dir) => {
       // properties_to_array / properties_length / jsonb_format_json
       // family (properties_udf.rs:76,147, format_json.rs:37): flat
