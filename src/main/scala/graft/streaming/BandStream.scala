@@ -1,0 +1,34 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, expr}
+
+/** Streaming temporal correlation: the live counterpart of the band
+  * join (operators.BandJoin / plans.BandJoinNative) as a Structured
+  * Streaming stream-stream inner join with an event-time range
+  * condition.
+  *
+  * Spark's streaming join keeps per-side state; the explicit
+  * event-time range plus watermarks on BOTH sides lets the state
+  * manager drop a buffered row as soon as the other stream's
+  * watermark passes the end of its band — state stays bounded by
+  * (band width + watermark delay) × arrival rate, the streaming
+  * equivalent of the batch exec's sliding deque.
+  */
+object BandStream {
+
+  /** Pairs within `width` (e.g. "30 minutes") on `leftKey == rightKey`.
+    * `leftTime`/`rightTime` name event-time columns of their streams;
+    * all other column names should be disjoint (rename upstream).
+    */
+  def bandJoin(left: DataFrame, leftTime: String, leftKey: String,
+      right: DataFrame, rightTime: String, rightKey: String,
+      width: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark)
+    val r = right.withWatermark(rightTime, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTime) >= col(leftTime) - expr(s"interval $width") &&
+        col(rightTime) <= col(leftTime) + expr(s"interval $width"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.BandStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class ErrEv(ts: Timestamp, uid: Long, err_id: Long)
+case class PurEv(pts: Timestamp, puid: Long, pur_id: Long)
+
+class BandStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  test("streaming band join pairs events within the window, per key") {
+    implicit val sc = spark.sqlContext
+    val errs = MemoryStream[ErrEv]
+    val purs = MemoryStream[PurEv]
+    val joined = BandStream.bandJoin(
+      errs.toDF(), "ts", "uid", purs.toDF(), "pts", "puid",
+      width = "10 minutes", watermark = "5 minutes")
+    val q = joined.select("err_id", "pur_id")
+      .writeStream.format("memory").queryName("band_stream_test")
+      .outputMode("append").start()
+    try {
+      errs.addData(ErrEv(t(10), 1L, 100L), ErrEv(t(40), 1L, 101L), ErrEv(t(10), 2L, 102L))
+      purs.addData(
+        PurEv(t(5), 1L, 900L),   // 5 min before err 100 → pair
+        PurEv(t(19), 1L, 901L),  // 9 min after err 100 → pair
+        PurEv(t(25), 1L, 902L),  // 15 min from both errs → no pair
+        PurEv(t(12), 3L, 903L))  // other key → no pair
+      q.processAllAvailable()
+      val out = spark.table("band_stream_test")
+        .as[(Long, Long)].collect().toSet
+      assert(out === Set((100L, 900L), (100L, 901L)))
+      // a later purchase pairs with the later error only
+      purs.addData(PurEv(t(45), 1L, 904L))
+      q.processAllAvailable()
+      val out2 = spark.table("band_stream_test").as[(Long, Long)].collect().toSet
+      assert(out2 === out + ((101L, 904L)))
+    } finally q.stop()
+  }
+
+  test("matches the batch band join on the same data") {
+    implicit val sc = spark.sqlContext
+    val errs = MemoryStream[ErrEv]
+    val purs = MemoryStream[PurEv]
+    val joined = BandStream.bandJoin(
+      errs.toDF(), "ts", "uid", purs.toDF(), "pts", "puid",
+      width = "10 minutes", watermark = "5 minutes")
+    val q = joined.select("err_id", "pur_id")
+      .writeStream.format("memory").queryName("band_stream_batch_cmp")
+      .outputMode("append").start()
+    val errRows = Seq(ErrEv(t(10), 1L, 100L), ErrEv(t(31), 1L, 101L), ErrEv(t(8), 2L, 102L))
+    val purRows = Seq(PurEv(t(3), 1L, 900L), PurEv(t(18), 1L, 901L),
+      PurEv(t(29), 1L, 902L), PurEv(t(9), 2L, 903L), PurEv(t(59), 2L, 904L))
+    try {
+      errs.addData(errRows: _*)
+      purs.addData(purRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("band_stream_batch_cmp").as[(Long, Long)].collect().toSet
+      val batch = graft.plans.BandJoinNative.join(
+          errRows.toDF().withColumn("t_ms", unix_millis(col("ts"))),
+          purRows.toDF().withColumnRenamed("puid", "uid")
+            .withColumn("pt_ms", unix_millis(col("pts"))),
+          Seq("uid"), "t_ms", "pt_ms", width = 600000L)
+        .select("err_id", "pur_id").as[(Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}
