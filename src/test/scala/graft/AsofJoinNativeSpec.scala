@@ -143,6 +143,16 @@ class AsofJoinNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("composite keys partition and match on all key columns") {
+    val l = Seq((1L, "a", 10L, 100L), (1L, "b", 11L, 100L), (2L, "a", 12L, 100L))
+      .toDF("k1", "k2", "lid", "lt")
+    val r = Seq((1L, "a", 90L, 50L), (1L, "b", 91L, 60L), (2L, "b", 92L, 40L))
+      .toDF("k1", "k2", "rid", "rt")
+    val out = AsofJoinNative.join(l, r, Seq("k1", "k2"), "lt", "rt")
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out === Map(10L -> Some(90L), 11L -> Some(91L), 12L -> None))
+  }
+
   test("plans as a streaming merge over co-partitioned sorted children") {
     val df = AsofJoinNative.join(left, right, Seq("k"), "lt", "rt")
     df.collect()
