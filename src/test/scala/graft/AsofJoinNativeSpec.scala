@@ -143,6 +143,15 @@ class AsofJoinNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("empty right side yields all-null matches; empty left yields no rows") {
+    val emptyR = right.where(lit(false))
+    val out = AsofJoinNative.join(left, emptyR, Seq("k"), "lt", "rt")
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out === Map(10L -> None, 11L -> None, 12L -> None, 20L -> None))
+    val emptyL = left.where(lit(false))
+    assert(AsofJoinNative.join(emptyL, right, Seq("k"), "lt", "rt").count() === 0)
+  }
+
   test("composite keys partition and match on all key columns") {
     val l = Seq((1L, "a", 10L, 100L), (1L, "b", 11L, 100L), (2L, "a", 12L, 100L))
       .toDF("k1", "k2", "lid", "lt")

@@ -59,6 +59,13 @@ class BandJoinNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out === expected)
   }
 
+  test("empty sides yield no pairs (inner-join semantics)") {
+    val l = Seq((1L, 10L, 100L)).toDF("k", "lid", "lt")
+    val r = Seq((1L, 90L, 120L)).toDF("k", "rid", "rt")
+    assert(BandJoinNative.join(l, r.where(lit(false)), Seq("k"), "lt", "rt", 50L).count() === 0)
+    assert(BandJoinNative.join(l.where(lit(false)), r, Seq("k"), "lt", "rt", 50L).count() === 0)
+  }
+
   test("plans as a single merge exec over co-partitioned children") {
     val l = Seq((1L, 10L, 100L)).toDF("k", "lid", "lt")
     val r = Seq((1L, 90L, 120L)).toDF("k", "rid", "rt")
