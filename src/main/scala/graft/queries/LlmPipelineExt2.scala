@@ -110,6 +110,45 @@ object LlmPipelineExt2 {
         CAST(sum(keep) AS BIGINT) AS n_sampled
       FROM d GROUP BY source, lang ORDER BY source, lang""")),
 
+    GraftQuery("l_chunk_dedup", (s, dir) => {
+      // repeated-chunk accounting (the RefinedWeb/CCNet "duplicated
+      // paragraph" signal; this corpus has no punctuation, so fixed
+      // 20-word chunks play the paragraphs): per doc, how many of its
+      // distinct chunks appear in at least one OTHER doc. Scale shape:
+      // explode → distinct (doc, hash) → hash-count groupBy → hash
+      // join back → per-doc agg; every count integer-exact.
+      val n = 20
+      val tokens = split(trim(col("text")), "\\s+")
+      val nChunks = greatest(ceil(size(tokens) / lit(n.toDouble)).cast("int"), lit(1))
+      val chunkArr = transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(tokens, i * n + 1, lit(n)), " "))
+      val ch = docs(s, dir)
+        .select(col("doc_id"), explode(chunkArr).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h")).distinct()
+      val byHash = ch.groupBy("h").agg(count(lit(1)).as("n_docs"))
+      ch.join(byHash, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum((col("n_docs") > 1).cast("long")).as("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4).as("dup_ratio"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                   FROM documents),
+      ch AS (
+        SELECT DISTINCT doc_id,
+          md5(array_to_string(t[i*20+1 : i*20+20], ' ')) AS h
+        FROM tok, LATERAL (SELECT unnest(range(0,
+          GREATEST(CAST(ceil(len(t)/20.0) AS INTEGER), 1))) AS i) gen),
+      byh AS (SELECT h, count(*) AS n_docs FROM ch GROUP BY h)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        round(CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 4)
+          AS dup_ratio
+      FROM ch JOIN byh USING (h)
+      GROUP BY doc_id ORDER BY doc_id""")),
+
     GraftQuery("l_pii_scrub", (s, dir) => {
       // PII redaction: emails and phone-shaped strings replaced with
       // placeholder tags + per-doc match accounting. The corpus is
