@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, count, expr, lit, session_window}
 
 /** Streaming temporal correlation: the live counterpart of the band
   * join (operators.BandJoin / plans.BandJoinNative) as a Structured
@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions.{col, expr}
   * equivalent of the batch exec's sliding deque.
   */
 object BandStream {
+
+  /** Streaming gap-based sessionization (the live counterpart of the
+    * m_sessionize batch query): Spark's native session_window merges
+    * windows that are within `gap` of each other per key; watermark
+    * closes sessions and bounds state.
+    */
+  def sessionize(events: DataFrame, timeCol: String, keyCol: String,
+      gap: String, watermark: String): DataFrame = {
+    events
+      .withWatermark(timeCol, watermark)
+      .groupBy(col(keyCol), session_window(col(timeCol), gap))
+      .agg(count(expr("*")).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
 
   /** Pairs within `width` (e.g. "30 minutes") on `leftKey == rightKey`.
     * `leftTime`/`rightTime` name event-time columns of their streams;

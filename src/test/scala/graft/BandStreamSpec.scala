@@ -44,6 +44,33 @@ class BandStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization merges gap-adjacent events and closes on watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[ErrEv]
+    val q = BandStream.sessionize(mem.toDF(), "ts", "uid",
+        gap = "5 minutes", watermark = "2 minutes")
+      .writeStream.format("memory").queryName("session_stream_test")
+      .outputMode("append").start()
+    try {
+      // uid 1: events at 10:00, 10:03, 10:06 → one session (gaps < 5m);
+      // another at 10:20 → second session. uid 2: one lone event.
+      mem.addData(ErrEv(t(0), 1L, 1L), ErrEv(t(3), 1L, 2L), ErrEv(t(6), 1L, 3L),
+        ErrEv(t(20), 1L, 4L), ErrEv(t(5), 2L, 5L))
+      q.processAllAvailable()
+      // push the watermark far enough to close every session
+      mem.addData(ErrEv(t(59), 9L, 99L))
+      q.processAllAvailable()
+      mem.addData(ErrEv(t(59, 30), 9L, 98L))
+      q.processAllAvailable()
+      val out = spark.table("session_stream_test")
+        .select("uid", "session_start", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+      assert(out.contains((1L, "2024-01-01 10:00:00.0", 3L)), s"got $out")
+      assert(out.contains((1L, "2024-01-01 10:20:00.0", 1L)))
+      assert(out.contains((2L, "2024-01-01 10:05:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("matches the batch band join on the same data") {
     implicit val sc = spark.sqlContext
     val errs = MemoryStream[ErrEv]
