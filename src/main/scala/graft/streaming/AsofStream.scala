@@ -63,20 +63,19 @@ object AsofStream {
           val wm = state.getCurrentWatermarkMs()
           val (newMeasures, newProbes) = batch.toList.partition(_.side == 0)
 
-          // probes older than the watermark are late: dropped
-          var probes = old.probes ++ newProbes.collect {
-            case p if p.ts.getTime > wm => (p.ts.getTime, p.id)
-          }
-          // measures: late ones can still improve the carry
+          // Spark's operator-level late filter admits rows using the
+          // PREVIOUS batch's watermark, so rows between that and
+          // getCurrentWatermarkMs still reach us. Buffer everything:
+          // probes with t <= wm are answerable right now (any future
+          // measure is younger than the watermark >= t) and drain this
+          // batch; gap measures must go through the buffer so the
+          // drain merges them in (t, id) order — feeding them straight
+          // into the carry would let a 10:30 measure answer a pending
+          // 10:00 probe.
+          var probes = old.probes ++ newProbes.map(p => (p.ts.getTime, p.id))
           var carry = old.carry
-          var measures = old.measures
-          newMeasures.foreach { m =>
-            val t = m.ts.getTime
-            if (t > wm) measures ::= ((t, m.id, m.value))
-            else if (carry.forall(c => geq((t, m.id), (c._1, c._2)))) {
-              carry = Some((t, m.id, m.value))
-            }
-          }
+          var measures = old.measures ++
+            newMeasures.map(m => (m.ts.getTime, m.id, m.value))
 
           // drain: answer every probe the watermark has passed, in
           // (t, id) order, merging measures forward like the batch exec

@@ -27,7 +27,7 @@ object BandStream {
     events
       .withWatermark(timeCol, watermark)
       .groupBy(col(keyCol), session_window(col(timeCol), gap))
-      .agg(count(expr("*")).as("n_events"))
+      .agg(count(lit(1)).as("n_events"))
       .select(col(keyCol),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
@@ -35,17 +35,20 @@ object BandStream {
   }
 
   /** Pairs within `width` (e.g. "30 minutes") on `leftKey == rightKey`.
-    * `leftTime`/`rightTime` name event-time columns of their streams;
-    * all other column names should be disjoint (rename upstream).
+    * `leftTime`/`rightTime` name event-time columns of their streams.
+    * Key columns may share a name (each resolves against its own
+    * side); other columns should be disjoint (rename upstream).
     */
   def bandJoin(left: DataFrame, leftTime: String, leftKey: String,
       right: DataFrame, rightTime: String, rightKey: String,
       width: String, watermark: String): DataFrame = {
     val l = left.withWatermark(leftTime, watermark)
     val r = right.withWatermark(rightTime, watermark)
+    // resolve each column against its own side — col(...) on the
+    // joined plan is ambiguous when both keys share a name
     l.join(r,
-      col(leftKey) === col(rightKey) &&
-        col(rightTime) >= col(leftTime) - expr(s"interval $width") &&
-        col(rightTime) <= col(leftTime) + expr(s"interval $width"))
+      l(leftKey) === r(rightKey) &&
+        r(rightTime) >= l(leftTime) - expr(s"interval $width") &&
+        r(rightTime) <= l(leftTime) + expr(s"interval $width"))
   }
 }
