@@ -110,6 +110,37 @@ object LlmPipelineExt2 {
         CAST(sum(keep) AS BIGINT) AS n_sampled
       FROM d GROUP BY source, lang ORDER BY source, lang""")),
 
+    GraftQuery("l_sequence_pack", (s, dir) => {
+      // GPT-style sequence packing: documents concatenated in a global
+      // order and chunked into fixed 2048-token training windows. Each
+      // doc's placement = (bin, offset) from the running token total —
+      // computed with Prefix.runningSum (range partition + local
+      // window + k offsets), NEVER a single-task global window.
+      val d = docs(s, dir).select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      graft.operators.Prefix
+        .runningSum(d, Seq(col("doc_id")), col("n_tokens"), "cum_tokens")
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+          expr("(cum_tokens - n_tokens) div 2048").as("bin"),
+          expr("(cum_tokens - n_tokens) % 2048").as("bin_offset"),
+          expr("((cum_tokens - 1) div 2048) - ((cum_tokens - n_tokens) div 2048) + 1")
+            .as("n_bins_spanned"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH d AS (SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+          CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS cum_tokens
+        FROM d)
+      SELECT doc_id, n_tokens, cum_tokens,
+        (cum_tokens - n_tokens) // 2048 AS bin,
+        (cum_tokens - n_tokens) % 2048 AS bin_offset,
+        ((cum_tokens - 1) // 2048) - ((cum_tokens - n_tokens) // 2048) + 1
+          AS n_bins_spanned
+      FROM c ORDER BY doc_id""")),
+
     GraftQuery("l_chunk_dedup", (s, dir) => {
       // repeated-chunk accounting (the RefinedWeb/CCNet "duplicated
       // paragraph" signal; this corpus has no punctuation, so fixed
