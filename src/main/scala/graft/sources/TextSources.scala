@@ -32,4 +32,11 @@ object TextSources {
       .schema(schema)
       .option("mode", "FAILFAST")
       .json(path)
+
+  /** ORC — the columnar alternative when a side table is too big for
+    * text formats: column pruning and predicate pushdown reach the
+    * reader (same scan contract as the parquet lakehouse tables).
+    */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

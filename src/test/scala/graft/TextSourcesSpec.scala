@@ -56,6 +56,19 @@ class TextSourcesSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(joined.count() === base.count())
   }
 
+  test("ORC roundtrip preserves rows and pushes predicates to the scan") {
+    val dir = tmpDir("graft-orc")
+    base.write.mode("overwrite").orc(dir)
+    val back = TextSources.orc(spark, dir, schema)
+    assert(back.count() === base.count())
+    assert(back.exceptAll(base).isEmpty && base.exceptAll(back).isEmpty)
+    // predicate pushdown reaches the ORC reader like parquet
+    val plan = back.where(col("event_id") === 42L).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id,42)]"),
+      s"no pushdown in:\n$plan")
+  }
+
   test("FAILFAST surfaces corrupt rows instead of nulling them") {
     val dir = tmpDir("graft-bad")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.json"),
