@@ -66,6 +66,23 @@ class BandJoinNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(BandJoinNative.join(l.where(lit(false)), r, Seq("k"), "lt", "rt", 50L).count() === 0)
   }
 
+  test("hot key (90% of rows) stays correct — skew is a latency tail, not a failure") {
+    val rnd = new scala.util.Random(17)
+    def key(i: Int): Long = if (i % 10 == 0) rnd.nextInt(5).toLong + 10L else 1L
+    val lRows = Seq.tabulate(500)(i => (key(i), i.toLong, rnd.nextInt(300).toLong))
+    val rRows = Seq.tabulate(500)(i => (key(i), (1000 + i).toLong, rnd.nextInt(300).toLong))
+    val out = BandJoinNative.join(
+        lRows.toDF("k", "lid", "lt"), rRows.toDF("k", "rid", "rt"),
+        Seq("k"), "lt", "rt", width = 25L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (lk, lid, lt) <- lRows; (rk, rid, rt) <- rRows
+      if lk == rk && math.abs(lt - rt) <= 25L
+    } yield (lid, rid)).toSet
+    assert(out === expected)
+    assert(out.size > 10000, s"hot key should produce a dense band, got ${out.size}")
+  }
+
   test("plans as a single merge exec over co-partitioned children") {
     val l = Seq((1L, 10L, 100L)).toDF("k", "lid", "lt")
     val r = Seq((1L, 90L, 120L)).toDF("k", "rid", "rt")
