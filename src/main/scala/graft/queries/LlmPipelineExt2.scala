@@ -14,7 +14,11 @@ import graft.queries.{round => round} // DuckDB-compatible rounding (see package
   */
 object LlmPipelineExt2 {
 
-  private def docs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "documents")
+  // single-file test parquet reads as ONE partition — spread the
+  // CPU-heavy explode/md5 pipelines across cores (same as LlmPipeline)
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
   /** DuckDB word-shingle fragments (same family as LlmPipeline's). */
   private def oracleShingles(n: Int): String = {
