@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.graftshim.Shim
 
 /** Native backward as-of join as a first-class Catalyst operator:
@@ -165,6 +166,10 @@ case class AsofJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(a => a.withNullability(true))
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
@@ -184,6 +189,8 @@ case class AsofJoinExec(
   protected override def doExecute(): RDD[InternalRow] = {
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
       val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
@@ -214,6 +221,7 @@ case class AsofJoinExec(
         val lKey = lKeyProj(lRow)
         val lTimeVal = lTimeRef.eval(lRow)
         if (lKey.anyNull || lTimeVal == null) {
+          numOutputRows += 1
           result(joined(lRow, nullRight))
         } else {
           // drop a carry that can no longer match: different key group,
@@ -267,6 +275,8 @@ case class AsofJoinExec(
                         else toLong(lTimeVal) - toLong(carryTime)
               gap <= tol
           })
+          numOutputRows += 1
+          if (withinTol) numMatched += 1
           result(joined(lRow, if (withinTol) carry else nullRight))
         }
       }

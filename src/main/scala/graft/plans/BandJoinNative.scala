@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.graftshim.Shim
 
 /** Native band (interval) join: all pairs on the same key whose times
@@ -71,6 +72,9 @@ case class BandJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
@@ -91,6 +95,7 @@ case class BandJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val w = width
+    val numOutputRows = longMetric("numOutputRows")
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
       val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
@@ -149,7 +154,10 @@ case class BandJoinExec(
           }
           // every buffered row is inside [lt - w, lt + w]
           import scala.jdk.CollectionConverters._
-          rows.iterator().asScala.map(r => result(joined(lRow, r)))
+          rows.iterator().asScala.map { r =>
+            numOutputRows += 1
+            result(joined(lRow, r))
+          }
         }
       }
     }
