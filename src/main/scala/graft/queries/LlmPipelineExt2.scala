@@ -14,11 +14,14 @@ import graft.queries.{round => round} // DuckDB-compatible rounding (see package
   */
 object LlmPipelineExt2 {
 
-  // single-file test parquet reads as ONE partition — spread the
-  // CPU-heavy explode/md5 pipelines across cores (same as LlmPipeline)
-  private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.df(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "documents")
+
+  // single-file test parquet reads as ONE partition — the CPU-heavy
+  // explode/md5 pipelines repartition first (same as LlmPipeline); the
+  // scan-riding queries (sampling, PII scrub) deliberately do NOT, so
+  // they stay zero-shuffle
+  private def docsWide(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
   /** DuckDB word-shingle fragments (same family as LlmPipeline's). */
   private def oracleShingles(n: Int): String = {
@@ -34,7 +37,7 @@ object LlmPipelineExt2 {
       // most common word" rule): top_count/n_tokens and
       // n_distinct/n_tokens per doc. Two partial-agg-friendly groupBys;
       // all comparisons integer-exact.
-      val tok = docs(s, dir).select(col("doc_id"),
+      val tok = docsWide(s, dir).select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("w"))
       tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
@@ -63,7 +66,7 @@ object LlmPipelineExt2 {
       // 'src0' plays the held-out benchmark). The benchmark shingle
       // set is distinct + broadcast — candidates never shuffle; at
       // 100 TB this is the standard decontamination sweep shape.
-      val sh = docs(s, dir).select(col("doc_id"), col("source"),
+      val sh = docsWide(s, dir).select(col("doc_id"), col("source"),
         explode(Dedup.wordShingles(col("text"), 3)).as("sh"))
       val bench = sh.where(col("source") === "src0")
         .select("sh").distinct().withColumn("hit", lit(1L))
@@ -120,7 +123,7 @@ object LlmPipelineExt2 {
       // doc's placement = (bin, offset) from the running token total —
       // computed with Prefix.runningSum (range partition + local
       // window + k offsets), NEVER a single-task global window.
-      val d = docs(s, dir).select(col("doc_id"),
+      val d = docsWide(s, dir).select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
       graft.operators.Prefix
         .runningSum(d, Seq(col("doc_id")), col("n_tokens"), "cum_tokens")
@@ -157,7 +160,7 @@ object LlmPipelineExt2 {
       val nChunks = greatest(ceil(size(tokens) / lit(n.toDouble)).cast("int"), lit(1))
       val chunkArr = transform(sequence(lit(0), nChunks - 1),
         i => array_join(slice(tokens, i * n + 1, lit(n)), " "))
-      val ch = docs(s, dir)
+      val ch = docsWide(s, dir)
         .select(col("doc_id"), explode(chunkArr).as("chunk"))
         .select(col("doc_id"), md5(col("chunk")).as("h")).distinct()
       val byHash = ch.groupBy("h").agg(count(lit(1)).as("n_docs"))

@@ -162,6 +162,17 @@ class AsofJoinNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out === Map(10L -> Some(90L), 11L -> Some(91L), 12L -> None))
   }
 
+  test("SQLMetrics count emitted and matched rows exactly") {
+    val df = AsofJoinNative.join(left, right, Seq("k"), "lt", "rt")
+    df.collect()
+    val exec = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: AsofJoinExec => e
+    }.head
+    // 4 left rows always emit; 2 of them (lid 11, 12) have a match
+    assert(exec.metrics("numOutputRows").value === 4L)
+    assert(exec.metrics("numMatched").value === 2L)
+  }
+
   test("plans as a streaming merge over co-partitioned sorted children") {
     val df = AsofJoinNative.join(left, right, Seq("k"), "lt", "rt")
     df.collect()
