@@ -134,6 +134,48 @@ object ObservabilityExt2 {
         SELECT 1 FROM r WHERE r.user_id = l.user_id AND r.mt_ms <= l.t_ms)
       ORDER BY user_id, t_ms, event_id""")),
 
+    GraftQuery("m_asof_forward", (s, dir) => {
+      // forward as-of with tolerance through the native operator: the
+      // FIRST purchase at-or-after each error, but only within 1 hour
+      // ("what did the user buy right after the error"). Same sub-ms
+      // id fold as m_asof_native, but the left fold is 0 so same-ms
+      // purchases stay INCLUSIVE and ties pick the smallest id; the
+      // tolerance carries the fold's max id so the 1-hour boundary is
+      // inclusive in ms terms.
+      val e = events(s, dir)
+      val errs = e.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), epochMs(col("ts")).as("t_ms"))
+        .withColumn("t2", col("t_ms") * 1000000L)
+      val meas = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("m_id"),
+          epochMs(col("ts")).as("mt_ms"), col("value"))
+        .withColumn("mt2", col("mt_ms") * 1000000L + col("m_id"))
+      graft.plans.AsofJoinNative.join(errs, meas, Seq("user_id"), "t2", "mt2",
+          direction = "forward", tolerance = Some(3600000L * 1000000L + 999999L))
+        .select(col("user_id"), col("event_id"), col("t_ms"),
+          round(col("value"), 2).as("next_purchase"), col("m_id").as("purchase_id"))
+        .orderBy("user_id", "t_ms", "event_id")
+    }, Some("""
+      WITH l AS (SELECT user_id, event_id, epoch_ms(ts) AS t_ms
+                 FROM events WHERE event_type = 'error'),
+      r AS (SELECT user_id, event_id AS m_id, epoch_ms(ts) AS mt_ms, value
+            FROM events WHERE event_type = 'purchase'),
+      j AS (
+        SELECT l.user_id, l.event_id, l.t_ms, r.value, r.m_id,
+          row_number() OVER (PARTITION BY l.user_id, l.event_id
+                             ORDER BY r.mt_ms ASC, r.m_id ASC) AS rn
+        FROM l JOIN r ON l.user_id = r.user_id
+          AND r.mt_ms >= l.t_ms AND r.mt_ms - l.t_ms <= 3600000)
+      SELECT user_id, event_id, t_ms, round(value, 2) AS next_purchase,
+        m_id AS purchase_id
+      FROM j WHERE rn = 1
+      UNION ALL
+      SELECT l.user_id, l.event_id, l.t_ms, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+      FROM l WHERE NOT EXISTS (
+        SELECT 1 FROM r WHERE r.user_id = l.user_id
+          AND r.mt_ms >= l.t_ms AND r.mt_ms - l.t_ms <= 3600000)
+      ORDER BY user_id, t_ms, event_id""")),
+
     GraftQuery("m_band_native", (s, dir) => {
       // same band-join semantics as m_band_join, but through the native
       // sliding-merge operator (BandJoinNode → BandJoinExec) instead of
