@@ -71,6 +71,23 @@ object Multimodal {
       Seq(w, h)
     }
 
+  /** Resize spec: aspect-preserving fit into a `maxDim` box, computed
+    * as integer column math over decoded dimensions (engine-exact).
+    * This is the metadata half of a resize stage — the pixel transform
+    * itself belongs in the same batched mapPartitions pass as the
+    * (stubbed) codec and would consume these target dimensions.
+    */
+  def resizeSpec(decoded: DataFrame, maxDim: Int): DataFrame = {
+    val mx = greatest(col("width"), col("height"))
+    val needs = mx > maxDim
+    def fit(side: org.apache.spark.sql.Column) =
+      when(needs, greatest(lit(1), floor((side * maxDim) / mx))).otherwise(side).cast("int")
+    decoded
+      .withColumn("out_width", fit(col("width")))
+      .withColumn("out_height", fit(col("height")))
+      .withColumn("resized", needs)
+  }
+
   val audioSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),

@@ -46,6 +46,34 @@ object LlmPipelineExt {
         md5(text) AS checksum
       FROM documents ORDER BY media_id""")),
 
+    GraftQuery("l_multimodal_resize", (s, dir) => {
+      // resize stage: aspect-preserving fit of the decoded dimensions
+      // into a 64px box — integer math over the decode output, so the
+      // oracle can replay it exactly; the pixel transform itself is
+      // the stubbed-codec half (same mapPartitions pass as decode)
+      val media = Multimodal.asMediaTable(docs(s, dir), "doc_id", col("text"), "image/fake")
+      Multimodal.resizeSpec(Multimodal.decode(media), maxDim = 64)
+        .select(col("media_id"), col("width"), col("height"),
+          col("out_width"), col("out_height"), col("resized"))
+        .orderBy("media_id")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id AS media_id,
+          CAST(CASE WHEN length(text) = 0 THEN 0
+            ELSE (ascii(substring(text, 1, 1)) % 128) + 1 END AS INTEGER) AS width,
+          CAST(CASE WHEN length(text) = 0 THEN 0
+            ELSE (ascii(substring(text, length(text), 1)) % 128) + 1 END AS INTEGER) AS height
+        FROM documents)
+      SELECT media_id, width, height,
+        CAST(CASE WHEN greatest(width, height) <= 64 THEN width
+          ELSE greatest(1, (width * 64) // greatest(width, height)) END AS INTEGER)
+          AS out_width,
+        CAST(CASE WHEN greatest(width, height) <= 64 THEN height
+          ELSE greatest(1, (height * 64) // greatest(width, height)) END AS INTEGER)
+          AS out_height,
+        greatest(width, height) > 64 AS resized
+      FROM d ORDER BY media_id""")),
+
     GraftQuery("l_multimodal_audio", (s, dir) => {
       // audio-shaped decode: same batched mapPartitions plumbing,
       // stream-parameter metadata; integer-only stub → exact oracle
