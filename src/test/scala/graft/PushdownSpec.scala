@@ -45,4 +45,15 @@ class PushdownSpec extends SparkSpec
     assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
     assert(plan.contains("LessThan(o_orderdate"), plan)
   }
+
+  test("star-schema dims join via broadcast, not shuffle") {
+    Seq("q_star_broadcast", "q5_multi_join").foreach { n =>
+      val df = qs(n).fn(spark, sfDir)
+      df.collect()
+      val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty, s"$n has no broadcast joins")
+    }
+  }
 }
