@@ -92,6 +92,31 @@ object ObservabilityExt2 {
         max(epoch_ms(ts)) AS max_event_time_ms
       FROM events GROUP BY 1, 2 ORDER BY process_id, tag""")),
 
+    GraftQuery("m_blocks", (s, dir) => {
+      // blocks metadata view (reference blocks_view.rs): ingestion
+      // block granularity — per (process, stream) per minute-bucket,
+      // object counts, event-time range, payload size. The events
+      // stream plays the block payloads (props length = payload bytes).
+      val e = events(s, dir)
+      val ms = epochMs(col("ts"))
+      e.groupBy(col("user_id").cast("string").as("process_id"),
+          col("event_type").as("stream_tag"),
+          (ms - pmod(ms, lit(60000L))).as("block_start_ms"))
+        .agg(count(lit(1)).as("nb_objects"),
+          min(ms).as("min_event_time_ms"),
+          max(ms).as("max_event_time_ms"),
+          sum(length(col("props")).cast("long")).as("payload_bytes"))
+        .orderBy("process_id", "stream_tag", "block_start_ms")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS process_id, event_type AS stream_tag,
+        epoch_ms(ts) - epoch_ms(ts) % 60000 AS block_start_ms,
+        CAST(count(*) AS BIGINT) AS nb_objects,
+        min(epoch_ms(ts)) AS min_event_time_ms,
+        max(epoch_ms(ts)) AS max_event_time_ms,
+        CAST(sum(length(props)) AS BIGINT) AS payload_bytes
+      FROM events GROUP BY 1, 2, 3
+      ORDER BY process_id, stream_tag, block_start_ms""")),
+
     GraftQuery("m_asof_native", (s, dir) => {
       // the SAME as-of semantics as m_asof_join, but through the native
       // Catalyst operator (AsofJoinNode → AsofJoinStrategy →
