@@ -9,8 +9,25 @@ import graft.streaming.LogStatsStream
   * Each closed window must land exactly once, including across a
   * stop/restart from the same checkpoint (exactly-once resume).
   */
-class StreamSinkSpec extends SparkSpec {
+class StreamSinkSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer[String]()
+  private def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tmpDirs += d; d
+  }
+  override def afterAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    tmpDirs.foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    super.afterAll()
+  }
 
   private def t(minute: Int, sec: Int = 0): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
@@ -18,9 +35,9 @@ class StreamSinkSpec extends SparkSpec {
   private def ev(ts: Timestamp, et: String) = Ev(ts, 1L, et, 1.0)
 
   test("checkpointed parquet sink: closed windows land exactly once across restart") {
-    val in = java.nio.file.Files.createTempDirectory("graft-sink-in").toString
-    val out = java.nio.file.Files.createTempDirectory("graft-sink-out").toString
-    val chk = java.nio.file.Files.createTempDirectory("graft-sink-chk").toString
+    val in = tmpDir("graft-sink-in")
+    val out = tmpDir("graft-sink-out")
+    val chk = tmpDir("graft-sink-chk")
     val schema = Seq(ev(t(0), "error")).toDF().schema
 
     def append(rows: Ev*): Unit =
