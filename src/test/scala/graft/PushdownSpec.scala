@@ -36,8 +36,7 @@ class PushdownSpec extends SparkSpec
   test("q19_disjunctive pushes the decomposed OR to both scans") {
     val plan = executedPlan("q19_disjunctive")
     assert(plan.contains("In(p_brand") || plan.contains("EqualTo(p_brand"), plan)
-    assert(plan.contains("GreaterThanOrEqual(l_quantity") ||
-      plan.contains("Or(And(GreaterThanOrEqual(l_quantity"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_quantity"), plan)
   }
 
   test("date-windowed queries prune via the orders scan") {

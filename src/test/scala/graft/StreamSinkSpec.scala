@@ -9,25 +9,9 @@ import graft.streaming.LogStatsStream
   * Each closed window must land exactly once, including across a
   * stop/restart from the same checkpoint (exactly-once resume).
   */
-class StreamSinkSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+class StreamSinkSpec extends SparkSpec with TmpDirSupport {
   import spark.implicits._
 
-  private val tmpDirs = scala.collection.mutable.ArrayBuffer[String]()
-  private def tmpDir(prefix: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(prefix).toString
-    tmpDirs += d; d
-  }
-  override def afterAll(): Unit = {
-    import scala.jdk.CollectionConverters._
-    tmpDirs.foreach { d =>
-      val p = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(p)) {
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
-    super.afterAll()
-  }
 
   private def t(minute: Int, sec: Int = 0): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")

@@ -7,24 +7,8 @@ import org.apache.spark.sql.types._
 /** CSV/JSON side-table sources must roundtrip lakehouse data exactly
   * (schema-pinned, no inference) and join back against parquet views.
   */
-class TextSourcesSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+class TextSourcesSpec extends SparkSpec with TmpDirSupport {
 
-  private val tmpDirs = scala.collection.mutable.ArrayBuffer[String]()
-  private def tmpDir(prefix: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(prefix).toString
-    tmpDirs += d; d
-  }
-  override def afterAll(): Unit = {
-    import scala.jdk.CollectionConverters._
-    tmpDirs.foreach { d =>
-      val p = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(p)) {
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
-    super.afterAll()
-  }
 
   private lazy val base = {
     // timestamps flattened to epoch micros for text-format roundtrip
