@@ -51,6 +51,13 @@ object Dedup {
   /** Same signature via explode + groupBy-min: the scale path. Partial
     * aggregation computes the mins map-side, so the only shuffle is
     * numHashes small digests per doc — independent of document size.
+    *
+    * The min is taken over the hex chunk parsed as a LONG, not the hex
+    * string: fixed-width hex is order-isomorphic to its numeric value,
+    * and a numeric agg buffer keeps the aggregate in HashAggregate
+    * (a string min forces SortAggregate — a per-partition sort of the
+    * whole exploded doc×shingle stream). The hex form is rebuilt after
+    * the agg, so signatures are byte-identical to the string path.
     */
   def minhashSignatureExploded(df: DataFrame, idCol: String, shinglesCol: String, numHashes: Int): DataFrame = {
     val ex = df.select(col(idCol), explode(col(shinglesCol)).as("__sh"))
@@ -59,9 +66,12 @@ object Dedup {
       d.withColumn(s"__d$j", md5(src))
     }
     val aggs = (0 until numHashes).map { i =>
-      min(substring(col(s"__d${i / 4}"), 1 + 8 * (i % 4), 8)).as(s"mh$i")
+      min(conv(substring(col(s"__d${i / 4}"), 1 + 8 * (i % 4), 8), 16, 10).cast("long")).as(s"__m$i")
     }
     withDigests.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol) +: (0 until numHashes).map { i =>
+        lower(lpad(hex(col(s"__m$i")), 8, "0")).as(s"mh$i")
+      }: _*)
   }
 
   /** LSH banding: rows (doc_id, band, key) where key hashes `rowsPerBand`

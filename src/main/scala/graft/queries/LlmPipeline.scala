@@ -74,7 +74,12 @@ object LlmPipeline {
         // instead of pinned in the CacheManager across later queries
         .localCheckpoint()
       val sig = Dedup.minhashSignatureExploded(sh, "doc_id", "shingles", numHashes = 8)
+      // materialized: the candidate self-join reads bands TWICE, and
+      // without a cut Spark re-runs the whole explode+agg signature
+      // pipeline for each side (the broadcast side can't reuse the
+      // shuffle stage)
       val bands = Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2)
+        .localCheckpoint()
       val cand = Dedup.candidatePairs(bands, "doc_id")
       val withSets = cand
         .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
