@@ -258,6 +258,49 @@ object ObservabilityExt2 {
         '{"k":"' || kv_k || '","type":"' || kv_type || '","m7":"' || kv_m7 || '"}' AS props_json
       FROM e ORDER BY event_id""")),
 
+    GraftQuery("m_trace_events", (s, dir) => {
+      // Perfetto-export analog (reference: rust/analytics/src/lakehouse/
+      // perfetto_trace_execution_plan.rs): the reference streams one
+      // process's descriptor + per-thread descriptors + span track
+      // events as protobuf chunks; the protobuf wire format is out of
+      // scope (SURVEY §5), so this emits the SAME event stream in the
+      // public Chrome Trace Event JSON format — process/thread metadata
+      // rows, then one complete ("ph":"X") event per assembled span,
+      // in trace order. A trace export is per-process by construction
+      // (the reference takes process_id as an argument), so the global
+      // row_number over ONE process's spans is bounded state, not a
+      // scale hazard.
+      val sp = spans(s, dir).where(col("user_id") === 9)
+      val meta = s.createDataFrame(Seq(
+        (0L, """{"ph":"M","pid":9,"name":"process_name","args":{"name":"user-9"}}"""),
+        (1L, """{"ph":"M","pid":9,"tid":9,"name":"thread_name","args":{"name":"user-9-main"}}""")))
+        .toDF("seq", "ev")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("begin_ms"), col("span_id"))
+      val ev = sp.select(
+        (row_number().over(w).cast("long") + 1L).as("seq"),
+        concat(lit("""{"ph":"X","pid":9,"tid":9,"ts":"""),
+          (col("begin_ms") * 1000).cast("string"),
+          lit(""","dur":"""), (col("duration_ms") * 1000).cast("string"),
+          lit(""","name":""""), col("name"),
+          lit("""","args":{"depth":"""), col("depth").cast("string"),
+          lit("}}")).as("ev"))
+      meta.unionAll(ev).orderBy("seq")
+    }, Some(s"""
+      $oracleSpans,
+      f AS (SELECT * FROM spans WHERE user_id = 9),
+      ev AS (SELECT ROW_NUMBER() OVER (ORDER BY begin_ms, span_id) + 1 AS seq,
+        '{"ph":"X","pid":9,"tid":9,"ts":' || CAST(begin_ms*1000 AS VARCHAR) ||
+        ',"dur":' || CAST(duration_ms*1000 AS VARCHAR) ||
+        ',"name":"' || name || '","args":{"depth":' || CAST(depth AS VARCHAR) || '}}' AS ev
+        FROM f)
+      SELECT CAST(seq AS BIGINT) AS seq, ev FROM (
+        SELECT 0 AS seq,
+          '{"ph":"M","pid":9,"name":"process_name","args":{"name":"user-9"}}' AS ev
+        UNION ALL SELECT 1,
+          '{"ph":"M","pid":9,"tid":9,"name":"thread_name","args":{"name":"user-9-main"}}'
+        UNION ALL SELECT seq, ev FROM ev)
+      ORDER BY seq""")),
+
     GraftQuery("q_date_bin", (s, dir) => {
       // DataFusion date_bin('15 minutes', time): arbitrary-stride
       // binning via epoch arithmetic (integer ops, engine-exact)
