@@ -52,6 +52,52 @@ object Materialize {
     * `time_bin_ms` column) into `outDir`, partitioned by derived
     * `date`. Returns what was recomputed.
     */
+  final case class RetireStats(daysRetired: Long)
+
+  /** Partition retirement — the reference's `retire_partitions` admin
+    * table function (rust/analytics/src/lakehouse/
+    * retire_partitions_table_function.rs): drop every day partition
+    * strictly OLDER than `beforeDate` (ISO yyyy-MM-dd). Retention is a
+    * directory-level operation: no data is read or rewritten, so
+    * retiring a year of history costs O(days) filesystem calls — on a
+    * catalog-backed lake (Delta/Iceberg) the same call becomes a
+    * metadata-only drop.
+    */
+  def retireByDay(spark: SparkSession, outDir: String, beforeDate: String): RetireStats = {
+    require(beforeDate.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"retireByDay: beforeDate must be ISO yyyy-MM-dd, got $beforeDate")
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return RetireStats(0)
+    val victims = fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .filter { s =>
+        val d = s.getPath.getName.stripPrefix("date=")
+        d.matches("\\d{4}-\\d{2}-\\d{2}") && d < beforeDate // ISO: lexicographic == chronological
+      }
+    victims.foreach(s => fs.delete(s.getPath, true))
+    RetireStats(victims.size.toLong)
+  }
+
+  /** Partition inventory — the reference's `list_partitions` metadata
+    * function applied to a materialized lake: one row per day partition
+    * with file count and byte size, from the filesystem listing alone.
+    */
+  def listPartitions(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows: Seq[(String, Long, Long)] =
+      if (!fs.exists(path)) Seq.empty
+      else fs.listStatus(path).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+        .map { s =>
+          val files = fs.listStatus(s.getPath).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+          (s.getPath.getName.stripPrefix("date="), files.size.toLong, files.map(_.getLen).sum)
+        }.sortBy(_._1)
+    rows.toDF("date", "n_files", "bytes")
+  }
+
   def updateByDay(spark: SparkSession, stats: DataFrame, outDir: String): UpdateStats = {
     val withDate = stats.withColumn("date", to_date(timestamp_millis(col("time_bin_ms"))))
     val fresh = (openDay(spark, outDir) match {

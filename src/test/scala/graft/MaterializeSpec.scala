@@ -55,4 +55,32 @@ class MaterializeSpec extends SparkSpec {
     assert(lake2.exceptAll(fresh).isEmpty && fresh.exceptAll(lake2).isEmpty)
     assert(third.daysRecomputed <= second.daysRecomputed)
   }
+
+  test("retireByDay drops only partitions older than the cutoff; survivors stay queryable") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ret").toString + "/log_stats"
+    Materialize.updateByDay(spark, statsSource, out)
+
+    val inv = Materialize.listPartitions(spark, out).collect()
+    assert(inv.length > 3, "need several day partitions to exercise retirement")
+    assert(inv.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0L))
+    val days = inv.map(_.getString(0)).sorted
+    val cutoff = days(days.length / 2)
+
+    val retired = Materialize.retireByDay(spark, out, cutoff)
+    assert(retired.daysRetired == days.count(_ < cutoff).toLong)
+
+    val left = Materialize.listPartitions(spark, out).collect().map(_.getString(0))
+    assert(left.sorted.sameElements(days.filter(_ >= cutoff)), "exactly the cutoff's survivors remain")
+
+    // surviving data still reads, and equals the source restricted to kept days
+    val lake = spark.read.parquet(out)
+      .select("time_bin_ms", "process_id", "level", "target", "count")
+    val kept = statsSource
+      .where(to_date(timestamp_millis(col("time_bin_ms"))) >= to_date(lit(cutoff)))
+      .select("time_bin_ms", "process_id", "level", "target", "count")
+    assert(lake.exceptAll(kept).isEmpty && kept.exceptAll(lake).isEmpty)
+
+    // idempotent: retiring again with the same cutoff is a no-op
+    assert(Materialize.retireByDay(spark, out, cutoff).daysRetired == 0)
+  }
 }
