@@ -85,6 +85,59 @@ object LlmPipelineExt3 {
         CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat
       FROM q ORDER BY vec_id""")),
 
+    GraftQuery("l_ann_int8", (s, dir) => {
+      // quantized ANN: top-k by int8×int8 dot product — the retrieval
+      // path l_embed_quantize exists for (4× less memory bandwidth,
+      // integer SIMD). The integer dot is EXACT (|term| ≤ 127², 64
+      // dims → far inside both long and double-53-bit range), so
+      // ranking is deterministic cross-engine; the descaled
+      // approximate dot idot·s_a·s_b is a product of identically-
+      // computed doubles. Queries broadcast; the corpus never
+      // shuffles.
+      val e = embs(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+        .withColumn("sc", greatest(array_max(transform(col("v"), x => abs(x))) / lit(127.0),
+          lit(1e-12)))
+        .withColumn("q", transform(col("v"), x => round(x / col("sc"), 0).cast("long")))
+        .select(col("vec_id"), col("sc"), col("q"))
+      val qs = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("sc").as("sa"), col("q").as("qa"))
+      val scored = e.crossJoin(broadcast(qs))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          aggregate(zip_with(col("qa"), col("q"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x).as("idot"),
+          col("sa"), col("sc"))
+      val w = Window.partitionBy("query_id").orderBy(col("idot").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= 10)
+        .select(col("query_id"), col("rk"), col("neighbor_id"), col("idot"),
+          round(col("idot").cast("double") * col("sa") * col("sc"), 4).as("approx_dot"))
+        .orderBy("query_id", "rk")
+    }, Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          GREATEST(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0,
+                   1e-12) AS sc
+        FROM embeddings),
+      z AS (
+        SELECT vec_id, sc,
+          list_transform(v, x -> CAST(round(x / sc, 0) AS DOUBLE)) AS q
+        FROM e),
+      sim AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          CAST(list_dot_product(a.q, b.q) AS BIGINT) AS idot,
+          a.sc AS sa, b.sc AS sb
+        FROM z a CROSS JOIN z b
+        WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id),
+      r AS (
+        SELECT query_id, neighbor_id, idot, sa, sb,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY idot DESC, neighbor_id) AS rk
+        FROM sim)
+      SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, idot,
+        round(CAST(idot AS DOUBLE) * sa * sb, 4) AS approx_dot
+      FROM r WHERE rk <= 10
+      ORDER BY query_id, rk""")),
+
     GraftQuery("l_split_assign", (s, dir) => {
       // deterministic train/val/test assignment: md5-threshold on the
       // doc id — reproducible across engines, runs, and cluster sizes

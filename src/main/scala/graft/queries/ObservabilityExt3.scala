@@ -33,28 +33,12 @@ object ObservabilityExt3 {
       // the correction regime anyway. Scale shape: one keyed groupBy
       // to registers (16 rows per group), one tiny final agg.
       val e = events(s, dir)
-      val h = md5(col("user_id").cast("string"))
-      val idx = conv(substring(h, 1, 1), 16, 10).cast("int")
-      val s12 = substring(h, 2, 12)
-      val r = ltrim(s12, "0")
-      val nz = lit(12) - length(r)
-      val d = substring(r, 1, 1)
-      val zb = when(d === "1", 3).when(d.isin("2", "3"), 2)
-        .when(d.isin("4", "5", "6", "7"), 1).otherwise(0)
-      val rho = when(length(r) === 0, 49).otherwise(nz * 4 + zb + 1)
-      val regs = e.select(col("event_type"), idx.as("idx"), rho.as("rho"))
-        .groupBy("event_type", "idx").agg(max("rho").as("mrho"))
-      val sk = regs.groupBy("event_type")
-        .agg(count(lit(1)).as("n_reg"),
-          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - mrho AS INT))")).as("isum"))
-        .select(col("event_type"), col("n_reg"), (lit(16L) - col("n_reg")).as("n_zero"),
-          (col("isum") + (lit(16L) - col("n_reg")) * lit(562949953421312L)).as("den"))
+      val regs = graft.operators.Hll.registers(e, Seq("event_type"), col("user_id"))
+      val sk = graft.operators.Hll.estimate(regs, Seq("event_type"))
       val ex = e.groupBy("event_type").agg(countDistinct("user_id").as("exact_users"))
       sk.join(broadcast(ex), "event_type")
         .select(col("event_type"), col("n_reg"), col("n_zero"),
-          round(lit(0.673) * lit(256.0) * lit(562949953421312.0) / col("den").cast("double"), 2)
-            .as("hll_estimate"),
-          col("exact_users"))
+          round(col("hll_estimate"), 2).as("hll_estimate"), col("exact_users"))
         .orderBy("event_type")
     }, Some("""
       WITH x AS (

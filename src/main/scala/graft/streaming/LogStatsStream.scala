@@ -57,6 +57,24 @@ object LogStatsStream {
     * contract of the reference's histogram partitions
     * (rust/analytics histo queries over time bins).
     */
+  /** Streaming approximate distinct users: per-minute HLL register
+    * stream. Registers merge by MAX (monotone), so the windowed state
+    * is 16 small ints per (window, name) — the same mergeable-sketch
+    * contract as the histogram stream, and bit-identical to the batch
+    * sketch over the same distinct ids (StreamingSpec pins this).
+    * Finalize with [[graft.operators.Hll.estimate]] on the latest
+    * register state.
+    */
+  def approxUsers(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), "1 minute").as("w"), col("event_type"),
+        graft.operators.Hll.idx(col("user_id")).as("idx"),
+        graft.operators.Hll.rho(col("user_id")).as("rho"))
+      .groupBy(col("w"), col("event_type"), col("idx"))
+      .agg(max("rho").as("mrho"))
+      .select(col("w.start").as("time_bin"), col("event_type"), col("idx"), col("mrho"))
+
   def measuresHistogram(events: DataFrame, start: Double, end: Double, nbBins: Int,
       watermark: String = "10 minutes"): DataFrame = {
     graft.functions.GraftFunctions.register(events.sparkSession)

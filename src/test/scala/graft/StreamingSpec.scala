@@ -84,6 +84,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers merge across micro-batches to the batch sketch") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = LogStatsStream.approxUsers(mem.toDF())
+      .writeStream.format("memory").queryName("hll_stream").outputMode("update").start()
+    try {
+      mem.addData((1 to 40).map(i => Ev(t(0, 10), i.toLong, "view", 1.0)): _*)
+      q.processAllAvailable()
+      // second batch overlaps 21..40 — duplicates must not move registers
+      mem.addData((21 to 60).map(i => Ev(t(0, 30), i.toLong, "view", 1.0)): _*)
+      q.processAllAvailable()
+      // update-mode sink keeps one row per register update; mrho is
+      // monotone, so max over updates IS the latest state
+      val regs = spark.table("hll_stream")
+        .groupBy("idx").agg(max("mrho").as("mrho"))
+        .withColumn("k", lit("view"))
+      val est = graft.operators.Hll.estimate(regs, Seq("k")).head()
+      // batch sketch over the same 60 distinct users must agree bitwise
+      val batch = graft.operators.Hll.registers(
+        (1 to 60).map(i => (i.toLong, "view")).toDF("user_id", "k"), Seq("k"), col("user_id"))
+      val bEst = graft.operators.Hll.estimate(batch, Seq("k")).head()
+      assert(est.getAs[Long]("n_reg") === bEst.getAs[Long]("n_reg"))
+      assert(est.getAs[Double]("hll_estimate") === bEst.getAs[Double]("hll_estimate"))
+      val exact = 60.0
+      val err = math.abs(est.getAs[Double]("hll_estimate") - exact) / exact
+      assert(err < 0.6, s"m=16 estimate should be in the right ballpark, err=$err")
+    } finally q.stop()
+  }
+
   test("streaming dedup suppresses same-hash docs across micro-batches, state watermark-bounded") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[StreamDoc]
