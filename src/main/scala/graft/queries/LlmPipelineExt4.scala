@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Fourth LLM-pipeline tranche: embedding-space clustering and the
+  * curation ops built on it.
+  *
+  *  - `l_cluster_assign`: k-means cluster ASSIGNMENT over int8-quantized
+  *    vectors — integer L2 distances, so the argmin is bit-reproducible
+  *    across engines (FP k-means assignment is not: sum order perturbs
+  *    distances near ties).
+  *  - `l_semantic_dedup`: SemDeDup (Abbas et al. 2023) — near-duplicate
+  *    pruning INSIDE clusters, which bounds the pairwise term to
+  *    O(sum cluster_size^2) instead of O(n^2); similarity is the
+  *    quantized cosine, derived from integer dots.
+  *  - `l_mixture_weights`: domain-mixture reweighting — per-source token
+  *    budgets toward a uniform target mix (the DoReMi-lite/static
+  *    sampling-weight table every training pipeline carries).
+  */
+object LlmPipelineExt4 {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "embeddings")
+
+  /** int8 symmetric quantization, identical to l_embed_quantize /
+    * l_ann_int8: per-vector scale max|v|/127, q_i = round(v_i/sc).
+    */
+  private def quantized(e: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    e.select(col("vec_id"), v.as("v"))
+      .withColumn("sc", greatest(array_max(transform(col("v"), x => abs(x))) / lit(127.0),
+        lit(1e-12)))
+      .withColumn("q", transform(col("v"), x => round(x / col("sc"), 0).cast("long")))
+      .select(col("vec_id"), col("sc"), col("q"))
+  }
+
+  private def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Assignments (vec_id, sc, q, cluster, idist): nearest of the K=8
+    * centroids (= the quantized vectors of vec_id 0..7 — deterministic
+    * and recomputable by any engine from the raw table, unlike trained
+    * FP centroids, whose group-sum order is engine-specific; Lloyd
+    * refinement itself is covered test-only by Ann.kmeansRefine).
+    * Integer L2 is exact: |diff| <= 254, squared * 64 dims < 2^23.
+    * Centroids broadcast; the corpus never shuffles for scoring.
+    */
+  private def assignments(e: DataFrame): DataFrame = {
+    val q = quantized(e)
+    val cents = q.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    val scored = q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("sc"), col("q"), col("cid"),
+        aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x).as("idist"))
+    val w = Window.partitionBy("vec_id").orderBy(col("idist").asc, col("cid"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("vec_id"), col("sc"), col("q"), col("cid").as("cluster"), col("idist"))
+  }
+
+  /** Oracle-side CTEs matching [[quantized]] + [[assignments]]: DuckDB
+    * has no zip_with, so integer L2 comes from the dot identity
+    * |a-b|^2 = a.a - 2 a.b + b.b (all three dots are exact integers).
+    */
+  private val assignSql = """
+      e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          GREATEST(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0,
+                   1e-12) AS sc
+        FROM embeddings),
+      z AS (
+        SELECT vec_id, sc,
+          list_transform(v, x -> CAST(round(x / sc, 0) AS DOUBLE)) AS q
+        FROM e),
+      scored AS (
+        SELECT a.vec_id, a.sc, a.q, c.vec_id AS cid,
+          CAST(list_dot_product(a.q, a.q) - 2 * list_dot_product(a.q, c.q)
+               + list_dot_product(c.q, c.q) AS BIGINT) AS idist
+        FROM z a CROSS JOIN z c
+        WHERE c.vec_id < 8),
+      asn AS (
+        SELECT vec_id, sc, q, cid AS cluster, idist,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY idist, cid) AS rk
+        FROM scored)"""
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("l_cluster_assign", (s, dir) => {
+      assignments(embs(s, dir))
+        .select(col("vec_id"), col("cluster"), col("idist"))
+        .orderBy("vec_id")
+    }, Some(s"""
+      WITH $assignSql
+      SELECT vec_id, cluster, idist FROM asn WHERE rk = 1 ORDER BY vec_id""")),
+
+    GraftQuery("l_semantic_dedup", (s, dir) => {
+      // SemDeDup: within each cluster, drop a vector when an
+      // earlier-id vector in the SAME cluster is too close. Quantized
+      // cosine = idot / sqrt(|a|^2 |b|^2) — every input to the FP
+      // expression is an exact integer and the expression tree is
+      // written identically on both engines, so the threshold
+      // comparison is deterministic. The cluster equi-join bounds the
+      // quadratic term to the cluster granularity (the reason SemDeDup
+      // clusters first); at 100 TB the join shuffles on cluster id and
+      // each cluster's pairs stay inside one task.
+      val asn = assignments(embs(s, dir))
+        .withColumn("nrm", idot(col("q"), col("q")))
+      val a = asn.select(col("vec_id").as("a_id"), col("cluster"),
+        col("q").as("aq"), col("nrm").as("anrm"))
+      val b = asn.select(col("vec_id").as("b_id"), col("cluster"),
+        col("q").as("bq"), col("nrm").as("bnrm"))
+      val dropped = a.join(b, Seq("cluster"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("b_id"),
+          (idot(col("aq"), col("bq")).cast("double") /
+            sqrt(col("anrm").cast("double") * col("bnrm").cast("double"))).as("cosq"))
+        .where(col("cosq") > 0.4)
+        .select(col("b_id").as("vec_id")).distinct()
+      asn.join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }, Some(s"""
+      WITH $assignSql,
+      v AS (
+        SELECT vec_id, cluster, q, CAST(list_dot_product(q, q) AS BIGINT) AS nrm
+        FROM asn WHERE rk = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM v a JOIN v b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE CAST(list_dot_product(a.q, b.q) AS BIGINT)
+              / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) > 0.4)
+      SELECT vec_id, cluster FROM v
+      WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+      ORDER BY vec_id""")),
+
+    GraftQuery("l_mixture_weights", (s, dir) => {
+      // domain-mixture reweighting: per-source sampling weight toward a
+      // uniform token share — weight = min(1, (total/n_sources)/tokens).
+      // Two tiny aggs; the corpus-level scalar is a 1-row broadcast
+      // crossJoin (never a collect), the same shape as l_tfidf_top.
+      val toks = docs(s, dir).select(col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val per = toks.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+      val tot = per.agg(sum("tokens").as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      val raw = least(lit(1.0),
+        col("total_tokens").cast("double") / col("n_sources").cast("double")
+          / col("tokens").cast("double"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          round(raw, 6).as("weight"),
+          floor(raw * col("tokens").cast("double")).cast("long").as("budget_tokens"))
+        .orderBy("source")
+    }, Some("""
+      WITH per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source),
+      tot AS (
+        SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+          CAST(count(*) AS BIGINT) AS n_sources
+        FROM per)
+      SELECT source, n_docs, tokens,
+        round(LEAST(CAST(1.0 AS DOUBLE),
+          CAST(total_tokens AS DOUBLE) / CAST(n_sources AS DOUBLE)
+            / CAST(tokens AS DOUBLE)), 6) AS weight,
+        CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+          CAST(total_tokens AS DOUBLE) / CAST(n_sources AS DOUBLE)
+            / CAST(tokens AS DOUBLE)) * CAST(tokens AS DOUBLE)) AS BIGINT) AS budget_tokens
+      FROM per CROSS JOIN tot
+      ORDER BY source"""))
+  )
+}
