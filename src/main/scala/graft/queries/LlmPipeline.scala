@@ -351,23 +351,35 @@ object LlmPipeline {
       // composite the individual L-operators exist to serve. One
       // groupBy (dedup) and one window (budget) shuffle; every gate is
       // a pushdown-friendly scalar predicate.
+      //
+      // The quality score is carried as q10k = round(quality*10000)
+      // BIGINT through the gate, the global order, and the prefix sum:
+      // every comparison downstream of the scorer is integer, so the
+      // composite is bit-robust by construction (no FP gate/order can
+      // flake across partitionings); the double re-appears only in the
+      // final projection as q10k/10000.0 — one exact IEEE division both
+      // engines share.
       val d = docs(s, dir)
       val scored = d.select(col("doc_id"), col("lang"),
           TextAnalysis.langIdHeuristic(col("text")).as("pred_lang"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
+          round(TextAnalysis.qualityScore(col("text")) * lit(10000.0), 0)
+            .cast("long").as("q10k"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           md5(col("text")).as("h"))
       val keepers = scored.groupBy("h").agg(min("doc_id").as("keeper"))
-      val curated = scored.join(keepers, scored("h") === keepers("h"))
+        .withColumnRenamed("h", "kh")
+      val curated = scored.join(keepers, col("h") === col("kh"))
         .where(col("doc_id") === col("keeper") &&
-          col("pred_lang") === "en" && col("quality") >= 0.3)
-        .select(col("doc_id"), col("quality"), col("n_tokens"))
+          col("pred_lang") === "en" && col("q10k") >= 3000L)
+        .select(col("doc_id"), col("q10k"), col("n_tokens"))
       // running budget = distributed prefix sum (range partition +
       // local window + offsets) — a bare global-order window would
       // collapse everything into one task at scale
       graft.operators.Prefix
-        .runningSum(curated, Seq(col("quality").desc, col("doc_id")), col("n_tokens"), "cum_tokens")
+        .runningSum(curated, Seq(col("q10k").desc, col("doc_id")), col("n_tokens"), "cum_tokens")
         .where(col("cum_tokens") <= 20000L)
+        .select(col("doc_id"), (col("q10k").cast("double") / lit(10000.0)).as("quality"),
+          col("n_tokens"), col("cum_tokens"))
         .orderBy(col("quality").desc, col("doc_id"))
     }, Some("""
       WITH f AS (
@@ -386,21 +398,22 @@ object LlmPipeline {
           CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
                WHEN es >= de AND es > 0 THEN 'es'
                WHEN de > 0 THEN 'de' ELSE 'unk' END AS pred_lang,
-          round(0.5 * stop_ratio + 0.3 * (1.0 - punct_ratio)
-                + 0.2 * LEAST(CAST(len(t) AS DOUBLE) / 200.0, 1.0), 4) AS quality,
+          CAST(round(round(0.5 * stop_ratio + 0.3 * (1.0 - punct_ratio)
+                + 0.2 * LEAST(CAST(len(t) AS DOUBLE) / 200.0, 1.0), 4)
+               * 10000.0, 0) AS BIGINT) AS q10k,
           CAST(len(t) AS BIGINT) AS n_tokens
         FROM f),
       keepers AS (SELECT h, min(doc_id) AS keeper FROM scored GROUP BY h),
       curated AS (
-        SELECT s.doc_id, s.quality, s.n_tokens
+        SELECT s.doc_id, s.q10k, s.n_tokens
         FROM scored s JOIN keepers k ON s.h = k.h
-        WHERE s.doc_id = k.keeper AND s.pred_lang = 'en' AND s.quality >= 0.3),
+        WHERE s.doc_id = k.keeper AND s.pred_lang = 'en' AND s.q10k >= 3000),
       budget AS (
-        SELECT doc_id, quality, n_tokens,
-          SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        SELECT doc_id, q10k, n_tokens,
+          SUM(n_tokens) OVER (ORDER BY q10k DESC, doc_id
                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
         FROM curated)
-      SELECT doc_id, quality, n_tokens, cum_tokens
+      SELECT doc_id, CAST(q10k AS DOUBLE) / 10000.0 AS quality, n_tokens, cum_tokens
       FROM budget WHERE cum_tokens <= 20000
       ORDER BY quality DESC, doc_id""")),
 

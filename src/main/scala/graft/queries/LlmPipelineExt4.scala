@@ -4,6 +4,7 @@ import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.queries.{round => round} // DuckDB-compatible rounding (see package.scala)
 import graft.operators.TextAnalysis
 
 /** Fourth LLM-pipeline tranche: embedding-space clustering and the

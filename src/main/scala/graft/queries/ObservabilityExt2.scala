@@ -276,12 +276,16 @@ object ObservabilityExt2 {
         (1L, """{"ph":"M","pid":9,"tid":9,"name":"thread_name","args":{"name":"user-9-main"}}""")))
         .toDF("seq", "ev")
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("begin_ms"), col("span_id"))
+      // JSON-escape the interpolated name (backslash first, then quote)
+      // so a span name containing `"` or `\` still yields valid JSON
+      val jname = replace(replace(col("name"), lit("\\"), lit("\\\\")),
+        lit("\""), lit("\\\""))
       val ev = sp.select(
         (row_number().over(w).cast("long") + 1L).as("seq"),
         concat(lit("""{"ph":"X","pid":9,"tid":9,"ts":"""),
           (col("begin_ms") * 1000).cast("string"),
           lit(""","dur":"""), (col("duration_ms") * 1000).cast("string"),
-          lit(""","name":""""), col("name"),
+          lit(""","name":""""), jname,
           lit("""","args":{"depth":"""), col("depth").cast("string"),
           lit("}}")).as("ev"))
       meta.unionAll(ev).orderBy("seq")
@@ -291,7 +295,7 @@ object ObservabilityExt2 {
       ev AS (SELECT ROW_NUMBER() OVER (ORDER BY begin_ms, span_id) + 1 AS seq,
         '{"ph":"X","pid":9,"tid":9,"ts":' || CAST(begin_ms*1000 AS VARCHAR) ||
         ',"dur":' || CAST(duration_ms*1000 AS VARCHAR) ||
-        ',"name":"' || name || '","args":{"depth":' || CAST(depth AS VARCHAR) || '}}' AS ev
+        ',"name":"' || replace(replace(name, '\', '\\'), '"', '\"') || '","args":{"depth":' || CAST(depth AS VARCHAR) || '}}' AS ev
         FROM f)
       SELECT CAST(seq AS BIGINT) AS seq, ev FROM (
         SELECT 0 AS seq,

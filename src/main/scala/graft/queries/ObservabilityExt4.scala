@@ -97,7 +97,7 @@ object ObservabilityExt4 {
         .select(col("process_id"), col("stream_tag"), col("block_start_ms"),
           size(col("ls")).cast("long").as("nb_objects"),
           md5(payload).as("payload_md5"),
-          length(payload).cast("long").as("payload_bytes"))
+          octet_length(payload).cast("long").as("payload_bytes"))
         .orderBy("process_id", "stream_tag", "block_start_ms")
     }, Some("""
       WITH l AS (
@@ -109,7 +109,7 @@ object ObservabilityExt4 {
       SELECT process_id, stream_tag, block_start_ms,
         CAST(count(*) AS BIGINT) AS nb_objects,
         md5(string_agg(line, chr(10) ORDER BY event_id)) AS payload_md5,
-        CAST(length(string_agg(line, chr(10) ORDER BY event_id)) AS BIGINT) AS payload_bytes
+        CAST(strlen(string_agg(line, chr(10) ORDER BY event_id)) AS BIGINT) AS payload_bytes
       FROM l GROUP BY 1, 2, 3
       ORDER BY process_id, stream_tag, block_start_ms""")),
 
