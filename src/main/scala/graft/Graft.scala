@@ -20,6 +20,10 @@ object Graft {
     lk.measures.createOrReplaceTempView("measures")
     lk.logStats.createOrReplaceTempView("log_stats")
     lk.threadSpans.createOrReplaceTempView("thread_spans")
+    lk.otelSpans.createOrReplaceTempView("otel_spans")
+    // `images` is deliberately NOT registered globally: the reference's
+    // ImagesView is instance-only (images_view.rs) — use
+    // Lakehouse.viewInstance("images", processId).
   }
 
   // session → dir whose views are currently registered. Weak keys so a

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.epochMs
 
@@ -77,6 +77,90 @@ final class Lakehouse(spark: SparkSession, dir: String) {
       .select(col("user_id").cast("string").as("process_id"),
         col("event_id"), col("name"), col("begin_ms"), col("end_ms"), col("duration_ms"))
 
+  /** Screenshot/image blocks view (reference:
+    * rust/analytics/src/lakehouse/images_view.rs,
+    * image_block_processor.rs, images_table.rs). The reference parses
+    * ImageEvent objects out of transit blocks into (process metadata,
+    * time, name, format, payload_size, data) rows; here the `view`
+    * events play the screenshots and the payload bytes are synthesized
+    * deterministically from the event (the blob fetch is storage
+    * plumbing, not query semantics — same stance as m_block_payload).
+    * Per-row expressions only; no shuffle.
+    */
+  def images: DataFrame = imagesFrom(table("events"))
+
+  private def imagesFrom(e: DataFrame): DataFrame = {
+    val ms = epochMs(col("ts"))
+    val blockStart = ms - pmod(ms, lit(60000L))
+    val pid = col("user_id").cast("string")
+    val payload = concat(lit("IMG:"), col("event_id").cast("string"), lit(":"), col("props"))
+    e.where(col("event_type") === "view").select(
+      pid.as("process_id"),
+      concat(pid, lit("-img")).as("stream_id"),
+      concat(pid, lit("-img-"), blockStart.cast("string")).as("block_id"),
+      // blocks flush at minute close — insert_time is the block end
+      (blockStart + lit(60000L)).as("insert_time_ms"),
+      concat(lit("app-"), pmod(col("user_id"), lit(4L)).cast("string"), lit(".exe")).as("exe"),
+      concat(lit("user"), pid).as("username"),
+      concat(lit("host-"), pmod(col("user_id"), lit(8L)).cast("string")).as("computer"),
+      ms.as("time_ms"),
+      col("event_id"),
+      concat(lit("screenshot-"), col("event_id").cast("string")).as("name"),
+      when(pmod(col("event_id"), lit(3L)) === 0, "png")
+        .when(pmod(col("event_id"), lit(3L)) === 1, "jpeg")
+        .otherwise("webp").as("format"),
+      octet_length(payload).cast("long").as("payload_size"),
+      payload.cast("binary").as("data"))
+  }
+
+  /** OTLP-shaped span view (reference:
+    * rust/analytics/src/lakehouse/otel/spans_view.rs, spans_table.rs,
+    * spans_block_processor.rs): W3C trace/span ids (hex), span kind,
+    * status + status_message, and the begin-event properties as the
+    * attribute map. Built on the same begin/end assembly as
+    * thread_spans; status is derived from error events that fall inside
+    * the span's interval (keyed containment join — the equi-key is the
+    * process, so no all-pairs work).
+    */
+  def otelSpans: DataFrame = otelSpansFrom(table("events"))
+
+  private def otelSpansFrom(e: DataFrame): DataFrame = {
+    val sp = graft.operators.SpanAssembly.withParents(
+      graft.operators.SpanAssembly.beginEndSpans(
+        e, "user_id", epochMs(col("ts")), "event_id", "event_type",
+        col("event_type").isin("signup", "view")),
+      "user_id")
+    // error events inside the span window decide status (OTLP status
+    // code vocabulary: spans_block_processor.rs proto_status_code_str)
+    val errs = e.where(col("event_type") === "error")
+      .select(col("user_id").as("e_uid"), epochMs(col("ts")).as("e_ms"))
+    val errCount = sp.select(col("user_id"), col("span_id"), col("begin_ms"), col("end_ms"))
+      .join(errs, col("user_id") === col("e_uid") &&
+        col("e_ms") >= col("begin_ms") && col("e_ms") <= col("end_ms"), "left_outer")
+      .groupBy("span_id").agg(count(col("e_ms")).as("n_errors"))
+    val attrs = e.select(col("event_id").as("a_id"), col("props").as("attributes"))
+    val spanHex = (id: Column) => substring(md5(concat(lit("span:"), id.cast("string"))), 1, 16)
+    sp.join(errCount, Seq("span_id"), "left_outer")
+      .join(attrs, col("span_id") === col("a_id"), "left_outer")
+      .select(
+        col("user_id").cast("string").as("process_id"),
+        md5(concat(lit("trace:"), col("user_id").cast("string"))).as("trace_id"),
+        spanHex(col("span_id")).as("span_id"),
+        when(col("parent_id") === -1L, lit(null).cast("string"))
+          .otherwise(spanHex(col("parent_id"))).as("parent_span_id"),
+        (col("begin_ms") * 1000000L).as("start_time_ns"),
+        (col("end_ms") * 1000000L).as("end_time_ns"),
+        (col("duration_ms") * 1000000L).as("duration_ns"),
+        col("name"),
+        when(col("name") === "signup", lit("SERVER")).otherwise(lit("INTERNAL")).as("kind"),
+        when(coalesce(col("n_errors"), lit(0L)) > 0, lit("ERROR")).otherwise(lit("OK")).as("status"),
+        when(coalesce(col("n_errors"), lit(0L)) > 0,
+          concat(lit("errors="), col("n_errors").cast("string"))).as("status_message"),
+        col("attributes"),
+        lit("[]").as("events"),
+        lit("[]").as("links"))
+  }
+
   /** JIT process-scoped view instance. The scope is applied to the RAW
     * source column (`user_id`), not the projected string `process_id`:
     * a `cast(user_id as string) = id` predicate cannot reach the
@@ -99,10 +183,17 @@ final class Lakehouse(spark: SparkSession, dir: String) {
       case "measures"     => measuresFrom(scoped)
       case "log_stats"    => logStatsFrom(scoped)
       case "thread_spans" => threadSpansFrom(scoped)
+      case "images"       => imagesFrom(scoped)
+      case "otel_spans"   => otelSpansFrom(scoped)
       case other => throw new IllegalArgumentException(s"unknown view set: $other")
     }
   }
 
-  /** Registered view sets (list_view_sets analog). */
-  def viewSets: Seq[String] = Seq("log_entries", "measures", "log_stats", "thread_spans")
+  /** Registered view sets (list_view_sets analog). Note the reference's
+    * ImagesView supports ONLY instance access (images_view.rs bails on
+    * "global") — `images` here is still listed, but m_images queries it
+    * through viewInstance, matching that contract.
+    */
+  def viewSets: Seq[String] =
+    Seq("log_entries", "measures", "log_stats", "thread_spans", "images", "otel_spans")
 }

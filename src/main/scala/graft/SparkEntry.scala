@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreSql, CoreSqlExt, CoreSqlExt2, CoreSqlExt3, CoreSqlExt4, LlmPipeline, LlmPipelineExt, LlmPipelineExt2, LlmPipelineExt3, LlmPipelineExt4, Observability, ObservabilityExt, ObservabilityExt2, ObservabilityExt3, ObservabilityExt4}
+import graft.queries.{CoreSql, CoreSqlExt, CoreSqlExt2, CoreSqlExt3, CoreSqlExt4, LlmPipeline, LlmPipelineExt, LlmPipelineExt2, LlmPipelineExt3, LlmPipelineExt4, Observability, ObservabilityExt, ObservabilityExt2, ObservabilityExt3, ObservabilityExt4, ObservabilityExt5}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
     CoreSql.queries ++ CoreSqlExt.queries ++ CoreSqlExt2.queries ++
       CoreSqlExt3.queries ++ CoreSqlExt4.queries ++
       Observability.queries ++ ObservabilityExt.queries ++ ObservabilityExt2.queries ++
-      ObservabilityExt3.queries ++ ObservabilityExt4.queries ++
+      ObservabilityExt3.queries ++ ObservabilityExt4.queries ++ ObservabilityExt5.queries ++
       LlmPipeline.queries ++ LlmPipelineExt.queries ++ LlmPipelineExt2.queries ++
       LlmPipelineExt3.queries ++ LlmPipelineExt4.queries
 
