@@ -79,6 +79,45 @@ object Materialize {
     RetireStats(victims.size.toLong)
   }
 
+  /** Surgical single-file retirement — the reference's
+    * `retire_partition_by_file` admin UDF (rust/analytics/src/lakehouse/
+    * retire_partition_by_file_udf.rs): drop ONE partition file by path,
+    * leaving every other file in the lake untouched and queryable.
+    * `relPath` is relative to the lake root (e.g.
+    * "date=2024-01-03/part-0000….parquet"). Returns whether the file
+    * existed. Directory traversal is rejected — an admin typo must not
+    * be able to delete outside the lake.
+    */
+  def retireByFile(spark: SparkSession, outDir: String, relPath: String): Boolean = {
+    require(!relPath.contains(".."), s"retireByFile: path escapes the lake: $relPath")
+    require(relPath.endsWith(".parquet"), s"retireByFile: not a partition file: $relPath")
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/$relPath")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) && fs.delete(path, false)
+  }
+
+  /** Re-materialize ONE day partition from source — the
+    * `regenerate_partitions` table function analog (rust/analytics/src/
+    * lakehouse/regenerate_partitions_table_function.rs), the repair
+    * path after a by-file retirement. Only the named `date` partition
+    * is rewritten (dynamic overwrite); the source aggregation is
+    * filtered to that day first, so the scan prunes to it.
+    */
+  def regenerateDay(spark: SparkSession, stats: DataFrame, outDir: String,
+      date: String): Long = {
+    require(date.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"regenerateDay: date must be ISO yyyy-MM-dd, got $date")
+    val day = stats
+      .withColumn("date", to_date(timestamp_millis(col("time_bin_ms"))))
+      .where(col("date") === to_date(lit(date)))
+      .persist()
+    try {
+      day.write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy("date").parquet(outDir)
+      day.count()
+    } finally day.unpersist()
+  }
+
   /** Partition inventory — the reference's `list_partitions` metadata
     * function applied to a materialized lake: one row per day partition
     * with file count and byte size, from the filesystem listing alone.

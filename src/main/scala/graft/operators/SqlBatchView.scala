@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** User-defined incrementally-materialized SQL views — the Spark analog
+  * of the reference's generic SQL batch view (rust/analytics/src/
+  * lakehouse/sql_batch_view.rs + merge.rs `QueryMerger`): a view is
+  * defined by SQL alone, as a (count, transform, merge) triple, and the
+  * engine owns slicing, staleness detection, and query-time merging.
+  *
+  *  - `transformSql` extracts one time slice of source rows into
+  *    partition rows; `{begin}`/`{end}` are epoch-ms placeholders the
+  *    SQL uses to scope its scan (the filter pushes into parquet).
+  *  - `mergeSql` re-aggregates partition rows into view rows at query
+  *    time, with `{source}` standing for the scanned partitions — the
+  *    reference runs the same query both to merge small partitions and
+  *    to answer user queries spanning several partitions.
+  *  - `countSrcSql` (count_src_query analog) is the cheap staleness
+  *    probe: its scalar result is recorded per slice at write time and
+  *    compared on the next update, so unchanged closed slices are
+  *    skipped without reading their data.
+  *
+  * The lake is partitioned by `slice_ms` (slice begin). Re-running a
+  * slice is an atomic per-partition dynamic overwrite — the active
+  * partition of the reference's live ETL. Each slice's work is O(slice
+  * source rows); query-time merge shuffles only partition rows (the
+  * transform output is expected to be pre-aggregated, exactly like the
+  * reference's log_stats instance).
+  */
+object SqlBatchView {
+
+  /** A view defined purely by SQL. `name` keys the temp-view namespace;
+    * the SQLs reference any registered view/table.
+    */
+  final case class Def(
+      name: String,
+      countSrcSql: String,
+      transformSql: String,
+      mergeSql: String)
+
+  private def subst(sql: String, beginMs: Long, endMs: Long): String =
+    sql.replace("{begin}", beginMs.toString).replace("{end}", endMs.toString)
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def metaPath(outDir: String, beginMs: Long) =
+    new org.apache.hadoop.fs.Path(s"$outDir/_slice_$beginMs.count")
+
+  /** Recorded source count for a slice, if it was ever materialized. */
+  private def recordedCount(spark: SparkSession, outDir: String, beginMs: Long): Option[Long] = {
+    val f = fs(spark, outDir)
+    val p = metaPath(outDir, beginMs)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** The count_src_query probe: is the materialized slice up to date
+    * with the source? Runs ONLY the cheap count SQL — never the
+    * transform — mirroring fetch_sql_partition_spec's use of
+    * count_src_query in the reference.
+    */
+  def isUpToDate(spark: SparkSession, v: Def, outDir: String,
+      beginMs: Long, endMs: Long): Boolean = {
+    val src = spark.sql(subst(v.countSrcSql, beginMs, endMs)).head().getLong(0)
+    recordedCount(spark, outDir, beginMs).contains(src)
+  }
+
+  /** Materialize (or refresh) one [beginMs, endMs) slice. Skips the
+    * transform entirely when the recorded source count matches; pass
+    * `force = true` to rewrite regardless (regeneration path).
+    * Returns the rows written, or -1 when skipped as fresh.
+    */
+  def updateSlice(spark: SparkSession, v: Def, outDir: String,
+      beginMs: Long, endMs: Long, force: Boolean = false): Long = {
+    val srcCount = spark.sql(subst(v.countSrcSql, beginMs, endMs)).head().getLong(0)
+    if (!force && recordedCount(spark, outDir, beginMs).contains(srcCount)) return -1L
+    val slice = spark.sql(subst(v.transformSql, beginMs, endMs))
+      .withColumn("slice_ms", lit(beginMs))
+      .persist() // written AND counted — don't run the transform twice
+    try {
+      slice.write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy("slice_ms").parquet(outDir)
+      val written = slice.count()
+      val f = fs(spark, outDir)
+      val out = f.create(metaPath(outDir, beginMs), true)
+      try out.write(srcCount.toString.getBytes("UTF-8")) finally out.close()
+      written
+    } finally slice.unpersist()
+  }
+
+  /** Query the view: scan the materialized partitions and run the merge
+    * SQL over them. The same merge would compact many small slice
+    * partitions into one (QueryMerger's other caller).
+    */
+  def query(spark: SparkSession, v: Def, outDir: String): DataFrame = {
+    val tmp = s"__sqlbatch_${v.name}_source"
+    spark.read.parquet(outDir).drop("slice_ms").createOrReplaceTempView(tmp)
+    spark.sql(v.mergeSql.replace("{source}", tmp))
+  }
+}

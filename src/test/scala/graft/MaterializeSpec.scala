@@ -83,4 +83,44 @@ class MaterializeSpec extends SparkSpec {
     // idempotent: retiring again with the same cutoff is a no-op
     assert(Materialize.retireByDay(spark, out, cutoff).daysRetired == 0)
   }
+
+  test("retireByFile drops one file; survivors queryable; regenerateDay restores bitwise") {
+    val out = java.nio.file.Files.createTempDirectory("graft-retf").toString + "/log_stats"
+    Materialize.updateByDay(spark, statsSource, out)
+    val cols = Seq("time_bin_ms", "process_id", "level", "target", "count")
+    val total = spark.read.parquet(out).count()
+
+    // pick a real partition file from a middle day
+    val days = Materialize.listPartitions(spark, out).collect().map(_.getString(0)).sorted
+    val victimDay = days(days.length / 2)
+    val dayDir = java.nio.file.Paths.get(s"$out/date=$victimDay")
+    val victim = {
+      val walk = java.nio.file.Files.list(dayDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.map(_.getFileName.toString)
+          .find(_.endsWith(".parquet")).get
+      } finally walk.close()
+    }
+
+    assert(Materialize.retireByFile(spark, out, s"date=$victimDay/$victim"))
+    // survivors still read; the retired file's rows are gone
+    val after = spark.read.parquet(out).select(cols.map(col): _*)
+    assert(after.count() < total)
+    // every surviving row is source data (no corruption)
+    assert(after.exceptAll(statsSource.select(cols.map(col): _*)).isEmpty)
+
+    // repair: regenerate exactly that day from source → lake == source
+    val rows = Materialize.regenerateDay(spark, statsSource, out, victimDay)
+    assert(rows > 0)
+    val restored = spark.read.parquet(out).select(cols.map(col): _*)
+    val fresh = statsSource.select(cols.map(col): _*)
+    assert(restored.exceptAll(fresh).isEmpty && fresh.exceptAll(restored).isEmpty)
+
+    // retiring a nonexistent file is a clean false, and traversal is rejected
+    assert(!Materialize.retireByFile(spark, out, s"date=$victimDay/nope.parquet"))
+    intercept[IllegalArgumentException] {
+      Materialize.retireByFile(spark, out, "../../etc/passwd.parquet")
+    }
+  }
 }
