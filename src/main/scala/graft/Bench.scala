@@ -31,10 +31,13 @@ object Bench {
     // drop warm-up persisted data so timed runs do their own work
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager.clearCache()
-    // The machine's timing is noisy (same plan 1-10x across runs);
-    // best-of-N per query is the steady-state signal. Honest labeling:
-    // the JSON carries reps so the number is identifiable as best-of-N.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // The machine's timing is noisy (same plan 1-10x across runs, see
+    // NOTES_r3); best-of-N per query is the steady-state signal and 3
+    // reps proved too few to establish a stable floor (the r3 "4x
+    // regressions" did not reproduce). Default is 9 reps; the JSON
+    // carries reps plus per-query MEDIANS next to the bests so a noisy
+    // outlier round is identifiable from the artifact alone.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "9").toInt.max(1)
     val results = SparkEntry.headlineQueries.map { q =>
       // a failed query reports -1 per query and poisons the total to
       // null below — a failure must never improve the headline number
@@ -44,12 +47,16 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); -1.0 }
       }
-      q.name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      val ok = !times.exists(_ < 0)
+      val sorted = times.sorted
+      val median = sorted(reps / 2)
+      (q.name, if (ok) times.min else -1.0, if (ok) median else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val meds = results.map { case (k, _, m) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = if (failed > 0) "null" else results.map(_._2).sum.toString
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failed,"queries":$qs,"medians":$meds,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
