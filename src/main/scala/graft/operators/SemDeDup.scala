@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over int8-quantized
+  * embeddings, parameterized by cluster count K — the scale knob the
+  * fixed-K oracle variant in LlmPipelineExt4 pins for determinism.
+  *
+  * The within-cluster pairwise term is O(Σ cluster_size²): K must grow
+  * with the corpus (K ≈ n / target_cluster_size) for the quadratic
+  * term to stay bounded — with balanced clusters the pair count is
+  * n²/K, so doubling K halves the work. At 100 TB the pipeline is:
+  * train centroids on a sample ([[Ann.kmeansRefine]]), quantize them
+  * ([[quantizeVecs]]), broadcast, assign with integer L2 (corpus never
+  * shuffles for scoring), then shuffle once on cluster id for the
+  * pairwise pass — each cluster's pairs stay inside one task.
+  */
+object SemDeDup {
+
+  /** int8 symmetric quantization: per-vector scale max|v|/127,
+    * q_i = round(v_i / sc). Integer vectors make every downstream
+    * comparison bit-reproducible across engines AND 4x smaller on the
+    * shuffle wire. Input needs (vec_id, embedding); output
+    * (vec_id, sc, q).
+    */
+  def quantize(e: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    e.select(col("vec_id"), v.as("v"))
+      .withColumn("sc", greatest(array_max(transform(col("v"), x => abs(x))) / lit(127.0),
+        lit(1e-12)))
+      .withColumn("q", transform(col("v"),
+        x => call_function("graft_round", x / col("sc"), lit(0)).cast("long")))
+      .select(col("vec_id"), col("sc"), col("q"))
+  }
+
+  /** Quantize an arbitrary (cent_id, ce: array<double>) centroid table
+    * (e.g. [[Ann.kmeansRefine]] output) into the integer form
+    * [[assign]] consumes.
+    */
+  def quantizeVecs(cents: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    quantize(cents.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")))
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+  }
+
+  def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Nearest-centroid assignment with exact integer L2 (|q| <= 127,
+    * |diff| <= 254; 254² * dims stays far inside Long). Centroids
+    * broadcast — the corpus never shuffles for scoring. Input: quantized
+    * corpus (vec_id, sc, q) and centroids (cid, cq). Output
+    * (vec_id, sc, q, cluster, idist).
+    */
+  def assign(q: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("sc"), col("q"), col("cid"),
+        aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x).as("idist"))
+    val w = Window.partitionBy("vec_id").orderBy(col("idist").asc, col("cid"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("vec_id"), col("sc"), col("q"), col("cid").as("cluster"), col("idist"))
+  }
+
+  /** Deterministic sample centroids: the quantized vectors of vec_id
+    * 0..k-1 — recomputable by any engine from the raw table (the
+    * oracle-checkable configuration; trained centroids are the quality
+    * path, [[Ann.kmeansRefine]] + [[quantizeVecs]]).
+    */
+  def sampleCentroids(q: DataFrame, k: Int): DataFrame =
+    q.where(col("vec_id") < k).select(col("vec_id").as("cid"), col("q").as("cq"))
+
+  /** Quantize + sample-centroid assignment in one call (K-parameterized
+    * generalization of the fixed-K=8 query variant).
+    */
+  def assignments(e: DataFrame, k: Int): DataFrame = {
+    val q = quantize(e)
+    assign(q, sampleCentroids(q, k))
+  }
+
+  /** The dedup decision: drop a vector when an earlier-id vector in the
+    * SAME cluster has quantized cosine above `threshold`. Returns the
+    * kept (vec_id, cluster). Quantized cosine = idot/sqrt(|a|²|b|²) —
+    * every input to the FP expression is an exact integer, so the
+    * threshold comparison is engine-deterministic. The cluster equi-join
+    * bounds the quadratic term to the cluster granularity.
+    */
+  def dedup(asn: DataFrame, threshold: Double): DataFrame = {
+    val withNrm = asn.withColumn("nrm", idot(col("q"), col("q")))
+    val a = withNrm.select(col("vec_id").as("a_id"), col("cluster"),
+      col("q").as("aq"), col("nrm").as("anrm"))
+    val b = withNrm.select(col("vec_id").as("b_id"), col("cluster"),
+      col("q").as("bq"), col("nrm").as("bnrm"))
+    val dropped = a.join(b, Seq("cluster"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("b_id"),
+        (idot(col("aq"), col("bq")).cast("double") /
+          sqrt(col("anrm").cast("double") * col("bnrm").cast("double"))).as("cosq"))
+      .where(col("cosq") > threshold)
+      .select(col("b_id").as("vec_id")).distinct()
+    withNrm.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+  }
+}

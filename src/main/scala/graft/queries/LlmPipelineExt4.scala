@@ -27,43 +27,18 @@ object LlmPipelineExt4 {
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "embeddings")
 
-  /** int8 symmetric quantization, identical to l_embed_quantize /
-    * l_ann_int8: per-vector scale max|v|/127, q_i = round(v_i/sc).
+  /** Assignments at the FIXED K=8 of the oracle gate: sample centroids
+    * (the quantized vectors of vec_id 0..7) are deterministic and
+    * recomputable by any engine from the raw table, unlike trained FP
+    * centroids, whose group-sum order is engine-specific. The machinery
+    * is the K-parameterized [[graft.operators.SemDeDup]] — the scale
+    * path (K ∝ n/target_cluster_size, trained via Ann.kmeansRefine) is
+    * covered by SemDeDupScaleSpec.
     */
-  private def quantized(e: DataFrame): DataFrame = {
-    val v = col("embedding").cast("array<double>")
-    e.select(col("vec_id"), v.as("v"))
-      .withColumn("sc", greatest(array_max(transform(col("v"), x => abs(x))) / lit(127.0),
-        lit(1e-12)))
-      .withColumn("q", transform(col("v"), x => round(x / col("sc"), 0).cast("long")))
-      .select(col("vec_id"), col("sc"), col("q"))
-  }
+  private def assignments(e: DataFrame): DataFrame =
+    graft.operators.SemDeDup.assignments(e, 8)
 
-  private def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-
-  /** Assignments (vec_id, sc, q, cluster, idist): nearest of the K=8
-    * centroids (= the quantized vectors of vec_id 0..7 — deterministic
-    * and recomputable by any engine from the raw table, unlike trained
-    * FP centroids, whose group-sum order is engine-specific; Lloyd
-    * refinement itself is covered test-only by Ann.kmeansRefine).
-    * Integer L2 is exact: |diff| <= 254, squared * 64 dims < 2^23.
-    * Centroids broadcast; the corpus never shuffles for scoring.
-    */
-  private def assignments(e: DataFrame): DataFrame = {
-    val q = quantized(e)
-    val cents = q.where(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("q").as("cq"))
-    val scored = q.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("sc"), col("q"), col("cid"),
-        aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x).as("idist"))
-    val w = Window.partitionBy("vec_id").orderBy(col("idist").asc, col("cid"))
-    scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
-      .select(col("vec_id"), col("sc"), col("q"), col("cid").as("cluster"), col("idist"))
-  }
-
-  /** Oracle-side CTEs matching [[quantized]] + [[assignments]]: DuckDB
+  /** Oracle-side CTEs matching SemDeDup.quantize + [[assignments]]: DuckDB
     * has no zip_with, so integer L2 comes from the dot identity
     * |a-b|^2 = a.a - 2 a.b + b.b (all three dots are exact integers).
     */
@@ -108,21 +83,7 @@ object LlmPipelineExt4 {
       // quadratic term to the cluster granularity (the reason SemDeDup
       // clusters first); at 100 TB the join shuffles on cluster id and
       // each cluster's pairs stay inside one task.
-      val asn = assignments(embs(s, dir))
-        .withColumn("nrm", idot(col("q"), col("q")))
-      val a = asn.select(col("vec_id").as("a_id"), col("cluster"),
-        col("q").as("aq"), col("nrm").as("anrm"))
-      val b = asn.select(col("vec_id").as("b_id"), col("cluster"),
-        col("q").as("bq"), col("nrm").as("bnrm"))
-      val dropped = a.join(b, Seq("cluster"))
-        .where(col("a_id") < col("b_id"))
-        .select(col("b_id"),
-          (idot(col("aq"), col("bq")).cast("double") /
-            sqrt(col("anrm").cast("double") * col("bnrm").cast("double"))).as("cosq"))
-        .where(col("cosq") > 0.4)
-        .select(col("b_id").as("vec_id")).distinct()
-      asn.join(dropped, Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), col("cluster"))
+      graft.operators.SemDeDup.dedup(assignments(embs(s, dir)), 0.4)
         .orderBy("vec_id")
     }, Some(s"""
       WITH $assignSql,
