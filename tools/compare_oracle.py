@@ -64,7 +64,12 @@ def main():
         else:
             print(f"PASS {name} ({len(s)} rows)")
             n_pass += 1
+    if n_pass + n_fail == 0:
+        # a typo'd query filter must read as failure, not vacuous success
+        print("== 0 queries compared (bad filter?): FAIL")
+        sys.exit(2)
     print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
     main()
