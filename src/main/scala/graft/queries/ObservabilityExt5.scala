@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{GraftQuery, Lakehouse}
 import org.apache.spark.sql.functions._
+import graft.queries.{round => round} // DuckDB-compatible rounding (see package.scala)
 
 /** Fifth observability tranche: the two remaining reference view sets —
   * screenshot/image blocks and OTLP-shaped spans.
@@ -118,6 +119,115 @@ object ObservabilityExt5 {
       // raw source before assembly, so the scan reads one process
       new Lakehouse(s, dir).viewInstance("otel_spans", "7")
         .orderBy("process_id", "span_id")
-    }, Some(oracleOtel("WHERE CAST(user_id AS VARCHAR) = '7'")))
+    }, Some(oracleOtel("WHERE CAST(user_id AS VARCHAR) = '7'"))),
+
+    GraftQuery("m_otel_logs", (s, dir) => {
+      // OTLP ResourceLogs → log_entries rows (reference otel/
+      // logs_block_processor.rs + attrs.rs severity_number_to_level):
+      // each record carries a severity_number 0..24 that buckets into
+      // the reference's level vocabulary (1=Fatal..6=Trace, INFO for
+      // unspecified/out-of-range — never fake-Fatal), body → msg,
+      // severity_text rides along as an otel.* property. The event
+      // stream plays the wire records; severity_number derives
+      // deterministically from the event type (error→17, purchase→10,
+      // signup→9, view→5, others→0 = UNSPECIFIED exercising the
+      // default branch). Pure per-row expressions, no shuffle.
+      val e = graft.Tables.df(s, dir, "events")
+      val sev = when(col("event_type") === "error", 17)
+        .when(col("event_type") === "purchase", 10)
+        .when(col("event_type") === "signup", 9)
+        .when(col("event_type") === "view", 5)
+        .otherwise(0)
+      val level = when(sev.between(1, 4), 6)
+        .when(sev.between(5, 8), 5)
+        .when(sev.between(9, 12), 4)
+        .when(sev.between(13, 16), 3)
+        .when(sev.between(17, 20), 2)
+        .when(sev.between(21, 24), 1)
+        .otherwise(4)
+      e.select(epochMs(col("ts")).as("time_ms"),
+          col("event_id"),
+          col("user_id").cast("string").as("process_id"),
+          sev.cast("int").as("severity_number"),
+          level.cast("int").as("level"),
+          upper(col("event_type")).as("severity_text"),
+          concat(lit("event "), col("event_id").cast("string")).as("msg"),
+          col("props").as("properties"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH r AS (
+        SELECT *, CASE event_type WHEN 'error' THEN 17 WHEN 'purchase' THEN 10
+          WHEN 'signup' THEN 9 WHEN 'view' THEN 5 ELSE 0 END AS sev
+        FROM events)
+      SELECT epoch_ms(ts) AS time_ms, event_id,
+        CAST(user_id AS VARCHAR) AS process_id,
+        CAST(sev AS INTEGER) AS severity_number,
+        CAST(CASE WHEN sev BETWEEN 1 AND 4 THEN 6
+             WHEN sev BETWEEN 5 AND 8 THEN 5
+             WHEN sev BETWEEN 9 AND 12 THEN 4
+             WHEN sev BETWEEN 13 AND 16 THEN 3
+             WHEN sev BETWEEN 17 AND 20 THEN 2
+             WHEN sev BETWEEN 21 AND 24 THEN 1
+             ELSE 4 END AS INTEGER) AS level,
+        upper(event_type) AS severity_text,
+        'event ' || CAST(event_id AS VARCHAR) AS msg,
+        props AS properties
+      FROM r ORDER BY event_id""")),
+
+    GraftQuery("m_otel_metrics", (s, dir) => {
+      // OTLP ResourceMetrics → measures rows (reference otel/
+      // metrics_block_processor.rs): Gauge points land directly; each
+      // Summary data point fans out into count/sum/min/max rows under
+      // suffixed metric names. The per-(process, metric, minute)
+      // summary is the wire shape; the fan-out melt is the semantics
+      // under test. One keyed groupBy, then a 4-way stack — partial
+      // agg + per-row explode, scale-safe.
+      val e = graft.Tables.df(s, dir, "events")
+      val ms = epochMs(col("ts"))
+      val gauges = e.select(ms.as("time_ms"),
+        col("user_id").cast("string").as("process_id"),
+        col("event_type").as("name"), lit("units").as("unit"),
+        round(col("value"), 6).as("value"))
+      val summaries = e
+        .groupBy(col("user_id").cast("string").as("process_id"),
+          col("event_type").as("metric"),
+          (ms - pmod(ms, lit(60000L)) + lit(60000L)).as("time_ms"))
+        .agg(count(lit(1)).cast("double").as("s_count"),
+          round(sum("value"), 6).as("s_sum"),
+          round(min("value"), 6).as("s_min"),
+          round(max("value"), 6).as("s_max"))
+        .select(col("time_ms"), col("process_id"),
+          expr("""stack(4,
+            concat(metric, '_count'), s_count,
+            concat(metric, '_sum'),   s_sum,
+            concat(metric, '_min'),   s_min,
+            concat(metric, '_max'),   s_max) AS (name, value)"""),
+          lit("units").as("unit"))
+        .select("time_ms", "process_id", "name", "unit", "value")
+      gauges.unionByName(summaries)
+        .orderBy("time_ms", "process_id", "name", "value")
+    }, Some("""
+      WITH g AS (
+        SELECT epoch_ms(ts) AS time_ms, CAST(user_id AS VARCHAR) AS process_id,
+          event_type AS name, 'units' AS unit, round(value, 6) AS value
+        FROM events),
+      s AS (
+        SELECT CAST(user_id AS VARCHAR) AS process_id, event_type AS metric,
+          epoch_ms(ts) - epoch_ms(ts) % 60000 + 60000 AS time_ms,
+          CAST(count(*) AS DOUBLE) AS s_count, round(sum(value), 6) AS s_sum,
+          round(min(value), 6) AS s_min, round(max(value), 6) AS s_max
+        FROM events GROUP BY 1, 2, 3),
+      fan AS (
+        SELECT time_ms, process_id, metric || '_count' AS name, 'units' AS unit, s_count AS value FROM s
+        UNION ALL
+        SELECT time_ms, process_id, metric || '_sum', 'units', s_sum FROM s
+        UNION ALL
+        SELECT time_ms, process_id, metric || '_min', 'units', s_min FROM s
+        UNION ALL
+        SELECT time_ms, process_id, metric || '_max', 'units', s_max FROM s)
+      SELECT time_ms, process_id, name, unit, value FROM g
+      UNION ALL
+      SELECT time_ms, process_id, name, unit, value FROM fan
+      ORDER BY time_ms, process_id, name, value"""))
   )
 }
