@@ -124,17 +124,21 @@ final class Lakehouse(spark: SparkSession, dir: String) {
     */
   def otelSpans: DataFrame = otelSpansFrom(table("events"))
 
+  // In production this view is MATERIALIZED (the reference's otel views
+  // are batch views built from ingested blocks, never recomputed per
+  // query) — SqlBatchView is the mechanism; this lazy definition is the
+  // transform. The status branch reads the PRE-parents assembly so the
+  // costlier parent-linkage self-join isn't replayed for it.
   private def otelSpansFrom(e: DataFrame): DataFrame = {
-    val sp = graft.operators.SpanAssembly.withParents(
-      graft.operators.SpanAssembly.beginEndSpans(
-        e, "user_id", epochMs(col("ts")), "event_id", "event_type",
-        col("event_type").isin("signup", "view")),
-      "user_id")
+    val base = graft.operators.SpanAssembly.beginEndSpans(
+      e, "user_id", epochMs(col("ts")), "event_id", "event_type",
+      col("event_type").isin("signup", "view"))
+    val sp = graft.operators.SpanAssembly.withParents(base, "user_id")
     // error events inside the span window decide status (OTLP status
     // code vocabulary: spans_block_processor.rs proto_status_code_str)
     val errs = e.where(col("event_type") === "error")
       .select(col("user_id").as("e_uid"), epochMs(col("ts")).as("e_ms"))
-    val errCount = sp.select(col("user_id"), col("span_id"), col("begin_ms"), col("end_ms"))
+    val errCount = base.select(col("user_id"), col("span_id"), col("begin_ms"), col("end_ms"))
       .join(errs, col("user_id") === col("e_uid") &&
         col("e_ms") >= col("begin_ms") && col("e_ms") <= col("end_ms"), "left_outer")
       .groupBy("span_id").agg(count(col("e_ms")).as("n_errors"))
