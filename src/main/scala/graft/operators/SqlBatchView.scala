@@ -39,6 +39,27 @@ object SqlBatchView {
       transformSql: String,
       mergeSql: String)
 
+  /** Canonical pure-SQL log_stats instance — the reference's
+    * log_stats_view is exactly this triple over sql_batch_view
+    * (rust/analytics/src/lakehouse/log_stats_view.rs:34-42). Shared by
+    * the ScalaTest materialization suite and the oracle-checked
+    * query-time-merge query (`m_sql_view_merge`).
+    */
+  val logStats: Def = Def(
+    name = "log_stats_sql",
+    countSrcSql = """SELECT count(*) AS n FROM log_entries
+      WHERE time_ms >= {begin} AND time_ms < {end}""",
+    transformSql = """
+      SELECT time_ms - time_ms % 60000 AS time_bin_ms, process_id, level, target,
+        count(*) AS count
+      FROM log_entries
+      WHERE time_ms >= {begin} AND time_ms < {end}
+      GROUP BY 1, 2, 3, 4""",
+    mergeSql = """
+      SELECT time_bin_ms, process_id, level, target,
+        CAST(sum(count) AS BIGINT) AS count
+      FROM {source} GROUP BY 1, 2, 3, 4""")
+
   private def subst(sql: String, beginMs: Long, endMs: Long): String =
     sql.replace("{begin}", beginMs.toString).replace("{end}", endMs.toString)
 
@@ -93,6 +114,23 @@ object SqlBatchView {
       try out.write(srcCount.toString.getBytes("UTF-8")) finally out.close()
       written
     } finally slice.unpersist()
+  }
+
+  /** Answer the view WITHOUT materializing: run the transform per
+    * slice and the merge over the unioned slice outputs — the
+    * reference's QueryMerger answering a user query that spans several
+    * partitions (rust/analytics/src/lakehouse/merge.rs). Fully lazy:
+    * each slice's `{begin}`/`{end}` predicate pushes into its own scan,
+    * so on a time-partitioned lake every branch reads only its slice's
+    * files, and the merge shuffles pre-aggregated partition rows only.
+    */
+  def queryAcrossSlices(spark: SparkSession, v: Def, slices: Seq[(Long, Long)]): DataFrame = {
+    require(slices.nonEmpty, "at least one slice")
+    val union = slices.map { case (b, e) => spark.sql(subst(v.transformSql, b, e)) }
+      .reduce(_.union(_))
+    val tmp = s"__sqlbatch_${v.name}_slices"
+    union.createOrReplaceTempView(tmp)
+    spark.sql(v.mergeSql.replace("{source}", tmp))
   }
 
   /** Query the view: scan the materialized partitions and run the merge

@@ -228,6 +228,33 @@ object ObservabilityExt5 {
       SELECT time_ms, process_id, name, unit, value FROM g
       UNION ALL
       SELECT time_ms, process_id, name, unit, value FROM fan
-      ORDER BY time_ms, process_id, name, value"""))
+      ORDER BY time_ms, process_id, name, value""")),
+
+    GraftQuery("m_sql_view_merge", (s, dir) => {
+      // QueryMerger's read path (reference merge.rs + sql_batch_view
+      // .rs): answer a user query spanning several view partitions by
+      // running the user's transform SQL per slice and the merge SQL
+      // over the union — here fully lazily, with NO materialized lake.
+      // Each slice's {begin}/{end} predicate pushes into its own scan
+      // (slice-file pruning on a time-partitioned layout); slice cuts
+      // are NOT minute-aligned, so time bins straddle slices and the
+      // merge's re-sum is load-bearing rather than a repartition no-op.
+      graft.Graft.registerViews(s, dir)
+      val r = s.sql("SELECT min(time_ms), max(time_ms) FROM log_entries").head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1) + 1L)
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      graft.operators.SqlBatchView.queryAcrossSlices(s,
+          graft.operators.SqlBatchView.logStats, Seq((lo, c1), (c1, c2), (c2, hi)))
+        .orderBy("time_bin_ms", "process_id", "level", "target")
+    }, Some("""
+      SELECT epoch_ms(ts) - epoch_ms(ts) % 60000 AS time_bin_ms,
+        CAST(user_id AS VARCHAR) AS process_id,
+        CASE WHEN event_type = 'error' THEN 2
+             WHEN event_type IN ('signup','purchase') THEN 4
+             ELSE 5 END AS level,
+        event_type AS target,
+        CAST(count(*) AS BIGINT) AS count
+      FROM events GROUP BY 1, 2, 3, 4
+      ORDER BY time_bin_ms, process_id, level, target"""))
   )
 }

@@ -15,20 +15,9 @@ class SqlBatchViewSpec extends SparkSpec with TmpDirSupport {
   // mechanism (the reference builds its log_stats_view exactly this
   // way on top of sql_batch_view): transform = per-minute counts of
   // one slice, merge = re-sum — mirroring partial agg + final merge.
-  private val logStatsView = SqlBatchView.Def(
-    name = "log_stats_sql",
-    countSrcSql = """SELECT count(*) AS n FROM log_entries
-      WHERE time_ms >= {begin} AND time_ms < {end}""",
-    transformSql = """
-      SELECT time_ms - time_ms % 60000 AS time_bin_ms, process_id, level, target,
-        count(*) AS count
-      FROM log_entries
-      WHERE time_ms >= {begin} AND time_ms < {end}
-      GROUP BY 1, 2, 3, 4""",
-    mergeSql = """
-      SELECT time_bin_ms, process_id, level, target,
-        CAST(sum(count) AS BIGINT) AS count
-      FROM {source} GROUP BY 1, 2, 3, 4""")
+  // The Def itself is canonical in SqlBatchView (shared with the
+  // oracle-checked m_sql_view_merge query).
+  private val logStatsView = SqlBatchView.logStats
 
   private def bounds: (Long, Long) = {
     val r = Graft.query(spark, sfDir,
@@ -60,6 +49,16 @@ class SqlBatchViewSpec extends SparkSpec with TmpDirSupport {
     // and both equal the direct (non-materialized) computation
     val direct = sortedRows(new Lakehouse(spark, sfDir).logStats)
     assert(inc === direct)
+  }
+
+  test("queryAcrossSlices answers without a lake: lazy per-slice transform + merge == direct") {
+    // the QueryMerger read path — no files written at all
+    Graft.registerViews(spark, sfDir)
+    val (lo, hi) = bounds
+    val cut = lo + 90017 // mid-minute: bins straddle slices, re-sum load-bearing
+    val out = SqlBatchView.queryAcrossSlices(spark, logStatsView,
+      Seq((lo, cut), (cut, hi)))
+    assert(sortedRows(out) === sortedRows(new Lakehouse(spark, sfDir).logStats))
   }
 
   test("minute slices crossing the merge boundary still merge exactly") {
