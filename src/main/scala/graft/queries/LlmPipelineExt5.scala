@@ -1,0 +1,197 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{round => round} // DuckDB-compatible rounding (see package.scala)
+import graft.operators.TextAnalysis.whitespaceTokens
+
+/** Fifth LLM-pipeline tranche: corpus-membership and data-selection
+  * ops — the remaining standard tools of a pretraining data pipeline.
+  *
+  *  - `l_bloom_dedup`: Bloom-filter membership pre-filter against a
+  *    reference corpus (the CCNet/Dolma-style "have we seen this page
+  *    before" gate). k=3 md5-derived bit positions in an m=4096 bit
+  *    space; the filter is a tiny distinct-positions table that
+  *    BROADCASTS no matter how big the reference corpus is — probe
+  *    docs never shuffle. False positives are part of the contract,
+  *    so the query also carries the exact-membership bit and thereby
+  *    measures the FP rate instead of hiding it.
+  *  - `l_c4_rules`: C4-style heuristic cleaning rules (Raffel et al.
+  *    2020 §2.2 lineage): min word count, stopword presence, max word
+  *    length, digit-fraction bound — each an integer-exact per-row
+  *    expression, plus the conjunctive keep bit.
+  *  - `l_dsir_weights`: DSIR-style importance weighting (Xie et al.
+  *    2023): hashed n-gram (here: unigram→128 buckets) counts in a
+  *    target slice vs the raw corpus; per-doc importance as the exact
+  *    integer count sums + a single final division. The bucket table
+  *    is O(buckets) — broadcastable at any corpus scale; the
+  *    per-token lookup is a map-side join.
+  *  - `l_oov_score`: vocabulary-coverage scoring against the corpus's
+  *    own top-k vocabulary (unigram-LM out-of-vocabulary rate — the
+  *    cheap perplexity proxy that needs no FP log-sums, so it stays
+  *    bit-exact across engines).
+  */
+object LlmPipelineExt5 {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "documents")
+
+  // single-file test parquet reads as ONE partition — the CPU-heavy
+  // explode/md5 pipelines repartition first (same as LlmPipeline)
+  private def docsWide(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
+  private val oracleTokens = "string_split_regex(trim(text), '\\s+')"
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("l_bloom_dedup", (s, dir) => {
+      // Reference slice: doc_id ≡ 0 (mod 5). Fingerprint = md5(text);
+      // bit positions h_i = int(md5(i||fp)[0:8]) mod 4096, i=0..2.
+      // bloom_hit = all three positions set by the reference slice;
+      // exact_hit = fingerprint truly present (FP-rate accounting).
+      val fp = md5(col("text"))
+      val base = docsWide(s, dir).select(col("doc_id"), fp.as("fp"))
+      val hashes = base.select(col("doc_id"), col("fp"), explode(array(
+        (0 to 2).map(i =>
+          conv(substring(md5(concat(lit(i.toString), col("fp"))), 1, 8), 16, 10)
+            .cast("long") % 4096L): _*)).as("pos"))
+      val refBits = hashes.where(col("doc_id") % 5 === 0)
+        .select("pos").distinct().withColumn("bit", lit(1))
+      val refFps = base.where(col("doc_id") % 5 === 0)
+        .select(col("fp").as("rfp")).distinct()
+      val probeBits = hashes.where(col("doc_id") % 5 =!= 0)
+        .join(broadcast(refBits), Seq("pos"), "left_outer")
+        .groupBy("doc_id", "fp")
+        .agg(min(when(col("bit").isNotNull, 1L).otherwise(0L)).as("bloom_hit"))
+      probeBits
+        .join(broadcast(refFps), col("fp") === col("rfp"), "left_outer")
+        .select(col("doc_id"), col("bloom_hit"),
+          when(col("rfp").isNotNull, 1L).otherwise(0L).as("exact_hit"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      h AS (
+        SELECT doc_id, fp,
+          CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || fp), 1, 8)) AS BIGINT) % 4096 AS pos
+        FROM f CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)),
+      bits AS (SELECT DISTINCT pos FROM h WHERE doc_id % 5 = 0),
+      rf AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 = 0),
+      pm AS (
+        SELECT h.doc_id, h.fp,
+          MIN(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS bloom_hit
+        FROM h LEFT JOIN bits b ON h.pos = b.pos
+        WHERE h.doc_id % 5 <> 0 GROUP BY 1, 2)
+      SELECT doc_id, CAST(bloom_hit AS BIGINT) AS bloom_hit,
+        CAST(CASE WHEN rf.fp IS NULL THEN 0 ELSE 1 END AS BIGINT) AS exact_hit
+      FROM pm LEFT JOIN rf ON pm.fp = rf.fp
+      ORDER BY doc_id""")),
+
+    GraftQuery("l_c4_rules", (s, dir) => {
+      // All comparisons integer-exact: counts and lengths only. The
+      // digit rule is the C4 "numbers-heavy page" bound expressed as
+      // 10*digits < chars (strictly-below-10% without FP division).
+      // Pure per-row expressions riding the scan — zero shuffles.
+      val t = whitespaceTokens(col("text"))
+      docs(s, dir).select(
+          col("doc_id"),
+          size(t).cast("long").as("n_words"),
+          array_max(transform(t, w => length(w))).cast("long").as("max_wlen"),
+          length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"),
+          length(col("text")).cast("long").as("n_chars"),
+          array_contains(t, "the").cast("long").as("r_stopword"))
+        .withColumn("r_minwords", (col("n_words") >= 20).cast("long"))
+        .withColumn("r_maxword", (col("max_wlen") <= 12).cast("long"))
+        .withColumn("r_digit", (col("n_digits") * 10 < col("n_chars")).cast("long"))
+        .withColumn("keep",
+          (col("r_minwords") * col("r_stopword") * col("r_maxword") * col("r_digit")).cast("long"))
+        .select("doc_id", "n_words", "max_wlen", "n_digits", "n_chars",
+          "r_stopword", "r_minwords", "r_maxword", "r_digit", "keep")
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH base AS (
+        SELECT doc_id, $oracleTokens AS t, text FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(t) AS BIGINT) AS n_words,
+          CAST(list_max(list_transform(t, w -> strlen(w))) AS BIGINT) AS max_wlen,
+          CAST(strlen(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+          CAST(strlen(text) AS BIGINT) AS n_chars,
+          CAST(CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END AS BIGINT) AS r_stopword
+        FROM base)
+      SELECT doc_id, n_words, max_wlen, n_digits, n_chars, r_stopword,
+        CAST(CASE WHEN n_words >= 20 THEN 1 ELSE 0 END AS BIGINT) AS r_minwords,
+        CAST(CASE WHEN max_wlen <= 12 THEN 1 ELSE 0 END AS BIGINT) AS r_maxword,
+        CAST(CASE WHEN n_digits * 10 < n_chars THEN 1 ELSE 0 END AS BIGINT) AS r_digit,
+        CAST(CASE WHEN n_words >= 20 AND r_stopword = 1 AND max_wlen <= 12
+                   AND n_digits * 10 < n_chars THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM m ORDER BY doc_id""")),
+
+    GraftQuery("l_dsir_weights", (s, dir) => {
+      // Hashed-unigram importance: bucket b(w) = int(md5(w)[0:8]) mod
+      // 128; per-bucket target (lang='en') and raw occurrence counts;
+      // per-doc importance = (Σ(t_cnt+1)) / (Σ(r_cnt+1)) over its
+      // token occurrences — integer sums, one final division. (True
+      // DSIR multiplies per-bucket ratios in log space; the count-sum
+      // ratio is the cross-engine-exact formulation — noted deviation.)
+      val tok = docsWide(s, dir).select(col("doc_id"), col("lang"),
+          explode(whitespaceTokens(col("text"))).as("w"))
+        .withColumn("b", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 128L)
+      val buckets = tok.groupBy("b").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"),
+        count(lit(1)).as("r_cnt"))
+      tok.join(broadcast(buckets), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("t_cnt") + 1).as("sum_t"),
+          sum(col("r_cnt") + 1).as("sum_r"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_t"), col("sum_r"),
+          round(col("sum_t").cast("double") / col("sum_r"), 6).as("importance"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH tok AS (
+        SELECT doc_id, lang, unnest($oracleTokens) AS w FROM documents),
+      tb AS (
+        SELECT *, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 128 AS b FROM tok),
+      buckets AS (
+        SELECT b, SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt,
+          COUNT(*) AS r_cnt
+        FROM tb GROUP BY b)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(t_cnt + 1) AS BIGINT) AS sum_t,
+        CAST(SUM(r_cnt + 1) AS BIGINT) AS sum_r,
+        round(CAST(SUM(t_cnt + 1) AS DOUBLE) / SUM(r_cnt + 1), 6) AS importance
+      FROM tb JOIN buckets USING (b)
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    GraftQuery("l_oov_score", (s, dir) => {
+      // Vocabulary = corpus top-16 words (count desc, word asc —
+      // total order, so the cut is deterministic); per-doc OOV rate
+      // against it. Vocab is O(k) → broadcast; the probe join is
+      // map-side at any corpus size.
+      val tok = docsWide(s, dir).select(col("doc_id"),
+        explode(whitespaceTokens(col("text"))).as("w"))
+      val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(16)
+        .select(col("w").as("vw")).withColumn("iv", lit(1))
+      tok.join(broadcast(vocab), col("w") === col("vw"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest($oracleTokens) AS w FROM documents),
+      vocab AS (
+        SELECT w FROM (
+          SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w
+          ORDER BY cnt DESC, w LIMIT 16))
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        round(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+      FROM tok LEFT JOIN vocab v USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}
