@@ -21,6 +21,9 @@ object Graft {
     lk.logStats.createOrReplaceTempView("log_stats")
     lk.threadSpans.createOrReplaceTempView("thread_spans")
     lk.otelSpans.createOrReplaceTempView("otel_spans")
+    lk.processes.createOrReplaceTempView("processes")
+    lk.streams.createOrReplaceTempView("streams")
+    lk.blocks.createOrReplaceTempView("blocks")
     // `images` is deliberately NOT registered globally: the reference's
     // ImagesView is instance-only (images_view.rs) — use
     // Lakehouse.viewInstance("images", processId).
@@ -92,5 +95,84 @@ object Graft {
       df.queryExecution.analyzed
       df
     } finally plans.QueryRange.clear()
+  }
+
+  // -----------------------------------------------------------------
+  // convenience API mirroring the reference Python client
+  // (python/micromegas/micromegas/flightsql/client.py: find_process,
+  // query_streams, query_blocks, query_spans; perfetto.py:
+  // write_process_trace). Like the reference, each helper just
+  // formats SQL against the registered views and routes through
+  // query(), so the begin/end range scoping applies identically.
+  // -----------------------------------------------------------------
+
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** find_process(process_id) analog. */
+  def findProcess(spark: SparkSession, dir: String, processId: String): DataFrame =
+    query(spark, dir,
+      s"SELECT * FROM processes WHERE process_id = ${sq(processId)} LIMIT 1")
+
+  /** query_streams(begin, end, limit, process_id, tag_filter) analog. */
+  def queryStreams(spark: SparkSession, dir: String, limit: Int,
+      processId: Option[String] = None, tagFilter: Option[String] = None,
+      beginMicros: Option[Long] = None, endMicros: Option[Long] = None): DataFrame = {
+    val conds = processId.map(p => s"process_id = ${sq(p)}").toSeq ++
+      tagFilter.map(t => s"tag = ${sq(t)}").toSeq
+    val where = if (conds.isEmpty) "" else conds.mkString("WHERE ", " AND ", " ")
+    query(spark, dir,
+      s"SELECT * FROM streams ${where}ORDER BY process_id, tag LIMIT $limit",
+      beginMicros, endMicros)
+  }
+
+  /** query_blocks(begin, end, limit, stream_id) analog; a stream here
+    * is identified by its (process_id, tag) pair.
+    */
+  def queryBlocks(spark: SparkSession, dir: String, limit: Int,
+      processId: String, tag: String,
+      beginMicros: Option[Long] = None, endMicros: Option[Long] = None): DataFrame =
+    query(spark, dir,
+      s"SELECT * FROM blocks WHERE process_id = ${sq(processId)} AND stream_tag = ${sq(tag)} " +
+        s"ORDER BY block_start_ms LIMIT $limit",
+      beginMicros, endMicros)
+
+  /** query_spans(begin, end, limit, stream_id) analog: the JIT
+    * process-scoped thread_spans instance.
+    */
+  def querySpans(spark: SparkSession, dir: String, limit: Int, processId: String,
+      beginMicros: Option[Long] = None, endMicros: Option[Long] = None): DataFrame = {
+    ensureViews(spark, dir)
+    val scoped = new Lakehouse(spark, dir).viewInstance("thread_spans", processId)
+    scoped.createOrReplaceTempView("thread_spans_instance")
+    query(spark, dir,
+      s"SELECT * FROM thread_spans_instance ORDER BY begin_ms, event_id LIMIT $limit",
+      beginMicros, endMicros)
+  }
+
+  /** write_process_trace analog (python/micromegas/micromegas/
+    * perfetto.py): generate one process's Perfetto trace chunks and
+    * concatenate them into a local .perfetto-trace file — the
+    * client-download step, so the file write is deliberately
+    * driver-side. Returns (chunks, bytes) written.
+    */
+  def writeProcessTrace(spark: SparkSession, dir: String, processKey: Long,
+      path: String): (Int, Long) = {
+    import org.apache.spark.sql.functions._
+    val events = Tables.df(spark, dir, "events").where(col("user_id") === processKey)
+    val thread = operators.SpanAssembly.beginEndSpans(events, "user_id",
+      queries.epochMs(col("ts")), "event_id", "event_type",
+      col("event_type").isin("signup", "view"))
+    val async = operators.SpanAssembly.consecutiveSpans(events, "user_id",
+      queries.epochMs(col("ts")), "event_id", "event_type")
+      .withColumn("span_id", col("event_id"))
+      .withColumn("depth", lit(0L))
+    val chunks = operators.Perfetto.traceChunksDf(spark, thread, "user_id", Some(async))
+      .orderBy("chunk_id")
+      .select("chunk_data")
+      .collect()
+      .map(_.getAs[Array[Byte]]("chunk_data"))
+    val out = new java.io.FileOutputStream(path)
+    try chunks.foreach(out.write) finally out.close()
+    (chunks.length, chunks.map(_.length.toLong).sum)
   }
 }

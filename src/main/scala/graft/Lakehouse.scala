@@ -87,6 +87,42 @@ final class Lakehouse(spark: SparkSession, dir: String) {
     * plumbing, not query semantics — same stance as m_block_payload).
     * Per-row expressions only; no shuffle.
     */
+  /** processes metadata view (reference processes_view.rs): one row
+    * per telemetry source with lifetime + activity stats.
+    */
+  def processes: DataFrame =
+    table("events")
+      .groupBy(col("user_id").cast("string").as("process_id"))
+      .agg(min(epochMs(col("ts"))).as("start_time_ms"),
+        max(epochMs(col("ts"))).as("last_update_time_ms"),
+        count(lit(1)).as("n_events"),
+        countDistinct("event_type").as("n_streams"))
+
+  /** streams metadata view (reference streams_view.rs): per (process,
+    * stream kind) block stats — event_type plays the stream tag.
+    */
+  def streams: DataFrame =
+    table("events")
+      .groupBy(col("user_id").cast("string").as("process_id"), col("event_type").as("tag"))
+      .agg(count(lit(1)).as("nb_objects"),
+        min(epochMs(col("ts"))).as("min_event_time_ms"),
+        max(epochMs(col("ts"))).as("max_event_time_ms"))
+
+  /** blocks metadata view (reference blocks_view.rs): per (process,
+    * stream) minute-bucket object counts, time range, payload size.
+    */
+  def blocks: DataFrame = {
+    val ms = epochMs(col("ts"))
+    table("events")
+      .groupBy(col("user_id").cast("string").as("process_id"),
+        col("event_type").as("stream_tag"),
+        (ms - pmod(ms, lit(60000L))).as("block_start_ms"))
+      .agg(count(lit(1)).as("nb_objects"),
+        min(ms).as("min_event_time_ms"),
+        max(ms).as("max_event_time_ms"),
+        sum(length(col("props")).cast("long")).as("payload_bytes"))
+  }
+
   def images: DataFrame = imagesFrom(table("events"))
 
   private def imagesFrom(e: DataFrame): DataFrame = {

@@ -59,15 +59,9 @@ object ObservabilityExt2 {
       ORDER BY user_id, span_id""")),
 
     GraftQuery("m_processes", (s, dir) => {
-      // processes metadata view (reference processes_view.rs): one row
-      // per telemetry source with lifetime + activity stats
-      events(s, dir)
-        .groupBy(col("user_id").cast("string").as("process_id"))
-        .agg(min(epochMs(col("ts"))).as("start_time_ms"),
-          max(epochMs(col("ts"))).as("last_update_time_ms"),
-          count(lit(1)).as("n_events"),
-          countDistinct("event_type").as("n_streams"))
-        .orderBy("process_id")
+      // processes metadata view (reference processes_view.rs) — the
+      // Lakehouse member, which Graft.findProcess also serves
+      new graft.Lakehouse(s, dir).processes.orderBy("process_id")
     }, Some("""
       SELECT CAST(user_id AS VARCHAR) AS process_id,
         min(epoch_ms(ts)) AS start_time_ms,
@@ -77,14 +71,9 @@ object ObservabilityExt2 {
       FROM events GROUP BY 1 ORDER BY process_id""")),
 
     GraftQuery("m_streams", (s, dir) => {
-      // streams metadata view (streams_view.rs): per (process, stream
-      // kind) block stats — event_type plays the stream tag
-      events(s, dir)
-        .groupBy(col("user_id").cast("string").as("process_id"), col("event_type").as("tag"))
-        .agg(count(lit(1)).as("nb_objects"),
-          min(epochMs(col("ts"))).as("min_event_time_ms"),
-          max(epochMs(col("ts"))).as("max_event_time_ms"))
-        .orderBy("process_id", "tag")
+      // streams metadata view (streams_view.rs) — the Lakehouse
+      // member, which Graft.queryStreams also serves
+      new graft.Lakehouse(s, dir).streams.orderBy("process_id", "tag")
     }, Some("""
       SELECT CAST(user_id AS VARCHAR) AS process_id, event_type AS tag,
         CAST(count(*) AS BIGINT) AS nb_objects,
@@ -94,18 +83,10 @@ object ObservabilityExt2 {
 
     GraftQuery("m_blocks", (s, dir) => {
       // blocks metadata view (reference blocks_view.rs): ingestion
-      // block granularity — per (process, stream) per minute-bucket,
-      // object counts, event-time range, payload size. The events
-      // stream plays the block payloads (props length = payload bytes).
-      val e = events(s, dir)
-      val ms = epochMs(col("ts"))
-      e.groupBy(col("user_id").cast("string").as("process_id"),
-          col("event_type").as("stream_tag"),
-          (ms - pmod(ms, lit(60000L))).as("block_start_ms"))
-        .agg(count(lit(1)).as("nb_objects"),
-          min(ms).as("min_event_time_ms"),
-          max(ms).as("max_event_time_ms"),
-          sum(length(col("props")).cast("long")).as("payload_bytes"))
+      // block granularity; the events stream plays the block payloads
+      // (props length = payload bytes). Served by the Lakehouse
+      // member, which Graft.queryBlocks also uses.
+      new graft.Lakehouse(s, dir).blocks
         .orderBy("process_id", "stream_tag", "block_start_ms")
     }, Some("""
       SELECT CAST(user_id AS VARCHAR) AS process_id, event_type AS stream_tag,

@@ -84,4 +84,48 @@ class GraftApiSpec extends SparkSpec {
     val row = df.where("name = 'error'").select("h.count").head()
     assert(row.getLong(0) > 0)
   }
+
+  test("client convenience API: find_process / query_streams / query_blocks / query_spans") {
+    val p = Graft.findProcess(spark, sfDir, "9").collect()
+    assert(p.length == 1 && p.head.getAs[Long]("n_events") > 0)
+    assert(Graft.findProcess(spark, sfDir, "no-such'; --").isEmpty)
+
+    val streams = Graft.queryStreams(spark, sfDir, limit = 3, processId = Some("9"))
+    assert(streams.count() <= 3)
+    assert(streams.select("process_id").distinct().collect().map(_.getString(0)).toSeq == Seq("9"))
+    val tagged = Graft.queryStreams(spark, sfDir, limit = 100, tagFilter = Some("view"))
+    assert(tagged.select("tag").distinct().collect().map(_.getString(0)).toSeq == Seq("view"))
+
+    val blocks = Graft.queryBlocks(spark, sfDir, limit = 5, processId = "9", tag = "view")
+    assert(blocks.count() > 0 && blocks.count() <= 5)
+
+    val spans = Graft.querySpans(spark, sfDir, limit = 10, processId = "9").collect()
+    assert(spans.nonEmpty && spans.length <= 10)
+    assert(spans.forall(_.getAs[String]("process_id") == "9"))
+    // range-scoped variant returns a strict subset (bound at the
+    // midpoint of the span time range so both sides are non-empty)
+    val all = Graft.querySpans(spark, sfDir, 10000, "9").collect()
+    val mid = (all.map(_.getAs[Long]("begin_ms")).min +
+      all.map(_.getAs[Long]("begin_ms")).max) / 2
+    val ranged = Graft.querySpans(spark, sfDir, limit = 10000, processId = "9",
+      beginMicros = Some(mid * 1000L), endMicros = None)
+    assert(ranged.count() > 0 && ranged.count() < all.length)
+  }
+
+  test("write_process_trace analog produces a well-formed perfetto file") {
+    val path = java.nio.file.Files.createTempFile("graft-trace", ".perfetto-trace")
+    try {
+      val (nChunks, nBytes) = Graft.writeProcessTrace(spark, sfDir, 9L, path.toString)
+      val bytes = java.nio.file.Files.readAllBytes(path)
+      assert(nChunks > 0 && nBytes == bytes.length.toLong)
+      // Trace.packet framing: every chunk starts with field 1, wire 2 → 0x0a
+      assert((bytes(0) & 0xff) == 0x0a)
+      // accounting matches the distributed query for the same process
+      val q = SparkEntry.queries("m_perfetto_chunks")(spark, sfDir)
+        .where("user_id = 9")
+      assert(q.count().toInt == nChunks)
+      val sum = q.groupBy().sum("n_bytes").head().getLong(0)
+      assert(sum == nBytes)
+    } finally java.nio.file.Files.deleteIfExists(path)
+  }
 }
