@@ -164,6 +164,34 @@ object ObservabilityExt6 {
       Perfetto.traceChunksDf(s, thread, "user_id", Some(async))
         .select("user_id", "chunk_id", "n_packets", "n_bytes", "chunk_md5")
         .orderBy("user_id", "chunk_id")
-    }, None)
+    }, None),
+
+    GraftQuery("m_props_dict", (s, dir) => {
+      // property-set dictionary encoding (reference: rust/analytics/
+      // src/properties/property_set_jsonb_dictionary_builder.rs —
+      // identical property sets are stored ONCE and rows reference
+      // them by dictionary index). The relational formulation: the
+      // dictionary is the distinct props values with dense ids in
+      // first-appearance order (min event_id), plus the reference
+      // count each entry carries. The global window runs over the
+      // DICTIONARY (bounded by construction — distinct property
+      // sets, the very thing dictionary encoding exploits), never
+      // over event rows; the reference's builder is likewise
+      // per-block bounded.
+      val e = events(s, dir)
+      val dict = e.groupBy("props")
+        .agg(min("event_id").as("first_event_id"), count(lit(1)).as("n_rows"))
+      dict.withColumn("props_id",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy("first_event_id")).cast("long"))
+        .select("props_id", "props", "first_event_id", "n_rows")
+        .orderBy("props_id")
+    }, Some("""
+      WITH d AS (
+        SELECT props, MIN(event_id) AS first_event_id, COUNT(*) AS n_rows
+        FROM events GROUP BY props)
+      SELECT ROW_NUMBER() OVER (ORDER BY first_event_id) AS props_id,
+        props, first_event_id, CAST(n_rows AS BIGINT) AS n_rows
+      FROM d ORDER BY props_id"""))
   )
 }
