@@ -192,6 +192,83 @@ object LlmPipelineExt5 {
         CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         round(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS oov_rate
       FROM tok LEFT JOIN vocab v USING (w)
-      GROUP BY doc_id ORDER BY doc_id"""))
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    GraftQuery("l_bpe_merge", (s, dir) => {
+      // One BPE tokenizer-training round ([[graft.operators.Bpe]]),
+      // fully in-plan: corpus pair statistics → deterministic winning
+      // pair (count desc, pair asc) broadcast → greedy left-to-right
+      // merge via gaps-and-islands parity (a run of k consecutive
+      // pair occurrences merges at its 1st, 3rd, … positions). Output
+      // is per-doc before/after token counts + md5 of the merged
+      // text, plus the winning pair — all integer/string-exact.
+      // Multi-round training (driver-iterated like Lloyd's k-means)
+      // is Bpe.train, pinned to an independent in-memory
+      // implementation by BpeSpec.
+      import org.apache.spark.sql.expressions.Window
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val tok = graft.operators.Bpe.tokens(docsWide(s, dir), "text")
+      val top = graft.operators.Bpe.pairCounts(tok)
+        .orderBy(col("pair_n").desc, col("w"), col("w2")).limit(1)
+        .select(col("w").as("tw1"), col("w2").as("tw2"), col("pair_n"))
+      val merged = tok
+        .withColumn("w2", lead("w", 1).over(byDoc))
+        .crossJoin(broadcast(top))
+        .withColumn("mergeable",
+          coalesce(col("w") === col("tw1") && col("w2") === col("tw2"), lit(false)))
+        .withColumn("runm", sum(when(col("mergeable"), 1L).otherwise(0L))
+          .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("ikey", col("pos") - col("runm"))
+      val island = Window.partitionBy("doc_id", "ikey")
+      val out = merged
+        .withColumn("island_start", min(when(col("mergeable"), col("pos"))).over(island))
+        .withColumn("merged_at",
+          col("mergeable") && (col("pos") - col("island_start")) % 2 === 0)
+        .withColumn("consumed", coalesce(lag(col("merged_at"), 1).over(byDoc), lit(false)))
+        .withColumn("tk", when(col("merged_at"), concat(col("w"), lit("_"), col("w2")))
+          .when(!col("consumed"), col("w")))
+        .where(col("tk").isNotNull)
+      val after = out.groupBy("doc_id").agg(
+        count(lit(1)).as("n_after"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tk")))),
+          x => x.getField("tk")), " ")).as("merged_md5"),
+        first("tw1").as("w1"), first("tw2").as("w2"), first("pair_n").as("pair_n"))
+      val before = tok.groupBy("doc_id").agg(count(lit(1)).as("n_before"))
+      after.join(before, "doc_id")
+        .select("doc_id", "n_before", "n_after", "w1", "w2", "pair_n", "merged_md5")
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH tok0 AS (SELECT doc_id, $oracleTokens AS t FROM documents),
+      tok AS (
+        SELECT doc_id, unnest(range(0, len(t))) AS pos, unnest(t) AS w FROM tok0),
+      p AS (SELECT *, LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok),
+      pc AS (SELECT w, w2, COUNT(*) AS pair_n FROM p WHERE w2 IS NOT NULL GROUP BY 1, 2),
+      top AS (SELECT w AS tw1, w2 AS tw2, pair_n FROM pc
+              ORDER BY pair_n DESC, w, w2 LIMIT 1),
+      m AS (SELECT p.*, tw1, tw2, pair_n,
+              COALESCE(p.w = tw1 AND p.w2 = tw2, FALSE) AS mergeable
+            FROM p CROSS JOIN top),
+      r AS (SELECT *, SUM(CASE WHEN mergeable THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS runm
+            FROM m),
+      k AS (SELECT *, pos - runm AS ikey FROM r),
+      i AS (SELECT *, MIN(CASE WHEN mergeable THEN pos END)
+              OVER (PARTITION BY doc_id, ikey) AS island_start FROM k),
+      ma AS (SELECT *, (mergeable AND (pos - island_start) % 2 = 0) AS merged_at FROM i),
+      c AS (SELECT *, COALESCE(LAG(merged_at) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS consumed FROM ma),
+      nt AS (SELECT doc_id, pos, tw1, tw2, pair_n,
+               CASE WHEN merged_at THEN w || '_' || w2
+                    WHEN NOT consumed THEN w END AS tk
+             FROM c),
+      o AS (SELECT doc_id, COUNT(*) AS n_after,
+              md5(string_agg(tk, ' ' ORDER BY pos)) AS merged_md5,
+              MIN(tw1) AS w1, MIN(tw2) AS w2, MIN(pair_n) AS pair_n
+            FROM nt WHERE tk IS NOT NULL GROUP BY doc_id),
+      nb AS (SELECT doc_id, COUNT(*) AS n_before FROM tok GROUP BY doc_id)
+      SELECT o.doc_id, CAST(n_before AS BIGINT) AS n_before,
+        CAST(n_after AS BIGINT) AS n_after, w1, w2,
+        CAST(pair_n AS BIGINT) AS pair_n, merged_md5
+      FROM o JOIN nb USING (doc_id) ORDER BY o.doc_id"""))
   )
 }
