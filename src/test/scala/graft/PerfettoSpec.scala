@@ -183,6 +183,42 @@ class PerfettoSpec extends SparkSpec {
     assert(evs.flatMap(_.newSrcs).map(_._2) == Seq("span/alpha", "async/alpha", "async/beta"))
   }
 
+  test("property: packet encode/decode round-trips arbitrary spans") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val nameGen = Gen.oneOf(
+      Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(12)),
+      Gen.oneOf("""q"uote""", """b\slash""", "sp ace", "üñïcode-名前", "a\tb", ""))
+    val spanGen = for {
+      key <- Gen.chooseNum(0L, 1000L)
+      n <- Gen.chooseNum(1, 25)
+      names <- Gen.listOfN(n, nameGen)
+      starts <- Gen.listOfN(n, Gen.chooseNum(0L, 1L << 40))
+      durs <- Gen.listOfN(n, Gen.chooseNum(0L, 100000L))
+      depths <- Gen.listOfN(n, Gen.chooseNum(0L, 5L))
+    } yield (key, names.lazyZip(starts).lazyZip(durs).lazyZip(depths).toList.zipWithIndex.map {
+      case ((nm, st, du, dp), i) => PSpan(key, 0, i.toLong, nm, dp, st, st + du)
+    })
+    val prop = Prop.forAll(spanGen) { case (key, spans) =>
+      val chunks = Perfetto.encodeProcess(key, thread = spans, async = Nil)
+      val decoded = packets(chunks.map(_._1).fold(Array.emptyByteArray)(_ ++ _))
+      val evs = decoded.filter(_.evType > 0)
+      val names = mutable.Map[Long, String]()
+      evs.foreach(_.newNames.foreach { case (iid, n) => names(iid) = n })
+      val sorted = spans.sortBy(s => (s.beginMs, s.spanId))
+      // packet count, interleaving, timestamps, and name resolution
+      decoded.size == 2 + 2 * spans.size &&
+        evs.grouped(2).zip(sorted.iterator).forall { case (Seq(b, e), s) =>
+          b.evType == 1 && e.evType == 2 &&
+            b.tsNs == s.beginMs * 1000000L && e.tsNs == s.endMs * 1000000L &&
+            names(b.nameIid) == s.name && b.nameIid == e.nameIid
+        } &&
+        // dictionary size = distinct names; iids dense 1..k
+        names.keySet == (1L to spans.map(_.name).distinct.size).toSet
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("m_perfetto_chunks accounting is consistent and deterministic") {
     val df = SparkEntry.queries("m_perfetto_chunks")(spark, sfDir)
     val rows = df.collect()
