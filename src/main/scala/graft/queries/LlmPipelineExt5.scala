@@ -269,6 +269,99 @@ object LlmPipelineExt5 {
       SELECT o.doc_id, CAST(n_before AS BIGINT) AS n_before,
         CAST(n_after AS BIGINT) AS n_after, w1, w2,
         CAST(pair_n AS BIGINT) AS pair_n, merged_md5
-      FROM o JOIN nb USING (doc_id) ORDER BY o.doc_id"""))
+      FROM o JOIN nb USING (doc_id) ORDER BY o.doc_id""")),
+
+    GraftQuery("l_curation_v2", (s, dir) => {
+      // Second-generation curation composite over this tranche's
+      // gates: C4 rules → Bloom membership against the
+      // already-trained slice → DSIR above-corpus-average en-affinity
+      // → running token budget. Every comparison is integer (counts,
+      // products, prefix sums) — bit-robust under any partitioning by
+      // construction, the lesson of l_curation_pipeline. The DSIR
+      // gate is self-normalizing (sum_t·total_r ≥ sum_r·total_t:
+      // docs above the corpus-average target affinity), so it needs
+      // no tuned threshold and survives any corpus scale; at extreme
+      // scale the integer products would move to DECIMAL(38).
+      val t = whitespaceTokens(col("text"))
+      val base = docsWide(s, dir)
+      val c4 = base.select(col("doc_id"), col("lang"),
+          size(t).cast("long").as("n_words"),
+          array_max(transform(t, w => length(w))).cast("long").as("max_wlen"),
+          length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"),
+          length(col("text")).cast("long").as("n_chars"),
+          array_contains(t, "the").cast("long").as("has_stop"),
+          md5(col("text")).as("fp"))
+        .where(col("n_words") >= 20 && col("has_stop") === 1 &&
+          col("max_wlen") <= 12 && col("n_digits") * 10 < col("n_chars"))
+      // bloom gate: bits from the reference slice over ALL docs;
+      // probes are the C4 survivors outside it
+      val hashes = base.select(col("doc_id"), md5(col("text")).as("fp")).select(
+        col("doc_id"), col("fp"), explode(array((0 to 2).map(i =>
+          conv(substring(md5(concat(lit(i.toString), col("fp"))), 1, 8), 16, 10)
+            .cast("long") % 4096L): _*)).as("pos"))
+      val refBits = hashes.where(col("doc_id") % 5 === 0)
+        .select("pos").distinct().withColumn("bit", lit(1))
+      val bloom = hashes.where(col("doc_id") % 5 =!= 0)
+        .join(broadcast(refBits), Seq("pos"), "left_outer")
+        .groupBy("doc_id")
+        .agg(min(when(col("bit").isNotNull, 1L).otherwise(0L)).as("bloom_hit"))
+      // DSIR affinity from full-corpus hashed-unigram buckets
+      val tok = base.select(col("doc_id"), col("lang"), explode(t).as("w"))
+        .withColumn("b", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 128L)
+      val buckets = tok.groupBy("b").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"),
+        count(lit(1)).as("r_cnt"))
+      val dsir = tok.join(broadcast(buckets), Seq("b")).groupBy("doc_id")
+        .agg(sum(col("t_cnt") + 1).as("sum_t"), sum(col("r_cnt") + 1).as("sum_r"))
+      val totals = dsir.agg(sum("sum_t").as("tt"), sum("sum_r").as("tr"))
+      val curated = c4
+        .join(bloom, Seq("doc_id")).where(col("bloom_hit") === 0)
+        .join(dsir, Seq("doc_id"))
+        .crossJoin(broadcast(totals))
+        .where(col("sum_t") * col("tr") >= col("sum_r") * col("tt"))
+        .select(col("doc_id"), col("n_words"), col("sum_t"), col("sum_r"))
+      graft.operators.Prefix
+        .runningSum(curated, Seq(col("doc_id")), col("n_words"), "cum_tokens")
+        .where(col("cum_tokens") <= 3000L)
+        .select("doc_id", "n_words", "sum_t", "sum_r", "cum_tokens")
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH f AS (
+        SELECT doc_id, lang, text, $oracleTokens AS t, md5(text) AS fp FROM documents),
+      c4 AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words, fp FROM f
+        WHERE len(t) >= 20 AND list_contains(t, 'the')
+          AND list_max(list_transform(t, w -> strlen(w))) <= 12
+          AND strlen(regexp_replace(text, '[^0-9]', '', 'g')) * 10 < strlen(text)),
+      h AS (
+        SELECT doc_id, fp,
+          CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || fp), 1, 8)) AS BIGINT) % 4096 AS pos
+        FROM f CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)),
+      bits AS (SELECT DISTINCT pos FROM h WHERE doc_id % 5 = 0),
+      bl AS (
+        SELECT h.doc_id, MIN(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS bloom_hit
+        FROM h LEFT JOIN bits b ON h.pos = b.pos
+        WHERE h.doc_id % 5 <> 0 GROUP BY 1),
+      tok AS (SELECT doc_id, lang, unnest(t) AS w FROM f),
+      tb AS (SELECT *, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 128 AS b FROM tok),
+      buckets AS (
+        SELECT b, SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt, COUNT(*) AS r_cnt
+        FROM tb GROUP BY b),
+      dsir AS (
+        SELECT doc_id, SUM(t_cnt + 1) AS sum_t, SUM(r_cnt + 1) AS sum_r
+        FROM tb JOIN buckets USING (b) GROUP BY doc_id),
+      tot AS (SELECT SUM(sum_t) AS tt, SUM(sum_r) AS tr FROM dsir),
+      cur AS (
+        SELECT c4.doc_id, n_words, sum_t, sum_r
+        FROM c4 JOIN bl ON c4.doc_id = bl.doc_id AND bloom_hit = 0
+        JOIN dsir ON c4.doc_id = dsir.doc_id
+        CROSS JOIN tot
+        WHERE sum_t * tr >= sum_r * tt),
+      bud AS (
+        SELECT *, SUM(n_words) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM cur)
+      SELECT doc_id, n_words, CAST(sum_t AS BIGINT) AS sum_t,
+        CAST(sum_r AS BIGINT) AS sum_r, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      FROM bud WHERE cum_tokens <= 3000 ORDER BY doc_id"""))
   )
 }
