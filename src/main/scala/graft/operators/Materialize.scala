@@ -137,6 +137,51 @@ object Materialize {
     rows.toDF("date", "n_files", "bytes")
   }
 
+  final case class ReplicationStats(daysCopied: Long)
+
+  /** Lake-to-lake incremental replication — the reference's
+    * replication path (rust/analytics/src/replication.rs: pull
+    * metadata + blocks from a remote lake, insert idempotently with
+    * ON CONFLICT DO NOTHING). At day-partition granularity the same
+    * contract is: ship every day whose file signature (names + byte
+    * sizes — metadata only, no data read) differs from the replica's,
+    * verbatim — replicated files are bitwise the source, never
+    * re-encoded. Unchanged days are skipped (the conflict-skip), so a
+    * re-run against an unchanged source is a filesystem-listing no-op;
+    * a day the source rewrote (its open day closing, a regenerateDay
+    * repair) is detected by the signature change and refreshed.
+    */
+  def replicate(spark: SparkSession, srcDir: String, dstDir: String): ReplicationStats = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = src.getFileSystem(conf)
+    if (!fs.exists(src)) return ReplicationStats(0)
+    val dst = new org.apache.hadoop.fs.Path(dstDir)
+    val dstFs = dst.getFileSystem(conf)
+    def days(p: org.apache.hadoop.fs.Path, f: org.apache.hadoop.fs.FileSystem): Set[String] =
+      if (!f.exists(p)) Set.empty
+      else f.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+        .map(_.getPath.getName.stripPrefix("date="))
+        .filter(_.matches("\\d{4}-\\d{2}-\\d{2}")).toSet
+    def sig(root: org.apache.hadoop.fs.Path, f: org.apache.hadoop.fs.FileSystem,
+        d: String): Map[String, Long] = {
+      val p = new org.apache.hadoop.fs.Path(root, s"date=$d")
+      if (!f.exists(p)) Map.empty
+      else f.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => s.getPath.getName -> s.getLen).toMap
+    }
+    val toCopy = days(src, fs).toSeq.sorted
+      .filter(d => sig(src, fs, d) != sig(dst, dstFs, d))
+    toCopy.foreach { d =>
+      val to = new org.apache.hadoop.fs.Path(dst, s"date=$d")
+      if (dstFs.exists(to)) dstFs.delete(to, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(src, s"date=$d"),
+        dstFs, to, false /* deleteSource */, true /* overwrite */, conf)
+    }
+    ReplicationStats(toCopy.size.toLong)
+  }
+
   def updateByDay(spark: SparkSession, stats: DataFrame, outDir: String): UpdateStats = {
     val withDate = stats.withColumn("date", to_date(timestamp_millis(col("time_bin_ms"))))
     val fresh = (openDay(spark, outDir) match {

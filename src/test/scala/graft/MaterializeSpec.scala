@@ -123,4 +123,43 @@ class MaterializeSpec extends SparkSpec {
       Materialize.retireByFile(spark, out, "../../etc/passwd.parquet")
     }
   }
+
+  test("replicate ships changed days verbatim, skips unchanged, re-runs as a no-op") {
+    val srcOut = java.nio.file.Files.createTempDirectory("graft-repl-src").toString + "/log_stats"
+    val dstOut = java.nio.file.Files.createTempDirectory("graft-repl-dst").toString + "/log_stats"
+    val full = statsSource
+    val cut = full.agg(expr("percentile_approx(time_bin_ms, 0.5)")).head().getLong(0)
+
+    // source lake at half history → first replication copies everything
+    Materialize.updateByDay(spark, full.where(col("time_bin_ms") < cut), srcOut)
+    val srcDays1 = listParquet(srcOut).keys.map(_.split("/")(0)).toSet.size
+    val r1 = Materialize.replicate(spark, srcOut, dstOut)
+    assert(r1.daysCopied == srcDays1.toLong)
+    // verbatim: every file byte-identical to the source
+    def md5s(dir: String): Map[String, String] = listParquet(dir).keys.map { f =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, f))
+      f -> java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map(b => f"$b%02x").mkString
+    }.toMap
+    assert(md5s(dstOut) == md5s(srcOut))
+
+    // source grows (its old open day closes rewritten, new days appear);
+    // incremental replication ships only the changed days
+    Materialize.updateByDay(spark, full, srcOut)
+    val srcDays2 = listParquet(srcOut).keys.map(_.split("/")(0)).toSet.size
+    val r2 = Materialize.replicate(spark, srcOut, dstOut)
+    assert(r2.daysCopied > 0 && r2.daysCopied <= (srcDays2 - srcDays1 + 1).toLong,
+      s"expected only the delta, copied ${r2.daysCopied}")
+    assert(md5s(dstOut) == md5s(srcOut)) // replica converged to the grown source
+
+    // idempotency: an unchanged source replicates as a pure no-op
+    val mtimesBefore = listParquet(dstOut)
+    val r3 = Materialize.replicate(spark, srcOut, dstOut)
+    assert(r3.daysCopied == 0)
+    assert(listParquet(dstOut) == mtimesBefore, "no-op replication touched files")
+    // and the replica is queryable with identical content
+    val a = spark.read.parquet(srcOut).select("time_bin_ms", "process_id", "level", "target", "count")
+    val b = spark.read.parquet(dstOut).select("time_bin_ms", "process_id", "level", "target", "count")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
