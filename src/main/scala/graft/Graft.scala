@@ -136,18 +136,18 @@ object Graft {
         s"ORDER BY block_start_ms LIMIT $limit",
       beginMicros, endMicros)
 
-  /** query_spans(begin, end, limit, stream_id) analog: the JIT
-    * process-scoped thread_spans instance.
+  /** query_spans(begin, end, limit, stream_id) analog. The process
+    * filter goes into the SQL over the registered global view (it
+    * pushes to the scan exactly like viewInstance's JIT filter does);
+    * registering a per-call temp view instead would race concurrent
+    * callers on the session's shared view namespace.
     */
   def querySpans(spark: SparkSession, dir: String, limit: Int, processId: String,
-      beginMicros: Option[Long] = None, endMicros: Option[Long] = None): DataFrame = {
-    ensureViews(spark, dir)
-    val scoped = new Lakehouse(spark, dir).viewInstance("thread_spans", processId)
-    scoped.createOrReplaceTempView("thread_spans_instance")
+      beginMicros: Option[Long] = None, endMicros: Option[Long] = None): DataFrame =
     query(spark, dir,
-      s"SELECT * FROM thread_spans_instance ORDER BY begin_ms, event_id LIMIT $limit",
+      s"SELECT * FROM thread_spans WHERE process_id = ${sq(processId)} " +
+        s"ORDER BY begin_ms, event_id LIMIT $limit",
       beginMicros, endMicros)
-  }
 
   /** write_process_trace analog (python/micromegas/micromegas/
     * perfetto.py): generate one process's Perfetto trace chunks and

@@ -157,19 +157,20 @@ object Perfetto {
 
   private final class ChunkBuffer(threshold: Int) {
     private val chunks = mutable.ArrayBuffer[(Array[Byte], Long)]()
-    private var buf = mutable.ArrayBuffer[Byte]()
+    private var buf = new java.io.ByteArrayOutputStream(threshold + 256)
     private var packets = 0L
 
     /** Frame one packet as Trace.packet (field 1) and buffer it. */
     def write(packet: Array[Byte]): Unit = {
-      buf ++= ld(1, packet)
+      val framed = ld(1, packet)
+      buf.write(framed, 0, framed.length)
       packets += 1
-      if (buf.length >= threshold) flush()
+      if (buf.size >= threshold) flush()
     }
 
-    def flush(): Unit = if (buf.nonEmpty) {
-      chunks += ((buf.toArray, packets))
-      buf = mutable.ArrayBuffer[Byte]()
+    def flush(): Unit = if (buf.size > 0) {
+      chunks += ((buf.toByteArray, packets))
+      buf = new java.io.ByteArrayOutputStream(threshold + 256)
       packets = 0L
     }
 
