@@ -106,7 +106,13 @@ object Graft {
   // query(), so the begin/end range scoping applies identically.
   // -----------------------------------------------------------------
 
-  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+  /** Quote a SQL string literal. Backslash must be escaped too:
+    * Spark's default parser treats `\` as an escape inside literals,
+    * so quote-doubling alone would let `x\' OR 1=1 -- ` re-open the
+    * literal and inject.
+    */
+  private def sq(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
   /** find_process(process_id) analog. */
   def findProcess(spark: SparkSession, dir: String, processId: String): DataFrame =
@@ -158,14 +164,12 @@ object Graft {
   def writeProcessTrace(spark: SparkSession, dir: String, processKey: Long,
       path: String): (Int, Long) = {
     import org.apache.spark.sql.functions._
-    val events = Tables.df(spark, dir, "events").where(col("user_id") === processKey)
-    val thread = operators.SpanAssembly.beginEndSpans(events, "user_id",
-      queries.epochMs(col("ts")), "event_id", "event_type",
-      col("event_type").isin("signup", "view"))
-    val async = operators.SpanAssembly.consecutiveSpans(events, "user_id",
-      queries.epochMs(col("ts")), "event_id", "event_type")
-      .withColumn("span_id", col("event_id"))
-      .withColumn("depth", lit(0L))
+    // the same span derivations the distributed m_perfetto_* queries
+    // use — the process filter pushes through them to the scan
+    val thread = queries.ObservabilityExt6.perfettoThreadSpans(spark, dir)
+      .where(col("user_id") === processKey)
+    val async = queries.ObservabilityExt6.perfettoAsyncSpans(spark, dir)
+      .where(col("user_id") === processKey)
     val chunks = operators.Perfetto.traceChunksDf(spark, thread, "user_id", Some(async))
       .orderBy("chunk_id")
       .select("chunk_data")

@@ -77,16 +77,6 @@ final class Lakehouse(spark: SparkSession, dir: String) {
       .select(col("user_id").cast("string").as("process_id"),
         col("event_id"), col("name"), col("begin_ms"), col("end_ms"), col("duration_ms"))
 
-  /** Screenshot/image blocks view (reference:
-    * rust/analytics/src/lakehouse/images_view.rs,
-    * image_block_processor.rs, images_table.rs). The reference parses
-    * ImageEvent objects out of transit blocks into (process metadata,
-    * time, name, format, payload_size, data) rows; here the `view`
-    * events play the screenshots and the payload bytes are synthesized
-    * deterministically from the event (the blob fetch is storage
-    * plumbing, not query semantics — same stance as m_block_payload).
-    * Per-row expressions only; no shuffle.
-    */
   /** processes metadata view (reference processes_view.rs): one row
     * per telemetry source with lifetime + activity stats.
     */
@@ -123,6 +113,16 @@ final class Lakehouse(spark: SparkSession, dir: String) {
         sum(length(col("props")).cast("long")).as("payload_bytes"))
   }
 
+  /** Screenshot/image blocks view (reference:
+    * rust/analytics/src/lakehouse/images_view.rs,
+    * image_block_processor.rs, images_table.rs). The reference parses
+    * ImageEvent objects out of transit blocks into (process metadata,
+    * time, name, format, payload_size, data) rows; here the `view`
+    * events play the screenshots and the payload bytes are synthesized
+    * deterministically from the event (the blob fetch is storage
+    * plumbing, not query semantics — same stance as m_block_payload).
+    * Per-row expressions only; no shuffle.
+    */
   def images: DataFrame = imagesFrom(table("events"))
 
   private def imagesFrom(e: DataFrame): DataFrame = {

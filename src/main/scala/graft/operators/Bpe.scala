@@ -32,10 +32,12 @@ object Bpe {
 
   private val byDoc = Window.partitionBy("doc_id").orderBy("pos")
 
-  /** (doc_id, pos, w) token table from a text column. */
+  /** (doc_id, pos, w) token table from a text column — the same
+    * tokenizer as every l_* query (and their DuckDB oracles).
+    */
   def tokens(docs: DataFrame, textCol: String): DataFrame =
     docs.select(col("doc_id"),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+      posexplode(TextAnalysis.whitespaceTokens(col(textCol))).as(Seq("pos", "w")))
 
   /** Pair statistics for the current token table. */
   def pairCounts(tok: DataFrame): DataFrame =
@@ -53,11 +55,19 @@ object Bpe {
   /** Apply one greedy merge of (w1, w2) → "w1_w2"; returns the new
     * token table with positions renumbered.
     */
-  def applyMerge(tok: DataFrame, m: Merge): DataFrame = {
+  def applyMerge(tok: DataFrame, m: Merge): DataFrame =
+    applyMergeJoined(tok.withColumn("tw1", lit(m.w1)).withColumn("tw2", lit(m.w2)))
+
+  /** Core merge application for a token table that already carries the
+    * winning pair as `tw1`/`tw2` columns (a literal for the trained
+    * loop, a broadcast 1-row crossJoin for the fully-in-plan query —
+    * both share THIS implementation so the parity logic cannot drift).
+    */
+  def applyMergeJoined(tok: DataFrame): DataFrame = {
     val merged = tok
       .withColumn("w2", lead("w", 1).over(byDoc))
       .withColumn("mergeable",
-        coalesce(col("w") === lit(m.w1) && col("w2") === lit(m.w2), lit(false)))
+        coalesce(col("w") === col("tw1") && col("w2") === col("tw2"), lit(false)))
       .withColumn("runm",
         sum(when(col("mergeable"), 1L).otherwise(0L))
           .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

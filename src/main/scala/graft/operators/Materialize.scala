@@ -137,7 +137,7 @@ object Materialize {
     rows.toDF("date", "n_files", "bytes")
   }
 
-  final case class ReplicationStats(daysCopied: Long)
+  final case class ReplicationStats(daysCopied: Long, daysDropped: Long)
 
   /** Lake-to-lake incremental replication — the reference's
     * replication path (rust/analytics/src/replication.rs: pull
@@ -150,12 +150,16 @@ object Materialize {
     * re-run against an unchanged source is a filesystem-listing no-op;
     * a day the source rewrote (its open day closing, a regenerateDay
     * repair) is detected by the signature change and refreshed.
+    * Replica-only days are DROPPED — replication mirrors the source,
+    * so a retention run on the source (retireByDay) propagates;
+    * without this the replica would diverge forever while reporting
+    * no-op, and retired data would keep being served from it.
     */
   def replicate(spark: SparkSession, srcDir: String, dstDir: String): ReplicationStats = {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(srcDir)
     val fs = src.getFileSystem(conf)
-    if (!fs.exists(src)) return ReplicationStats(0)
+    if (!fs.exists(src)) return ReplicationStats(0, 0)
     val dst = new org.apache.hadoop.fs.Path(dstDir)
     val dstFs = dst.getFileSystem(conf)
     def days(p: org.apache.hadoop.fs.Path, f: org.apache.hadoop.fs.FileSystem): Set[String] =
@@ -171,7 +175,8 @@ object Materialize {
       else f.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
         .map(s => s.getPath.getName -> s.getLen).toMap
     }
-    val toCopy = days(src, fs).toSeq.sorted
+    val srcDays = days(src, fs)
+    val toCopy = srcDays.toSeq.sorted
       .filter(d => sig(src, fs, d) != sig(dst, dstFs, d))
     toCopy.foreach { d =>
       val to = new org.apache.hadoop.fs.Path(dst, s"date=$d")
@@ -179,7 +184,9 @@ object Materialize {
       org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(src, s"date=$d"),
         dstFs, to, false /* deleteSource */, true /* overwrite */, conf)
     }
-    ReplicationStats(toCopy.size.toLong)
+    val toDrop = (days(dst, dstFs) -- srcDays).toSeq.sorted
+    toDrop.foreach(d => dstFs.delete(new org.apache.hadoop.fs.Path(dst, s"date=$d"), true))
+    ReplicationStats(toCopy.size.toLong, toDrop.size.toLong)
   }
 
   def updateByDay(spark: SparkSession, stats: DataFrame, outDir: String): UpdateStats = {

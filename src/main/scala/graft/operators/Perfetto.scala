@@ -157,7 +157,7 @@ object Perfetto {
 
   private final class ChunkBuffer(threshold: Int) {
     private val chunks = mutable.ArrayBuffer[(Array[Byte], Long)]()
-    private var buf = new java.io.ByteArrayOutputStream(threshold + 256)
+    private val buf = new java.io.ByteArrayOutputStream(threshold + 256)
     private var packets = 0L
 
     /** Frame one packet as Trace.packet (field 1) and buffer it. */
@@ -170,7 +170,7 @@ object Perfetto {
 
     def flush(): Unit = if (buf.size > 0) {
       chunks += ((buf.toByteArray, packets))
-      buf = new java.io.ByteArrayOutputStream(threshold + 256)
+      buf.reset() // toByteArray copied; reuse the backing array
       packets = 0L
     }
 

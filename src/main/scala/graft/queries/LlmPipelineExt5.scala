@@ -205,38 +205,25 @@ object LlmPipelineExt5 {
       // Multi-round training (driver-iterated like Lloyd's k-means)
       // is Bpe.train, pinned to an independent in-memory
       // implementation by BpeSpec.
-      import org.apache.spark.sql.expressions.Window
-      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
       val tok = graft.operators.Bpe.tokens(docsWide(s, dir), "text")
       val top = graft.operators.Bpe.pairCounts(tok)
         .orderBy(col("pair_n").desc, col("w"), col("w2")).limit(1)
         .select(col("w").as("tw1"), col("w2").as("tw2"), col("pair_n"))
-      val merged = tok
-        .withColumn("w2", lead("w", 1).over(byDoc))
-        .crossJoin(broadcast(top))
-        .withColumn("mergeable",
-          coalesce(col("w") === col("tw1") && col("w2") === col("tw2"), lit(false)))
-        .withColumn("runm", sum(when(col("mergeable"), 1L).otherwise(0L))
-          .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("ikey", col("pos") - col("runm"))
-      val island = Window.partitionBy("doc_id", "ikey")
-      val out = merged
-        .withColumn("island_start", min(when(col("mergeable"), col("pos"))).over(island))
-        .withColumn("merged_at",
-          col("mergeable") && (col("pos") - col("island_start")) % 2 === 0)
-        .withColumn("consumed", coalesce(lag(col("merged_at"), 1).over(byDoc), lit(false)))
-        .withColumn("tk", when(col("merged_at"), concat(col("w"), lit("_"), col("w2")))
-          .when(!col("consumed"), col("w")))
-        .where(col("tk").isNotNull)
-      val after = out.groupBy("doc_id").agg(
+      // the winning pair enters the plan as a broadcast 1-row cross
+      // join; the merge itself is the SAME applyMergeJoined core the
+      // trained loop uses
+      val merged = graft.operators.Bpe.applyMergeJoined(
+        tok.crossJoin(broadcast(top)))
+      val after = merged.groupBy("doc_id").agg(
         count(lit(1)).as("n_after"),
         md5(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tk")))),
-          x => x.getField("tk")), " ")).as("merged_md5"),
-        first("tw1").as("w1"), first("tw2").as("w2"), first("pair_n").as("pair_n"))
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ")).as("merged_md5"))
       val before = tok.groupBy("doc_id").agg(count(lit(1)).as("n_before"))
       after.join(before, "doc_id")
-        .select("doc_id", "n_before", "n_after", "w1", "w2", "pair_n", "merged_md5")
+        .crossJoin(broadcast(top))
+        .select(col("doc_id"), col("n_before"), col("n_after"),
+          col("tw1").as("w1"), col("tw2").as("w2"), col("pair_n"), col("merged_md5"))
         .orderBy("doc_id")
     }, Some(s"""
       WITH tok0 AS (SELECT doc_id, $oracleTokens AS t FROM documents),

@@ -33,11 +33,23 @@ object ObservabilityExt6 {
   private def events(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "events")
 
   /** The shared thread-span assembly (same shape as
-    * ObservabilityExt2.spans / its oracleSpans CTE).
+    * ObservabilityExt2.spans / its oracleSpans CTE). Public: the
+    * perfetto export trio (m_perfetto_packets, m_perfetto_chunks,
+    * Graft.writeProcessTrace) must all derive spans identically or
+    * their cross-checks (GraftApiSpec, PerfettoSpec) mean nothing.
     */
-  private def spans(s: SparkSession, dir: String): DataFrame =
+  def perfettoThreadSpans(s: SparkSession, dir: String): DataFrame =
     SpanAssembly.beginEndSpans(events(s, dir), "user_id", epochMs(col("ts")), "event_id",
       "event_type", col("event_type").isin("signup", "view"))
+
+  /** The async-track operation spans for the perfetto export. */
+  def perfettoAsyncSpans(s: SparkSession, dir: String): DataFrame =
+    SpanAssembly
+      .consecutiveSpans(events(s, dir), "user_id", epochMs(col("ts")), "event_id", "event_type")
+      .withColumn("span_id", col("event_id"))
+      .withColumn("depth", lit(0L))
+
+  private def spans(s: SparkSession, dir: String): DataFrame = perfettoThreadSpans(s, dir)
 
   private def oracleSpans(scope: String) = s"""
       WITH tagged AS (
@@ -156,12 +168,8 @@ object ObservabilityExt6 {
       // executors, state bounded to one process's spans. Binary
       // chunks aren't SQL-expressible → rows-only; PerfettoSpec
       // decodes them against m_perfetto_packets.
-      val thread = spans(s, dir)
-      val async = SpanAssembly
-        .consecutiveSpans(events(s, dir), "user_id", epochMs(col("ts")), "event_id", "event_type")
-        .withColumn("span_id", col("event_id"))
-        .withColumn("depth", lit(0L))
-      Perfetto.traceChunksDf(s, thread, "user_id", Some(async))
+      Perfetto.traceChunksDf(s, perfettoThreadSpans(s, dir), "user_id",
+          Some(perfettoAsyncSpans(s, dir)))
         .select("user_id", "chunk_id", "n_packets", "n_bytes", "chunk_md5")
         .orderBy("user_id", "chunk_id")
     }, None),

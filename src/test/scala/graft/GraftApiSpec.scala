@@ -89,6 +89,9 @@ class GraftApiSpec extends SparkSpec {
     val p = Graft.findProcess(spark, sfDir, "9").collect()
     assert(p.length == 1 && p.head.getAs[Long]("n_events") > 0)
     assert(Graft.findProcess(spark, sfDir, "no-such'; --").isEmpty)
+    // backslash must not re-open the literal (Spark treats \ as an
+    // escape inside string literals, so quote-doubling alone injects)
+    assert(Graft.findProcess(spark, sfDir, """x\' OR 1=1 -- """).isEmpty)
 
     val streams = Graft.queryStreams(spark, sfDir, limit = 3, processId = Some("9"))
     assert(streams.count() <= 3)

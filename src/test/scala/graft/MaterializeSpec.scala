@@ -155,8 +155,15 @@ class MaterializeSpec extends SparkSpec {
     // idempotency: an unchanged source replicates as a pure no-op
     val mtimesBefore = listParquet(dstOut)
     val r3 = Materialize.replicate(spark, srcOut, dstOut)
-    assert(r3.daysCopied == 0)
+    assert(r3.daysCopied == 0 && r3.daysDropped == 0)
     assert(listParquet(dstOut) == mtimesBefore, "no-op replication touched files")
+
+    // retention on the source propagates: replica-only days are dropped
+    val allDays = listParquet(srcOut).keys.map(_.split("/")(0).stripPrefix("date=")).toSeq.sorted
+    Materialize.retireByDay(spark, srcOut, allDays(2))
+    val r4 = Materialize.replicate(spark, srcOut, dstOut)
+    assert(r4.daysDropped == 2, s"expected the 2 retired days dropped, got ${r4.daysDropped}")
+    assert(md5s(dstOut) == md5s(srcOut), "replica did not follow source retention")
     // and the replica is queryable with identical content
     val a = spark.read.parquet(srcOut).select("time_bin_ms", "process_id", "level", "target", "count")
     val b = spark.read.parquet(dstOut).select("time_bin_ms", "process_id", "level", "target", "count")
