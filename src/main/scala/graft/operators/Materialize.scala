@@ -112,9 +112,19 @@ object Materialize {
       .where(col("date") === to_date(lit(date)))
       .persist()
     try {
-      day.write.option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").partitionBy("date").parquet(outDir)
-      day.count()
+      val rows = day.count()
+      if (rows > 0)
+        day.write.option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").partitionBy("date").parquet(outDir)
+      else {
+        // dynamic overwrite of an empty frame touches nothing — the
+        // damaged files being repaired would survive; an empty source
+        // day repairs to an ABSENT partition
+        val p = new org.apache.hadoop.fs.Path(s"$outDir/date=$date")
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+      }
+      rows
     } finally day.unpersist()
   }
 

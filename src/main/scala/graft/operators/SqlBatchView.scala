@@ -106,9 +106,19 @@ object SqlBatchView {
       .withColumn("slice_ms", lit(beginMs))
       .persist() // written AND counted — don't run the transform twice
     try {
-      slice.write.option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").partitionBy("slice_ms").parquet(outDir)
       val written = slice.count()
+      if (written > 0)
+        slice.write.option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").partitionBy("slice_ms").parquet(outDir)
+      else {
+        // dynamic overwrite of an EMPTY frame touches no partitions —
+        // without an explicit delete the previous materialization of
+        // this slice would keep being served while the freshness probe
+        // (srcCount recorded below) reports up-to-date forever
+        val stale = new org.apache.hadoop.fs.Path(s"$outDir/slice_ms=$beginMs")
+        val f0 = fs(spark, outDir)
+        if (f0.exists(stale)) f0.delete(stale, true)
+      }
       val f = fs(spark, outDir)
       val out = f.create(metaPath(outDir, beginMs), true)
       try out.write(srcCount.toString.getBytes("UTF-8")) finally out.close()

@@ -18,12 +18,18 @@ object ObservabilityExt2 {
     SpanAssembly.beginEndSpans(events(s, dir), "user_id", epochMs(col("ts")), "event_id",
       "event_type", col("event_type").isin("signup", "view"))
 
-  private val oracleSpans = """
+  /** The thread-span-assembly oracle CTE chain — the single source of
+    * truth for every query whose DuckDB oracle needs assembled spans
+    * (here, the otel views in ObservabilityExt5, the perfetto export
+    * in ObservabilityExt6). `scope` restricts the event stream for
+    * JIT process-scoped instances (e.g. "WHERE user_id = 7").
+    */
+  private[queries] def oracleSpansCte(scope: String): String = s"""
       WITH tagged AS (
         SELECT user_id, event_id, event_type AS name, epoch_ms(ts) AS t_ms,
           (event_type IN ('signup','view')) AS is_begin,
           CASE WHEN event_type IN ('signup','view') THEN 1 ELSE -1 END AS delta
-        FROM events),
+        FROM events $scope),
       d AS (
         SELECT *, SUM(delta) OVER (PARTITION BY user_id ORDER BY t_ms, event_id ROWS UNBOUNDED PRECEDING) AS post_depth
         FROM tagged),
@@ -38,6 +44,8 @@ object ObservabilityExt2 {
           end_ms - begin_ms AS duration_ms
         FROM b JOIN e USING (user_id, depth, seq)
         WHERE end_ms >= begin_ms)"""
+
+  private val oracleSpans = oracleSpansCte("")
 
   val queries: Seq[GraftQuery] = Seq(
 

@@ -24,25 +24,7 @@ object ObservabilityExt5 {
     * event stream for JIT instances.
     */
   private def oracleOtel(scope: String): String = s"""
-      WITH tagged AS (
-        SELECT user_id, event_id, event_type AS name, epoch_ms(ts) AS t_ms,
-          (event_type IN ('signup','view')) AS is_begin,
-          CASE WHEN event_type IN ('signup','view') THEN 1 ELSE -1 END AS delta
-        FROM events $scope),
-      d AS (
-        SELECT *, SUM(delta) OVER (PARTITION BY user_id ORDER BY t_ms, event_id ROWS UNBOUNDED PRECEDING) AS post_depth
-        FROM tagged),
-      dd AS (
-        SELECT *, CASE WHEN is_begin THEN post_depth - 1 ELSE post_depth END AS depth FROM d),
-      sq AS (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, depth, is_begin ORDER BY t_ms, event_id) AS seq FROM dd),
-      b AS (SELECT user_id, depth, seq, name, t_ms AS begin_ms, event_id AS span_id FROM sq WHERE is_begin),
-      e AS (SELECT user_id, depth, seq, t_ms AS end_ms FROM sq WHERE NOT is_begin),
-      spans AS (
-        SELECT b.user_id, span_id, name, CAST(depth AS BIGINT) AS depth, begin_ms, end_ms,
-          end_ms - begin_ms AS duration_ms
-        FROM b JOIN e USING (user_id, depth, seq)
-        WHERE end_ms >= begin_ms),
+      ${ObservabilityExt2.oracleSpansCte(scope)},
       linked AS (
         SELECT ch.user_id, ch.span_id, ch.name, ch.begin_ms, ch.end_ms, ch.duration_ms,
           p.span_id AS parent_id,

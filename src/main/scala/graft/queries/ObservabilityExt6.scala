@@ -51,26 +51,10 @@ object ObservabilityExt6 {
 
   private def spans(s: SparkSession, dir: String): DataFrame = perfettoThreadSpans(s, dir)
 
-  private def oracleSpans(scope: String) = s"""
-      WITH tagged AS (
-        SELECT user_id, event_id, event_type AS name, epoch_ms(ts) AS t_ms,
-          (event_type IN ('signup','view')) AS is_begin,
-          CASE WHEN event_type IN ('signup','view') THEN 1 ELSE -1 END AS delta
-        FROM events $scope),
-      d AS (
-        SELECT *, SUM(delta) OVER (PARTITION BY user_id ORDER BY t_ms, event_id ROWS UNBOUNDED PRECEDING) AS post_depth
-        FROM tagged),
-      dd AS (
-        SELECT *, CASE WHEN is_begin THEN post_depth - 1 ELSE post_depth END AS depth FROM d),
-      sq AS (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, depth, is_begin ORDER BY t_ms, event_id) AS seq FROM dd),
-      b AS (SELECT user_id, depth, seq, name, t_ms AS begin_ms, event_id AS span_id FROM sq WHERE is_begin),
-      e AS (SELECT user_id, depth, seq, t_ms AS end_ms FROM sq WHERE NOT is_begin),
-      spans AS (
-        SELECT b.user_id, span_id, name, CAST(depth AS BIGINT) AS depth, begin_ms, end_ms,
-          end_ms - begin_ms AS duration_ms
-        FROM b JOIN e USING (user_id, depth, seq)
-        WHERE end_ms >= begin_ms)"""
+  /** Shared span-assembly oracle prefix — single source of truth in
+    * [[ObservabilityExt2.oracleSpansCte]].
+    */
+  private def oracleSpans(scope: String) = ObservabilityExt2.oracleSpansCte(scope)
 
   /** 56-bit md5-derived track uuid, computed by the engine itself so
     * the oracle's CAST('0x'||substr(md5(s),1,14) AS BIGINT) matches.

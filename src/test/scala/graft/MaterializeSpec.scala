@@ -124,6 +124,25 @@ class MaterializeSpec extends SparkSpec {
     }
   }
 
+  test("regenerateDay with an emptied source day removes the partition instead of keeping damage") {
+    val out = java.nio.file.Files.createTempDirectory("graft-regen-empty").toString + "/log_stats"
+    Materialize.updateByDay(spark, statsSource, out)
+    val days = Materialize.listPartitions(spark, out).collect().map(_.getString(0)).sorted
+    val victim = days(days.length / 2)
+    // the source no longer has ANY rows for that day (day-level
+    // retention upstream): regeneration must repair to ABSENT — a
+    // dynamic overwrite of the empty frame would leave the old files
+    val emptied = statsSource
+      .where(to_date(timestamp_millis(col("time_bin_ms"))) =!= to_date(lit(victim)))
+    assert(Materialize.regenerateDay(spark, emptied, out, victim) === 0L)
+    val daysAfter = Materialize.listPartitions(spark, out).collect().map(_.getString(0))
+    assert(!daysAfter.contains(victim), "emptied day partition survived regeneration")
+    // lake equals the emptied source
+    val cols = Seq("time_bin_ms", "process_id", "level", "target", "count")
+    val lake = spark.read.parquet(out).select(cols.map(col): _*)
+    assert(lake.exceptAll(emptied.select(cols.map(col): _*)).isEmpty)
+  }
+
   test("replicate ships changed days verbatim, skips unchanged, re-runs as a no-op") {
     val srcOut = java.nio.file.Files.createTempDirectory("graft-repl-src").toString + "/log_stats"
     val dstOut = java.nio.file.Files.createTempDirectory("graft-repl-dst").toString + "/log_stats"

@@ -91,6 +91,33 @@ class SqlBatchViewSpec extends SparkSpec with TmpDirSupport {
     assert(sortedRows(SqlBatchView.query(spark, logStatsView, dir)) === direct)
   }
 
+  test("a slice whose source emptied is dropped, not served stale forever") {
+    Graft.registerViews(spark, sfDir)
+    val (lo, hi) = bounds
+    val mid = (lo + hi) / 2
+    val dir = tmpDir("sqlbatch-empty") + "/v"
+    assert(SqlBatchView.updateSlice(spark, logStatsView, dir, lo, mid) > 0)
+    assert(SqlBatchView.updateSlice(spark, logStatsView, dir, mid, hi) > 0)
+    // the first slice's source window empties (upstream retention):
+    // simulate with a view whose transform yields nothing
+    val emptyView = logStatsView.copy(
+      countSrcSql = "SELECT CAST(0 AS BIGINT) AS n",
+      transformSql = logStatsView.transformSql
+        .replace("WHERE time_ms >= {begin}", "WHERE 1 = 0 AND time_ms >= {begin}"))
+    assert(SqlBatchView.updateSlice(spark, emptyView, dir, lo, mid, force = true) === 0L)
+    // the old materialization must NOT survive behind a fresh probe
+    assert(SqlBatchView.isUpToDate(spark, emptyView, dir, lo, mid))
+    // only the second slice's rows answer — the emptied slice is gone
+    val served = SqlBatchView.query(spark, logStatsView, dir)
+    val secondOnly = sortedRows(Graft.query(spark, sfDir,
+      s"""SELECT time_ms - time_ms % 60000 AS time_bin_ms, process_id, level, target,
+            CAST(count(*) AS BIGINT) AS count
+          FROM log_entries WHERE time_ms >= $mid AND time_ms < $hi
+          GROUP BY 1, 2, 3, 4"""))
+    assert(sortedRows(served) === secondOnly,
+      "emptied slice kept serving its pre-shrink rows")
+  }
+
   test("a second user view from SQL alone: export_log shape") {
     // the export_log view re-derived through the generic mechanism —
     // transform is a plain extraction, merge is identity-with-dedup
