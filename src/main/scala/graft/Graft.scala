@@ -114,6 +114,34 @@ object Graft {
   private def sq(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
+  /** Human-readable time-delta strings — the Python client's
+    * `micromegas.time.parse_time_delta` (python/micromegas/micromegas/
+    * time.py:97): "<positive integer><unit>" with unit m(inutes),
+    * h(ours) or d(ays). Rejects anything else, like the reference.
+    */
+  def parseTimeDelta(s: String): java.time.Duration = {
+    val m = "^(\\d+)([mhd])$".r.findFirstMatchIn(s).getOrElse(
+      throw new IllegalArgumentException(
+        s"invalid time delta '$s': expected <number><unit> with unit m, h or d"))
+    val n = m.group(1).toLong
+    m.group(2) match {
+      case "m" => java.time.Duration.ofMinutes(n)
+      case "h" => java.time.Duration.ofHours(n)
+      case _ => java.time.Duration.ofDays(n)
+    }
+  }
+
+  /** (begin, end) query-range micros for "the last `delta` before
+    * `endMicros`" — the client-side convenience the reference composes
+    * from parse_time_delta (`now - parse_time_delta('1h')`). The
+    * anchor is explicit, never wall-clock, so results are
+    * reproducible.
+    */
+  def rangeEndingAt(endMicros: Long, delta: String): (Long, Long) = {
+    val d = parseTimeDelta(delta)
+    (endMicros - d.toMillis * 1000L, endMicros)
+  }
+
   /** find_process(process_id) analog. */
   def findProcess(spark: SparkSession, dir: String, processId: String): DataFrame =
     query(spark, dir,

@@ -199,6 +199,119 @@ object Materialize {
     ReplicationStats(toCopy.size.toLong, toDrop.size.toLong)
   }
 
+  final case class SweepStats(blocksDeleted: Long, streamsDeleted: Long, processesDeleted: Long)
+
+  /** Cascading retention sweep — the reference's expiry path
+    * (rust/analytics/src/delete.rs: delete_expired_blocks, then
+    * delete_empty_streams, then delete_empty_processes — blocks whose
+    * insert_time passed the expiration go first, and containers that
+    * become empty are cascaded away). The Spark-lake layout analog is
+    * `root/<process>/<stream>/date=YYYY-MM-DD/` parquet: expired day
+    * partitions (the block granularity; the day-dir name is the
+    * insert-time proxy, as in [[retireByDay]]) are deleted, then
+    * stream directories left with no partitions, then process
+    * directories left with no streams. Pure directory-level metadata
+    * work — no data is read or rewritten, so sweeping a year of
+    * history across thousands of processes costs O(directories). The
+    * reference's batch_size=1000 inner loop is a Postgres-transaction
+    * artifact with no filesystem analog; the loop-until-done contract
+    * (delete_expired_blocks drains ALL expired blocks) is what this
+    * reproduces.
+    */
+  def sweepExpired(spark: SparkSession, root: String, beforeDate: String): SweepStats = {
+    require(beforeDate.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"sweepExpired: beforeDate must be ISO yyyy-MM-dd, got $beforeDate")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return SweepStats(0, 0, 0)
+    def subdirs(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+    var blocks = 0L; var streams = 0L; var processes = 0L
+    subdirs(rootPath).foreach { proc =>
+      subdirs(proc).foreach { stream =>
+        subdirs(stream).filter { d =>
+          val n = d.getName
+          n.startsWith("date=") && {
+            val day = n.stripPrefix("date=")
+            day.matches("\\d{4}-\\d{2}-\\d{2}") && day < beforeDate
+          }
+        }.foreach { d => fs.delete(d, true); blocks += 1 }
+        if (fs.listStatus(stream).isEmpty) { fs.delete(stream, true); streams += 1 }
+      }
+      if (fs.listStatus(proc).isEmpty) { fs.delete(proc, true); processes += 1 }
+    }
+    SweepStats(blocks, streams, processes)
+  }
+
+  /** Version hash of a data schema — the analog of the reference's
+    * per-view `current_schema_hash` (admin.py documents these as
+    * version markers compared for exact equality, not cryptographic
+    * commitments; a digest of the ordered name:type list gives the
+    * same contract without a hand-maintained counter). Order-sensitive
+    * on purpose: a column reorder is a schema change for positional
+    * parquet readers.
+    */
+  def schemaHash(schema: org.apache.spark.sql.types.StructType): String = {
+    val canon = schema.fields.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Partitions whose file schema no longer matches the view's current
+    * schema — `micromegas.admin.list_incompatible_partitions`
+    * (python/micromegas/micromegas/admin.py:14): after a view's schema
+    * evolves, day partitions written under the old schema are ignored
+    * by (schema-pinned) queries but keep occupying storage. One row
+    * per incompatible partition with both hashes, so the retirement
+    * below can target exactly these by metadata. Schema is read from
+    * one parquet FOOTER per day on the driver — O(days) metadata
+    * reads, no data scan, no Spark job.
+    */
+  def listIncompatiblePartitions(spark: SparkSession, outDir: String,
+      current: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    val currentHash = schemaHash(current)
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows: Seq[(String, String, String, Long, Long)] =
+      if (!fs.exists(path)) Seq.empty
+      else fs.listStatus(path).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+        .sortBy(_.getPath.getName)
+        .flatMap { s =>
+          val files = fs.listStatus(s.getPath).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+          files.headOption.map { f =>
+            // footer-only schema read; partition dirs are single-schema
+            // by construction (each day is written in one atomic swap)
+            val schema = spark.read.parquet(f.getPath.toString).schema
+            (s.getPath.getName.stripPrefix("date="), schemaHash(schema), currentHash,
+              files.size.toLong, files.map(_.getLen).sum)
+          }
+        }
+        .filter { case (_, fileHash, curHash, _, _) => fileHash != curHash }
+    rows.toDF("date", "incompatible_schema_hash", "current_schema_hash", "n_files", "bytes")
+  }
+
+  /** Retire exactly the schema-incompatible partitions —
+    * `micromegas.admin.retire_incompatible_partitions` (admin.py:87):
+    * targets only the partitions [[listIncompatiblePartitions]]
+    * identified, by their metadata (date key), never touching a
+    * compatible partition. Returns the retired inventory (what the
+    * reference reports as retirement results). Irreversible, like the
+    * reference — the repair path for a wrongly-retired day is
+    * [[regenerateDay]] from source.
+    */
+  def retireIncompatiblePartitions(spark: SparkSession, outDir: String,
+      current: org.apache.spark.sql.types.StructType): DataFrame = {
+    val victims = listIncompatiblePartitions(spark, outDir, current)
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    victims.collect().foreach { r =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"date=${r.getString(0)}"), true)
+    }
+    victims
+  }
+
   def updateByDay(spark: SparkSession, stats: DataFrame, outDir: String): UpdateStats = {
     val withDate = stats.withColumn("date", to_date(timestamp_millis(col("time_bin_ms"))))
     val fresh = (openDay(spark, outDir) match {

@@ -131,4 +131,25 @@ class GraftApiSpec extends SparkSpec {
       assert(sum == nBytes)
     } finally java.nio.file.Files.deleteIfExists(path)
   }
+
+  test("parseTimeDelta parses m/h/d and rejects everything else") {
+    assert(Graft.parseTimeDelta("30m").getSeconds == 1800L)
+    assert(Graft.parseTimeDelta("2h").getSeconds == 7200L)
+    assert(Graft.parseTimeDelta("7d").getSeconds == 7L * 86400L)
+    assert(Graft.parseTimeDelta("1m").getSeconds == 60L)
+    for (bad <- Seq("", "5x", "h5", "-1h", "1.5h", "5m ", "5s"))
+      intercept[IllegalArgumentException](Graft.parseTimeDelta(bad))
+  }
+
+  test("rangeEndingAt anchors a delta window at an explicit end instant") {
+    val end = 1706659032194000L // max event micros at sf0.01
+    val (b, e) = Graft.rangeEndingAt(end, "1h")
+    assert(e == end && b == end - 3600L * 1000000L)
+    // and the range actually scopes a query
+    val n = Graft.query(spark, sfDir, "SELECT count(*) AS n FROM log_entries",
+      Some(b), Some(e)).head().getLong(0)
+    val all = Graft.query(spark, sfDir, "SELECT count(*) AS n FROM log_entries")
+      .head().getLong(0)
+    assert(n < all)
+  }
 }

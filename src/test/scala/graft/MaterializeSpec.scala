@@ -188,4 +188,74 @@ class MaterializeSpec extends SparkSpec {
     val b = spark.read.parquet(dstOut).select("time_bin_ms", "process_id", "level", "target", "count")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("sweepExpired cascades: expired blocks, then empty streams, then empty processes") {
+    // blob-lake layout root/<process>/<stream>/date=... (delete.rs's
+    // blobs/{process}/{stream}/{block} at day granularity)
+    val root = java.nio.file.Files.createTempDirectory("graft-sweep").toString
+    def mkBlock(proc: String, stream: String, day: String): Unit = {
+      val d = java.nio.file.Paths.get(root, proc, stream, s"date=$day")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    }
+    // p1/s1 survives (one live block); p1/s2 empties; p2 empties entirely
+    mkBlock("p1", "s1", "2024-01-01"); mkBlock("p1", "s1", "2024-01-25")
+    mkBlock("p1", "s2", "2024-01-02")
+    mkBlock("p2", "s3", "2024-01-03"); mkBlock("p2", "s4", "2024-01-04")
+
+    val stats = Materialize.sweepExpired(spark, root, "2024-01-10")
+    assert(stats == Materialize.SweepStats(blocksDeleted = 4, streamsDeleted = 3,
+      processesDeleted = 1), s"unexpected cascade: $stats")
+
+    val p = java.nio.file.Paths.get(root)
+    assert(!java.nio.file.Files.exists(p.resolve("p2")), "emptied process survived")
+    assert(!java.nio.file.Files.exists(p.resolve("p1/s2")), "emptied stream survived")
+    assert(java.nio.file.Files.exists(p.resolve("p1/s1/date=2024-01-25/part-0.parquet")),
+      "live block was deleted")
+    assert(!java.nio.file.Files.exists(p.resolve("p1/s1/date=2024-01-01")),
+      "expired block survived")
+
+    // idempotency: nothing left to expire
+    assert(Materialize.sweepExpired(spark, root, "2024-01-10") ==
+      Materialize.SweepStats(0, 0, 0))
+    // bad input rejected before any deletion
+    intercept[IllegalArgumentException](Materialize.sweepExpired(spark, root, "Jan 10"))
+  }
+
+  test("schema evolution: incompatible partitions listed exactly, retired exactly") {
+    val out = java.nio.file.Files.createTempDirectory("graft-schev").toString + "/view"
+    val full = statsSource
+    val cut = full.agg(expr("percentile_approx(time_bin_ms, 0.5)")).head().getLong(0)
+
+    // era A: the original schema
+    Materialize.updateByDay(spark, full.where(col("time_bin_ms") < cut), out)
+    val eraADays = Materialize.listPartitions(spark, out).collect().map(_.getString(0)).sorted
+    // era B: the view evolves (new column); only the open day onward is rewritten
+    val evolved = full.withColumn("sampled", lit(false))
+    Materialize.updateByDay(spark, evolved, out)
+    val allDays = Materialize.listPartitions(spark, out).collect().map(_.getString(0)).sorted
+
+    // hashes: order-sensitive version markers
+    assert(Materialize.schemaHash(full.schema) != Materialize.schemaHash(evolved.schema))
+
+    val incompatible = Materialize.listIncompatiblePartitions(spark, out, evolved.schema)
+    val flagged = incompatible.collect()
+    // exactly the era-A days that era B's update did not rewrite
+    val expected = eraADays.dropRight(1) // the open A-day was rewritten under B
+    assert(flagged.map(_.getString(0)).sorted.sameElements(expected),
+      s"flagged ${flagged.map(_.getString(0)).mkString(",")} expected ${expected.mkString(",")}")
+    assert(flagged.forall(r => r.getString(1) == Materialize.schemaHash(full.schema)
+      && r.getString(2) == Materialize.schemaHash(evolved.schema)))
+    assert(flagged.forall(r => r.getLong(3) > 0 && r.getLong(4) > 0L))
+
+    // retirement targets exactly the flagged set, never a compatible day
+    val retired = Materialize.retireIncompatiblePartitions(spark, out, evolved.schema)
+    assert(retired.collect().map(_.getString(0)).sorted.sameElements(expected))
+    val left = Materialize.listPartitions(spark, out).collect().map(_.getString(0))
+    assert(left.sorted.sameElements(allDays.filter(d => !expected.contains(d))))
+    assert(Materialize.listIncompatiblePartitions(spark, out, evolved.schema).isEmpty)
+    // survivors are uniformly era-B schema and queryable
+    val lake = spark.read.parquet(out)
+    assert(lake.columns.contains("sampled") && lake.count() > 0)
+  }
 }
