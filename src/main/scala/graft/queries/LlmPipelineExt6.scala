@@ -44,9 +44,11 @@ object LlmPipelineExt6 {
   private def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
 
-  val queries: Seq[GraftQuery] = Seq(
-
-    GraftQuery("l_ann_pq", (s, dir) => {
+  /** The PQ index + ADC top-5 per query — shared by `l_ann_pq` and
+    * `l_pq_recall` so the recall accounting measures exactly the
+    * ranking the index serves.
+    */
+  private def pqTop5(s: SparkSession, dir: String): DataFrame = {
       val e = embs(s, dir).select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
           x => round(x * 1000, 0).cast("long")).as("qv"))
@@ -87,8 +89,13 @@ object LlmPipelineExt6 {
       scored.withColumn("rk", row_number().over(rw).cast("long"))
         .where(col("rk") <= 5)
         .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("adc_l2"))
-        .orderBy("query_id", "rk")
-    }, Some("""
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("l_ann_pq", (s, dir) =>
+      pqTop5(s, dir).orderBy("query_id", "rk"),
+    Some("""
       WITH e AS (
         SELECT vec_id,
           list_transform(CAST(embedding AS DOUBLE[]),
@@ -125,6 +132,219 @@ object LlmPipelineExt6 {
       SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id,
         CAST(adc_l2 AS BIGINT) AS adc_l2
       FROM r WHERE rk <= 5
-      ORDER BY query_id, rk"""))
+      ORDER BY query_id, rk""")),
+
+    GraftQuery("l_ann_ivfadc", (s, dir) => {
+      // The full IVFADC composition (Jégou et al. 2011 §IV; the FAISS
+      // IVFxx,PQyy index): coarse quantizer restricts the candidate
+      // set to nProbe=4 inverted lists, PQ codes of the RESIDUAL
+      // (v − coarse centroid) give the compressed in-list
+      // representation, and queries score candidates with per-(query,
+      // probed-list) residual ADC tables. Everything integer: scaled
+      // vectors, integer-L2 coarse assignment (packed-long argmin),
+      // integer residuals, integer ADC sums — bit-reproducible.
+      // Scale shape: coarse centroids AND codebooks broadcast; the
+      // corpus shuffles once into its inverted lists (the index
+      // build); per query only nProbe lists are scanned, each a
+      // table-lookup sum over 8-byte codes.
+      val e = embs(s, dir).select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 1000, 0).cast("long")).as("qv"))
+      val coarse = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("coarse_id"), col("qv").as("cqv"))
+      // coarse assignment: nearest coarse centroid by integer L2
+      val asgFull = e.crossJoin(broadcast(coarse))
+        .withColumn("cl2", l2sq(col("qv"), col("cqv")))
+      val lists = asgFull
+        .groupBy("vec_id")
+        .agg(min(col("cl2") * 16 + col("coarse_id")).as("pm"))
+        .select(col("vec_id"), (col("pm") % 16).as("list_id"))
+      // residuals r = v − c(v), then PQ sub-slices of the residual
+      val resid = e.join(lists, "vec_id")
+        .join(broadcast(coarse), col("list_id") === col("coarse_id"))
+        .select(col("vec_id"), col("list_id"),
+          zip_with(col("qv"), col("cqv"), (a, b) => a - b).as("rv"))
+      val rsubs = resid
+        .withColumn("sub", explode(sequence(lit(0L), lit(7L))))
+        .withColumn("sv", slice(col("rv"), (col("sub") * 8 + 1).cast("int"), lit(8)))
+        .select("vec_id", "list_id", "sub", "sv")
+      // residual codebooks: the first 16 vectors' residual slices
+      val cb = rsubs.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("sub"), col("sv").as("cv"))
+      val codes = rsubs.join(broadcast(cb), "sub")
+        .withColumn("l2", l2sq(col("sv"), col("cv")))
+        .groupBy("vec_id", "list_id", "sub")
+        .agg(min(col("l2") * 16 + col("cent_id")).as("pm"))
+        .select(col("vec_id"), col("list_id"), col("sub"), (col("pm") % 16).as("code"))
+      // query side: probe the 4 nearest lists, residual per probed list
+      val pw = Window.partitionBy("qvec").orderBy(col("cl2"), col("coarse_id"))
+      val probes = asgFull.where(col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "qvec")
+        .withColumn("prk", row_number().over(pw))
+        .where(col("prk") <= 4)
+        .select(col("qvec").as("query_id"), col("coarse_id").as("probe_list"),
+          zip_with(col("qv"), col("cqv"), (a, b) => a - b).as("qrv"))
+      // ADC tables per (query, probed list)
+      val dt = probes
+        .withColumn("qsub", explode(sequence(lit(0L), lit(7L))))
+        .withColumn("qsv", slice(col("qrv"), (col("qsub") * 8 + 1).cast("int"), lit(8)))
+        .join(broadcast(cb), col("qsub") === cb("sub"))
+        .select(col("query_id"), col("probe_list"), col("qsub"), col("cent_id"),
+          l2sq(col("qsv"), col("cv")).as("dl2"))
+      // scan only the probed lists; table-lookup sum per candidate
+      val scored = codes
+        .join(broadcast(dt),
+          col("list_id") === col("probe_list") && col("sub") === col("qsub")
+            && col("code") === col("cent_id"))
+        .where(col("vec_id") =!= col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(sum("dl2").as("adc_l2"))
+      val rw = Window.partitionBy("query_id").orderBy(col("adc_l2"), col("vec_id"))
+      scored.withColumn("rk", row_number().over(rw).cast("long"))
+        .where(col("rk") <= 5)
+        .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("adc_l2"))
+        .orderBy("query_id", "rk")
+    }, Some("""
+      WITH e AS (
+        SELECT vec_id,
+          list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> CAST(round(x * 1000, 0) AS BIGINT)) AS qv
+        FROM embeddings),
+      coarse AS (SELECT vec_id AS coarse_id, qv AS cqv FROM e WHERE vec_id < 16),
+      af AS (
+        SELECT v.vec_id, v.qv, c.coarse_id, c.cqv,
+          CAST(list_dot_product(v.qv, v.qv) + list_dot_product(c.cqv, c.cqv)
+             - 2*list_dot_product(v.qv, c.cqv) AS BIGINT) AS cl2
+        FROM e v CROSS JOIN coarse c),
+      lists AS (
+        SELECT vec_id, CAST(MIN(cl2*16 + coarse_id) % 16 AS BIGINT) AS list_id
+        FROM af GROUP BY vec_id),
+      resid AS (
+        SELECT e.vec_id, l.list_id,
+          list_transform(list_zip(e.qv, c.cqv), p -> p[1] - p[2]) AS rv
+        FROM e JOIN lists l USING (vec_id)
+        JOIN coarse c ON l.list_id = c.coarse_id),
+      rsubs AS (
+        SELECT vec_id, list_id, sub, list_slice(rv, sub*8 + 1, sub*8 + 8) AS sv
+        FROM resid CROSS JOIN (SELECT unnest(range(8)) AS sub)),
+      cb AS (SELECT vec_id AS cent_id, sub, sv AS cv FROM rsubs WHERE vec_id < 16),
+      codes AS (
+        SELECT vec_id, list_id, sub,
+          CAST(MIN((CAST(list_dot_product(s.sv, s.sv) + list_dot_product(c.cv, c.cv)
+                  - 2*list_dot_product(s.sv, c.cv) AS BIGINT))*16 + c.cent_id) % 16
+               AS BIGINT) AS code
+        FROM rsubs s JOIN cb c USING (sub)
+        GROUP BY vec_id, list_id, sub),
+      probes AS (
+        SELECT vec_id AS query_id, coarse_id AS probe_list,
+          list_transform(list_zip(qv, cqv), p -> p[1] - p[2]) AS qrv
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY cl2, coarse_id) AS prk
+          FROM af WHERE vec_id < 5)
+        WHERE prk <= 4),
+      dt AS (
+        SELECT q.query_id, q.probe_list, q.sub, c.cent_id,
+          CAST(list_dot_product(q.sv, q.sv) + list_dot_product(c.cv, c.cv)
+             - 2*list_dot_product(q.sv, c.cv) AS BIGINT) AS dl2
+        FROM (
+          SELECT query_id, probe_list, sub,
+            list_slice(qrv, sub*8 + 1, sub*8 + 8) AS sv
+          FROM probes CROSS JOIN (SELECT unnest(range(8)) AS sub)) q
+        JOIN cb c ON c.sub = q.sub),
+      sc AS (
+        SELECT d.query_id, a.vec_id AS neighbor_id, SUM(d.dl2) AS adc_l2
+        FROM codes a
+        JOIN dt d ON a.list_id = d.probe_list AND a.sub = d.sub AND a.code = d.cent_id
+        WHERE a.vec_id <> d.query_id
+        GROUP BY 1, 2),
+      r AS (
+        SELECT query_id, neighbor_id, adc_l2,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_l2, neighbor_id) AS rk
+        FROM sc)
+      SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id,
+        CAST(adc_l2 AS BIGINT) AS adc_l2
+      FROM r WHERE rk <= 5
+      ORDER BY query_id, rk""")),
+
+    GraftQuery("l_pq_recall", (s, dir) => {
+      // recall accounting for the PQ index — "measure, don't guess"
+      // applied to ANN quality: per query, how many of the exact
+      // integer-L2 top-5 does the ADC top-5 recover? Both rankings
+      // are integer-deterministic, so the recall counts are exact
+      // cross-engine. The exact side is the brute-force kernel over
+      // the same scaled vectors (broadcast queries, corpus never
+      // shuffles); production samples queries instead of ranking all.
+      // On THIS test corpus the measured recall is low (0–2/5):
+      // 16-sample codebooks over near-isotropic synthetic embeddings
+      // quantize poorly — which is precisely the signal this query
+      // exists to surface before anyone ships such an index; real
+      // corpora have cluster structure, and k-means-trained codebooks
+      // (Ann.kmeansRefine is the trained-centroid path) recover it.
+      val e = embs(s, dir).select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 1000, 0).cast("long")).as("qv"))
+      val qs = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+      val ew = Window.partitionBy("query_id").orderBy(col("el2"), col("vec_id"))
+      val exact = e.crossJoin(broadcast(qs))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("el2", l2sq(col("qv"), col("qqv")))
+        .withColumn("erk", row_number().over(ew))
+        .where(col("erk") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      val approx = pqTop5(s, dir).select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_recovered"))
+        .join(qs.select("query_id"), Seq("query_id"), "right_outer")
+        .na.fill(0L, Seq("n_recovered"))
+        .select(col("query_id"), col("n_recovered"), lit(5L).as("k"))
+        .orderBy("query_id")
+    }, Some("""
+      WITH e AS (
+        SELECT vec_id,
+          list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> CAST(round(x * 1000, 0) AS BIGINT)) AS qv
+        FROM embeddings),
+      qs AS (SELECT vec_id AS query_id, qv AS qqv FROM e WHERE vec_id < 5),
+      exact AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.query_id, v.vec_id AS neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id
+              ORDER BY CAST(list_dot_product(v.qv, v.qv) + list_dot_product(q.qqv, q.qqv)
+                          - 2*list_dot_product(v.qv, q.qqv) AS BIGINT), v.vec_id) AS erk
+          FROM e v CROSS JOIN qs q WHERE v.vec_id <> q.query_id)
+        WHERE erk <= 5),
+      subs AS (
+        SELECT vec_id, sub, list_slice(qv, sub*8 + 1, sub*8 + 8) AS sv
+        FROM e CROSS JOIN (SELECT unnest(range(8)) AS sub)),
+      cb AS (SELECT vec_id AS cent_id, sub, sv AS cv FROM subs WHERE vec_id < 16),
+      asg AS (
+        SELECT vec_id, sub,
+          CAST(MIN((CAST(list_dot_product(s.sv, s.sv) + list_dot_product(c.cv, c.cv)
+                  - 2*list_dot_product(s.sv, c.cv) AS BIGINT))*16 + c.cent_id) % 16
+               AS BIGINT) AS code
+        FROM subs s JOIN cb c USING (sub) GROUP BY vec_id, sub),
+      dt AS (
+        SELECT s.vec_id AS query_id, s.sub, c.cent_id,
+          CAST(list_dot_product(s.sv, s.sv) + list_dot_product(c.cv, c.cv)
+             - 2*list_dot_product(s.sv, c.cv) AS BIGINT) AS dl2
+        FROM subs s JOIN cb c USING (sub) WHERE s.vec_id < 5),
+      approx AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_l2, neighbor_id) AS rk
+          FROM (
+            SELECT d.query_id, a.vec_id AS neighbor_id, SUM(d.dl2) AS adc_l2
+            FROM asg a JOIN dt d ON d.sub = a.sub AND d.cent_id = a.code
+            WHERE a.vec_id <> d.query_id GROUP BY 1, 2))
+        WHERE rk <= 5)
+      SELECT q.query_id,
+        CAST(COALESCE((SELECT COUNT(*) FROM exact x JOIN approx a
+          ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+          WHERE x.query_id = q.query_id), 0) AS BIGINT) AS n_recovered,
+        CAST(5 AS BIGINT) AS k
+      FROM qs q
+      ORDER BY q.query_id"""))
   )
 }
