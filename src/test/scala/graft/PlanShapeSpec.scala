@@ -77,4 +77,37 @@ class PlanShapeSpec extends SparkSpec {
     // existing user_id partitioning), and the output sort.
     assert(countShuffles(df) <= 5)
   }
+
+  test("l_ann_pq: codebook/ADC broadcast; encoding shuffles one row per (vec, sub)") {
+    val df = SparkEntry.queries("l_ann_pq")(spark, sfDir)
+    // measured shape: encoding agg (packed-long argmin — HashAggregate
+    // partials, so the exchange carries 1 row per (vec, sub), not K
+    // candidates), candidate-sum agg, top-k window, output sort = 4;
+    // codebook + ADC table broadcast (2). The corpus itself never
+    // hash-joins against anything non-broadcast.
+    assert(countShuffles(df) <= 4, "PQ corpus path grew an extra shuffle")
+    assert(countBroadcasts(df) >= 2, "codebook and ADC tables must broadcast")
+  }
+
+  test("l_ann_ivfadc: only broadcast joins; no unbucketed corpus join") {
+    val df = SparkEntry.queries("l_ann_ivfadc")(spark, sfDir)
+    // coarse assignment agg, lists join, residual-code agg,
+    // candidate-sum agg, probe top-k, final top-k, output sort — all
+    // small keyed exchanges; every join side that isn't the corpus is
+    // broadcast (coarse centroids ×2 sides, codebook ×2, ADC, probes).
+    assert(countShuffles(df) <= 8)
+    assert(countBroadcasts(df) >= 4)
+    val p = plan(df)
+    assert(count(p, _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]) <= 1,
+      "corpus-side joins must stay broadcast/hash, not sort-merge")
+  }
+
+  test("m_retention_plan: three chained aggs, no extra exchange") {
+    val df = SparkEntry.queries("m_retention_plan")(spark, sfDir)
+    // blocks agg → streams agg → process agg → output sort: the
+    // stream-level agg runs partition-local where the block keys
+    // subsume it; 4 exchanges total, zero joins.
+    assert(countShuffles(df) <= 4)
+    assert(countBroadcasts(df) == 0)
+  }
 }
