@@ -117,17 +117,30 @@ object Graft {
   /** Human-readable time-delta strings — the Python client's
     * `micromegas.time.parse_time_delta` (python/micromegas/micromegas/
     * time.py:97): "<positive integer><unit>" with unit m(inutes),
-    * h(ours) or d(ays). Rejects anything else, like the reference.
+    * h(ours) or d(ays). Rejects anything else with
+    * IllegalArgumentException — including oversized counts that would
+    * overflow (the reference's distinct OverflowError case) and
+    * trailing whitespace/newlines (a full-string match, not `$`,
+    * which in Java regex would accept a final line terminator).
     */
   def parseTimeDelta(s: String): java.time.Duration = {
-    val m = "^(\\d+)([mhd])$".r.findFirstMatchIn(s).getOrElse(
-      throw new IllegalArgumentException(
-        s"invalid time delta '$s': expected <number><unit> with unit m, h or d"))
-    val n = m.group(1).toLong
-    m.group(2) match {
-      case "m" => java.time.Duration.ofMinutes(n)
-      case "h" => java.time.Duration.ofHours(n)
-      case _ => java.time.Duration.ofDays(n)
+    val re = "(\\d+)([mhd])".r
+    s match {
+      case re(num, unit) =>
+        try {
+          val n = num.toLong
+          unit match {
+            case "m" => java.time.Duration.ofMinutes(n)
+            case "h" => java.time.Duration.ofHours(n)
+            case _ => java.time.Duration.ofDays(n)
+          }
+        } catch {
+          case e @ (_: ArithmeticException | _: NumberFormatException) =>
+            throw new IllegalArgumentException(
+              s"time delta '$s' too large: ${e.getMessage}")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"invalid time delta '$s': expected <number><unit> with unit m, h or d")
     }
   }
 
@@ -135,11 +148,19 @@ object Graft {
     * `endMicros`" — the client-side convenience the reference composes
     * from parse_time_delta (`now - parse_time_delta('1h')`). The
     * anchor is explicit, never wall-clock, so results are
-    * reproducible.
+    * reproducible. Micros conversion and subtraction are
+    * overflow-checked: a parseable-but-huge delta must fail loudly,
+    * never wrap into an inverted garbage range.
     */
   def rangeEndingAt(endMicros: Long, delta: String): (Long, Long) = {
     val d = parseTimeDelta(delta)
-    (endMicros - d.toMillis * 1000L, endMicros)
+    try {
+      val micros = Math.multiplyExact(d.toMillis, 1000L)
+      (Math.subtractExact(endMicros, micros), endMicros)
+    } catch {
+      case e: ArithmeticException =>
+        throw new IllegalArgumentException(s"delta '$delta' overflows the query range: ${e.getMessage}")
+    }
   }
 
   /** find_process(process_id) analog. */

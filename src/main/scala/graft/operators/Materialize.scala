@@ -63,19 +63,30 @@ object Materialize {
     * catalog-backed lake (Delta/Iceberg) the same call becomes a
     * metadata-only drop.
     */
+  /** The `date=` subdirectories of `dir` strictly older than
+    * `beforeDate` — the ONE definition of "expired day partition",
+    * shared by [[retireByDay]] and [[sweepExpired]] so the two
+    * retention paths cannot diverge. ISO dates: lexicographic ==
+    * chronological.
+    */
+  private def expiredDayDirs(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, beforeDate: String): Seq[org.apache.hadoop.fs.Path] =
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .filter { s =>
+        val d = s.getPath.getName.stripPrefix("date=")
+        d.matches("\\d{4}-\\d{2}-\\d{2}") && d < beforeDate
+      }
+      .map(_.getPath)
+
   def retireByDay(spark: SparkSession, outDir: String, beforeDate: String): RetireStats = {
     require(beforeDate.matches("\\d{4}-\\d{2}-\\d{2}"),
       s"retireByDay: beforeDate must be ISO yyyy-MM-dd, got $beforeDate")
     val path = new org.apache.hadoop.fs.Path(outDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return RetireStats(0)
-    val victims = fs.listStatus(path).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
-      .filter { s =>
-        val d = s.getPath.getName.stripPrefix("date=")
-        d.matches("\\d{4}-\\d{2}-\\d{2}") && d < beforeDate // ISO: lexicographic == chronological
-      }
-    victims.foreach(s => fs.delete(s.getPath, true))
+    val victims = expiredDayDirs(fs, path, beforeDate)
+    victims.foreach(fs.delete(_, true))
     RetireStats(victims.size.toLong)
   }
 
@@ -229,13 +240,9 @@ object Materialize {
     var blocks = 0L; var streams = 0L; var processes = 0L
     subdirs(rootPath).foreach { proc =>
       subdirs(proc).foreach { stream =>
-        subdirs(stream).filter { d =>
-          val n = d.getName
-          n.startsWith("date=") && {
-            val day = n.stripPrefix("date=")
-            day.matches("\\d{4}-\\d{2}-\\d{2}") && day < beforeDate
-          }
-        }.foreach { d => fs.delete(d, true); blocks += 1 }
+        expiredDayDirs(fs, stream, beforeDate).foreach { d =>
+          fs.delete(d, true); blocks += 1
+        }
         if (fs.listStatus(stream).isEmpty) { fs.delete(stream, true); streams += 1 }
       }
       if (fs.listStatus(proc).isEmpty) { fs.delete(proc, true); processes += 1 }

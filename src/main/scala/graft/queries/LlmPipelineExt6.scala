@@ -44,14 +44,22 @@ object LlmPipelineExt6 {
   private def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
 
+  /** The shared scaled-integer vector projection (round(x·1000) BIGINT)
+    * — one definition for all three PQ queries: `l_pq_recall` compares
+    * rankings across them, so their input quantization must be
+    * IDENTICAL by construction, not by parallel edits.
+    */
+  private def scaledVecs(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => round(x * 1000, 0).cast("long")).as("qv"))
+
   /** The PQ index + ADC top-5 per query — shared by `l_ann_pq` and
     * `l_pq_recall` so the recall accounting measures exactly the
     * ranking the index serves.
     */
   private def pqTop5(s: SparkSession, dir: String): DataFrame = {
-      val e = embs(s, dir).select(col("vec_id"),
-        transform(col("embedding").cast("array<double>"),
-          x => round(x * 1000, 0).cast("long")).as("qv"))
+      val e = scaledVecs(s, dir)
       // one row per (vector, subspace): sub-vector slices
       val subs = e
         .withColumn("sub", explode(sequence(lit(0L), lit(7L))))
@@ -147,9 +155,7 @@ object LlmPipelineExt6 {
       // corpus shuffles once into its inverted lists (the index
       // build); per query only nProbe lists are scanned, each a
       // table-lookup sum over 8-byte codes.
-      val e = embs(s, dir).select(col("vec_id"),
-        transform(col("embedding").cast("array<double>"),
-          x => round(x * 1000, 0).cast("long")).as("qv"))
+      val e = scaledVecs(s, dir)
       val coarse = e.where(col("vec_id") < 16)
         .select(col("vec_id").as("coarse_id"), col("qv").as("cqv"))
       // coarse assignment: nearest coarse centroid by integer L2
@@ -168,9 +174,14 @@ object LlmPipelineExt6 {
         .withColumn("sub", explode(sequence(lit(0L), lit(7L))))
         .withColumn("sv", slice(col("rv"), (col("sub") * 8 + 1).cast("int"), lit(8)))
         .select("vec_id", "list_id", "sub", "sv")
-      // residual codebooks: the first 16 vectors' residual slices
-      val cb = rsubs.where(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("sub"), col("sv").as("cv"))
+      // residual codebooks: sampled DISJOINT from the coarse
+      // centroids — vectors 0..15 ARE the centroids, so their
+      // residuals are identically zero; a codebook built from them
+      // would be 16 copies of the zero vector and the whole residual
+      // stage a no-op (every code 0, ranking degenerate to the coarse
+      // distance). Vectors 16..31 have genuine residuals.
+      val cb = rsubs.where(col("vec_id") >= 16 && col("vec_id") < 32)
+        .select((col("vec_id") - 16).as("cent_id"), col("sub"), col("sv").as("cv"))
       val codes = rsubs.join(broadcast(cb), "sub")
         .withColumn("l2", l2sq(col("sv"), col("cv")))
         .groupBy("vec_id", "list_id", "sub")
@@ -227,7 +238,8 @@ object LlmPipelineExt6 {
       rsubs AS (
         SELECT vec_id, list_id, sub, list_slice(rv, sub*8 + 1, sub*8 + 8) AS sv
         FROM resid CROSS JOIN (SELECT unnest(range(8)) AS sub)),
-      cb AS (SELECT vec_id AS cent_id, sub, sv AS cv FROM rsubs WHERE vec_id < 16),
+      cb AS (SELECT vec_id - 16 AS cent_id, sub, sv AS cv
+             FROM rsubs WHERE vec_id >= 16 AND vec_id < 32),
       codes AS (
         SELECT vec_id, list_id, sub,
           CAST(MIN((CAST(list_dot_product(s.sv, s.sv) + list_dot_product(c.cv, c.cv)
@@ -281,9 +293,7 @@ object LlmPipelineExt6 {
       // exists to surface before anyone ships such an index; real
       // corpora have cluster structure, and k-means-trained codebooks
       // (Ann.kmeansRefine is the trained-centroid path) recover it.
-      val e = embs(s, dir).select(col("vec_id"),
-        transform(col("embedding").cast("array<double>"),
-          x => round(x * 1000, 0).cast("long")).as("qv"))
+      val e = scaledVecs(s, dir)
       val qs = e.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
       val ew = Window.partitionBy("query_id").orderBy(col("el2"), col("vec_id"))

@@ -137,8 +137,11 @@ class GraftApiSpec extends SparkSpec {
     assert(Graft.parseTimeDelta("2h").getSeconds == 7200L)
     assert(Graft.parseTimeDelta("7d").getSeconds == 7L * 86400L)
     assert(Graft.parseTimeDelta("1m").getSeconds == 60L)
-    for (bad <- Seq("", "5x", "h5", "-1h", "1.5h", "5m ", "5s"))
+    for (bad <- Seq("", "5x", "h5", "-1h", "1.5h", "5m ", "5s", "5m\n"))
       intercept[IllegalArgumentException](Graft.parseTimeDelta(bad))
+    // oversized-but-parseable counts fail loudly, never wrap
+    intercept[IllegalArgumentException](Graft.parseTimeDelta("999999999999999d"))
+    intercept[IllegalArgumentException](Graft.rangeEndingAt(0L, "200000000d"))
   }
 
   test("rangeEndingAt anchors a delta window at an explicit end instant") {
