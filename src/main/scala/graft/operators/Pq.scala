@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011) as a reusable operator:
+  * sub-vector slicing, codebook construction (deterministic sample or
+  * integer-Lloyd trained), nearest-codeword encoding, and ADC
+  * (asymmetric distance computation) retrieval. The `l_ann_pq` /
+  * `l_pq_recall` queries delegate here; PqSpec drives the trained
+  * path.
+  *
+  * Everything is integer: vectors ride as round(x·1000) BIGINT, every
+  * distance is a sum of squared integer deltas, the codeword argmin is
+  * min over the packed long l2·K + cent_id (HashAggregate-friendly —
+  * one row per (vector, subspace) on the shuffle, K-way tie-break by
+  * codeword id), and the trained-centroid update rounds the exact
+  * integer-mean back to BIGINT — so encoding and ranking are
+  * bit-reproducible under any partitioning.
+  *
+  * Scale shape: codebooks are O(M·K) rows and broadcast everywhere;
+  * encoding emits the O(n) codes table (M small ints ≈ 8 B/vector —
+  * the 32× compression a 100 TB float corpus needs); ADC tables are
+  * O(queries·M·K) and broadcast; candidate scoring shuffles only
+  * (query, candidate, partial-sum) triples.
+  */
+object Pq {
+
+  /** Integer squared-L2 between two BIGINT arrays (zip-fold, codegen). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  /** Scaled-integer vectors: (vec_id, qv: array<long>) from
+    * (vec_id, embedding). round(x·1000) at scale 0 — both engines
+    * agree at scale 0, so oracle-checked queries share this exactly.
+    */
+  def scaled(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => round(x * 1000, 0).cast("long")).as("qv"))
+
+  /** One row per (vector, subspace): M contiguous slices of `dims`. */
+  def subSlices(e: DataFrame, m: Int = 8, dims: Int = 8): DataFrame =
+    e.withColumn("sub", explode(sequence(lit(0L), lit(m - 1L))))
+      .withColumn("sv", slice(col("qv"), (col("sub") * dims + 1).cast("int"), lit(dims)))
+      .select("vec_id", "sub", "sv")
+
+  /** Deterministic sample codebook: the sub-slices of vectors
+    * [offset, offset+k) as codewords 0..k-1.
+    */
+  def sampleCodebook(subs: DataFrame, k: Int = 16, offset: Int = 0): DataFrame =
+    subs.where(col("vec_id") >= offset && col("vec_id") < offset + k)
+      .select((col("vec_id") - offset).as("cent_id"), col("sub"), col("sv").as("cv"))
+
+  /** Nearest-codeword encoding: (vec_id, sub, code). The packed-long
+    * argmin keeps this in HashAggregate with map-side partials.
+    */
+  def encode(subs: DataFrame, cb: DataFrame, k: Int = 16): DataFrame =
+    subs.join(broadcast(cb), "sub")
+      .withColumn("l2", l2sq(col("sv"), col("cv")))
+      .groupBy("vec_id", "sub")
+      .agg(min(col("l2") * k + col("cent_id")).as("pm"))
+      .select(col("vec_id"), col("sub"), (col("pm") % k).as("code"))
+
+  /** Per-query ADC distance tables (query_id, qsub, cent_id, dl2) for
+    * the query vectors selected by `queryPred` on vec_id.
+    */
+  def adcTables(subs: DataFrame, queryPred: Column, cb: DataFrame): DataFrame =
+    subs.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("sub").as("qsub"), col("sv").as("qsv"))
+      .join(broadcast(cb), col("qsub") === cb("sub"))
+      .select(col("query_id"), col("qsub"), col("cent_id"),
+        l2sq(col("qsv"), col("cv")).as("dl2"))
+
+  /** ADC retrieval: table-lookup sum per candidate, top-k per query
+    * ((query_id, rk, neighbor_id, adc_l2), self excluded).
+    */
+  def adcTopK(codes: DataFrame, dt: DataFrame, k: Int = 5): DataFrame = {
+    val scored = codes
+      .join(broadcast(dt), col("sub") === col("qsub") && col("code") === col("cent_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("dl2").as("adc_l2"))
+    val rw = Window.partitionBy("query_id").orderBy(col("adc_l2"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(rw).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("adc_l2"))
+  }
+
+  /** Integer Lloyd refinement of a codebook, per subspace: assign each
+    * sub-vector to its nearest codeword (the same packed-long argmin
+    * the encoder uses), recompute each codeword as the rounded mean of
+    * its members, repeat. The mean of BIGINTs is exact (long sum /
+    * long count — no FP accumulation order), so iterations are
+    * bit-deterministic; codewords that lose all members keep their
+    * previous value (kmeansRefine's convention). Driver-iterated like
+    * Lloyd everywhere; per iteration one broadcast join + one keyed
+    * agg over (vector, subspace) rows.
+    */
+  def trainCodebooks(subs: DataFrame, k: Int = 16, iters: Int = 4,
+      initOffset: Int = 0): DataFrame = {
+    var cb = sampleCodebook(subs, k, initOffset).localCheckpoint()
+    val s = subs.localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assigned = s.join(broadcast(cb), "sub")
+        .withColumn("l2", l2sq(col("sv"), col("cv")))
+        .groupBy("vec_id", "sub")
+        .agg(min(col("l2") * k + col("cent_id")).as("pm"),
+          first("sv").as("sv"))
+        .select(col("sub"), (col("pm") % k).as("cent_id"), col("sv"))
+      val means = assigned
+        .select(col("sub"), col("cent_id"), posexplode(col("sv")).as(Seq("dim", "v")))
+        .groupBy("sub", "cent_id", "dim")
+        .agg(avg("v").as("m"))
+        .groupBy("sub", "cent_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("sub"), col("cent_id"),
+          transform(col("dm"), d => round(d.getField("m"), 0).cast("long")).as("cv"))
+      cb = cb.as("old")
+        .join(means.as("new"), Seq("sub", "cent_id"), "left_outer")
+        .select(col("sub"), col("cent_id"),
+          coalesce(col("new.cv"), col("old.cv")).as("cv"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** Mean squared quantization error of a codebook over the corpus —
+    * the (lower-is-better) quality measure training improves.
+    */
+  def distortion(subs: DataFrame, cb: DataFrame, k: Int = 16): Double = {
+    val best = subs.join(broadcast(cb), "sub")
+      .withColumn("l2", l2sq(col("sv"), col("cv")))
+      .groupBy("vec_id", "sub")
+      .agg(min("l2").as("best"))
+    best.agg(avg("best")).head().getDouble(0)
+  }
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
+import graft.operators.Pq
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -40,63 +41,21 @@ object LlmPipelineExt6 {
 
   private def embs(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "embeddings")
 
-  /** Integer squared-L2 between two BIGINT arrays (zip-fold, codegen). */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
-
-  /** The shared scaled-integer vector projection (round(x·1000) BIGINT)
-    * — one definition for all three PQ queries: `l_pq_recall` compares
-    * rankings across them, so their input quantization must be
-    * IDENTICAL by construction, not by parallel edits.
-    */
-  private def scaledVecs(s: SparkSession, dir: String): DataFrame =
-    embs(s, dir).select(col("vec_id"),
-      transform(col("embedding").cast("array<double>"),
-        x => round(x * 1000, 0).cast("long")).as("qv"))
+  // the PQ machinery lives in [[Pq]] (shared with PqSpec's trained-
+  // codebook path); these aliases keep the query bodies readable
+  private def l2sq(a: Column, b: Column): Column = Pq.l2sq(a, b)
+  private def scaledVecs(s: SparkSession, dir: String): DataFrame = Pq.scaled(embs(s, dir))
 
   /** The PQ index + ADC top-5 per query — shared by `l_ann_pq` and
     * `l_pq_recall` so the recall accounting measures exactly the
-    * ranking the index serves.
+    * ranking the index serves. Sample codebook from vectors 0..15
+    * (deterministic, oracle-expressible); [[Pq.trainCodebooks]] is the
+    * quality path PqSpec measures against this baseline.
     */
   private def pqTop5(s: SparkSession, dir: String): DataFrame = {
-      val e = scaledVecs(s, dir)
-      // one row per (vector, subspace): sub-vector slices
-      val subs = e
-        .withColumn("sub", explode(sequence(lit(0L), lit(7L))))
-        .withColumn("sv", slice(col("qv"), (col("sub") * 8 + 1).cast("int"), lit(8)))
-        .select("vec_id", "sub", "sv")
-      // per-subspace codebook: the first 16 vectors' sub-slices
-      val cb = subs.where(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("sub"), col("sv").as("cv"))
-      // encoding: nearest codeword per (vector, subspace). argmin as
-      // min over the PACKED long l2*K + cent_id — lexicographic
-      // (distance, codeword-id) with the id tie-break, on a LONG so it
-      // HashAggregates with map-side partials (min over a struct falls
-      // back to SortAggregate — the same lesson as the minhash
-      // signature rework): the shuffle carries one row per
-      // (vector, subspace), not K candidate rows. No overflow: l2 ≤
-      // 8·(2·10³)² ≈ 3.2e7, ×16 far inside long range.
-      val codes = subs.join(broadcast(cb), "sub")
-        .withColumn("l2", l2sq(col("sv"), col("cv")))
-        .groupBy("vec_id", "sub")
-        .agg(min(col("l2") * 16 + col("cent_id")).as("pm"))
-        .select(col("vec_id"), col("sub"), (col("pm") % 16).as("code"))
-      // ADC distance tables for the query vectors
-      val dt = subs.where(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("sub").as("qsub"), col("sv").as("qsv"))
-        .join(broadcast(cb), col("qsub") === cb("sub"))
-        .select(col("query_id"), col("qsub"), col("cent_id"),
-          l2sq(col("qsv"), col("cv")).as("dl2"))
-      // candidate scoring: table lookup + per-query sum, then top-k
-      val scored = codes
-        .join(broadcast(dt), col("sub") === col("qsub") && col("code") === col("cent_id"))
-        .where(col("vec_id") =!= col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(sum("dl2").as("adc_l2"))
-      val rw = Window.partitionBy("query_id").orderBy(col("adc_l2"), col("vec_id"))
-      scored.withColumn("rk", row_number().over(rw).cast("long"))
-        .where(col("rk") <= 5)
-        .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("adc_l2"))
+    val subs = Pq.subSlices(scaledVecs(s, dir))
+    val cb = Pq.sampleCodebook(subs)
+    Pq.adcTopK(Pq.encode(subs, cb), Pq.adcTables(subs, col("vec_id") < 5, cb))
   }
 
   val queries: Seq[GraftQuery] = Seq(

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Pq
+import org.apache.spark.sql.functions._
+
+/** Drives the PQ operator beyond the oracle-checked sample-codebook
+  * queries: the trained-codebook quality path, encoding determinism,
+  * and the recall comparison that closes the loop on `l_pq_recall`'s
+  * honest low number — training the codebooks must not make the index
+  * worse, and distortion (the thing Lloyd minimizes) must strictly
+  * improve.
+  */
+class PqSpec extends SparkSpec {
+
+  private def subs = {
+    val e = Pq.scaled(Tables.df(spark, "/root/testdata/sf0.01", "embeddings"))
+    Pq.subSlices(e)
+  }
+
+  test("integer Lloyd training strictly reduces quantization distortion") {
+    val s = subs.localCheckpoint()
+    val sampled = Pq.sampleCodebook(s)
+    val trained = Pq.trainCodebooks(s, iters = 4)
+    val d0 = Pq.distortion(s, sampled)
+    val d1 = Pq.distortion(s, trained)
+    assert(d1 < d0, s"training did not reduce distortion: $d0 -> $d1")
+    // and meaningfully so — Lloyd on a 500-vector corpus with K=16
+    // should cut MSE well below the arbitrary-sample baseline
+    assert(d1 < d0 * 0.9, s"distortion reduction too weak: $d0 -> $d1")
+  }
+
+  test("training is bit-deterministic: two runs produce identical codebooks") {
+    val s = subs.localCheckpoint()
+    val a = Pq.trainCodebooks(s, iters = 3).orderBy("sub", "cent_id").collect()
+    val b = Pq.trainCodebooks(s, iters = 3).orderBy("sub", "cent_id").collect()
+    assert(a.sameElements(b), "integer Lloyd diverged between identical runs")
+  }
+
+  test("trained codebooks do not hurt recall vs the sample baseline") {
+    val s = subs.localCheckpoint()
+    val queryPred = col("vec_id") < 20 // more queries than the oracle's 5 → stabler count
+    def recallAt10(cb: org.apache.spark.sql.DataFrame): Long = {
+      val approx = Pq.adcTopK(Pq.encode(s, cb), Pq.adcTables(s, queryPred, cb), k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      exact10.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+    }
+    val sampled = recallAt10(Pq.sampleCodebook(s))
+    val trained = recallAt10(Pq.trainCodebooks(s, iters = 4))
+    assert(trained >= sampled,
+      s"trained codebooks recovered fewer exact neighbors: $sampled -> $trained")
+  }
+
+  /** Exact integer-L2 top-10 over the full vectors for vec_id < 20. */
+  private lazy val exact10 = {
+    val e = Pq.scaled(Tables.df(spark, "/root/testdata/sf0.01", "embeddings"))
+      .localCheckpoint()
+    val qs = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("el2"), col("vec_id"))
+    e.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("el2", Pq.l2sq(col("qv"), col("qqv")))
+      .withColumn("erk", row_number().over(w))
+      .where(col("erk") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .localCheckpoint()
+  }
+}
