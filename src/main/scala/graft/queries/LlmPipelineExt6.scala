@@ -36,6 +36,10 @@ import org.apache.spark.sql.functions._
   * sums) triples feed the per-query top-k. In production the
   * candidate set comes from an IVF coarse stage (`l_ann_ivf`) instead
   * of the full corpus — composing the two is exactly IVFADC.
+  *
+  * Plus `l_quality_classifier`: the model-based quality gate
+  * (fasttext-linear shape) — hashed-unigram features against a
+  * broadcast weight vector, exact integer scoring.
   */
 object LlmPipelineExt6 {
 
@@ -314,6 +318,47 @@ object LlmPipelineExt6 {
           WHERE x.query_id = q.query_id), 0) AS BIGINT) AS n_recovered,
         CAST(5 AS BIGINT) AS k
       FROM qs q
-      ORDER BY q.query_id"""))
+      ORDER BY q.query_id""")),
+
+    GraftQuery("l_quality_classifier", (s, dir) => {
+      // model-based quality gate, fasttext-linear shape (the CCNet /
+      // LLaMA-pipeline "keep what a classifier likes" stage): hashed-
+      // unigram features (md5 → 256 buckets, the same hashing as
+      // l_dsir_weights) scored against a broadcast weight vector,
+      // integer per-doc sum, keep = score ≥ 0. The weights are a
+      // DECLARED md5-derived stand-in — training the classifier is out
+      // of scope (like the multimodal codec stub); what is real and
+      // load-bearing is the inference plumbing: O(buckets) weight
+      // table broadcasts at any corpus size, the per-token lookup is
+      // a map-side join, the score an exact integer sum — zero corpus
+      // shuffle beyond the per-doc agg.
+      val tok = Tables.df(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          explode(graft.operators.TextAnalysis.whitespaceTokens(col("text"))).as("w"))
+        .withColumn("b", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 256L)
+      val weights = s.range(256).select(col("id").as("b"),
+        (conv(substring(md5(concat(lit("qw-"), col("id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 2001L - 1000L).as("wt"))
+      tok.join(broadcast(weights), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("wt").as("score"))
+        .withColumn("keep", (col("score") >= 0L).cast("long"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+      tb AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 256 AS b FROM tok),
+      wts AS (
+        SELECT b, CAST(('0x' || substr(md5('qw-' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 2001 - 1000 AS wt
+        FROM (SELECT unnest(range(256)) AS b)),
+      sc AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, SUM(wt) AS score
+        FROM tb JOIN wts USING (b) GROUP BY doc_id)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(score AS BIGINT) AS score,
+        CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM sc ORDER BY doc_id"""))
   )
 }
