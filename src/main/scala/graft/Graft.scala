@@ -123,10 +123,9 @@ object Graft {
     * trailing whitespace/newlines (a full-string match, not `$`,
     * which in Java regex would accept a final line terminator).
     */
-  def parseTimeDelta(s: String): java.time.Duration = {
-    val re = "(\\d+)([mhd])".r
+  def parseTimeDelta(s: String): java.time.Duration =
     s match {
-      case re(num, unit) =>
+      case timeDeltaRe(num, unit) =>
         try {
           val n = num.toLong
           unit match {
@@ -142,7 +141,8 @@ object Graft {
       case _ => throw new IllegalArgumentException(
         s"invalid time delta '$s': expected <number><unit> with unit m, h or d")
     }
-  }
+
+  private val timeDeltaRe = "(\\d+)([mhd])".r
 
   /** (begin, end) query-range micros for "the last `delta` before
     * `endMicros`" — the client-side convenience the reference composes

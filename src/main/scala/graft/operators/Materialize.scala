@@ -54,15 +54,6 @@ object Materialize {
     */
   final case class RetireStats(daysRetired: Long)
 
-  /** Partition retirement — the reference's `retire_partitions` admin
-    * table function (rust/analytics/src/lakehouse/
-    * retire_partitions_table_function.rs): drop every day partition
-    * strictly OLDER than `beforeDate` (ISO yyyy-MM-dd). Retention is a
-    * directory-level operation: no data is read or rewritten, so
-    * retiring a year of history costs O(days) filesystem calls — on a
-    * catalog-backed lake (Delta/Iceberg) the same call becomes a
-    * metadata-only drop.
-    */
   /** The `date=` subdirectories of `dir` strictly older than
     * `beforeDate` — the ONE definition of "expired day partition",
     * shared by [[retireByDay]] and [[sweepExpired]] so the two
@@ -79,6 +70,15 @@ object Materialize {
       }
       .map(_.getPath)
 
+  /** Partition retirement — the reference's `retire_partitions` admin
+    * table function (rust/analytics/src/lakehouse/
+    * retire_partitions_table_function.rs): drop every day partition
+    * strictly OLDER than `beforeDate` (ISO yyyy-MM-dd). Retention is a
+    * directory-level operation: no data is read or rewritten, so
+    * retiring a year of history costs O(days) filesystem calls — on a
+    * catalog-backed lake (Delta/Iceberg) the same call becomes a
+    * metadata-only drop.
+    */
   def retireByDay(spark: SparkSession, outDir: String, beforeDate: String): RetireStats = {
     require(beforeDate.matches("\\d{4}-\\d{2}-\\d{2}"),
       s"retireByDay: beforeDate must be ISO yyyy-MM-dd, got $beforeDate")

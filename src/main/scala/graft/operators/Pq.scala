@@ -91,9 +91,12 @@ object Pq {
   /** Integer Lloyd refinement of a codebook, per subspace: assign each
     * sub-vector to its nearest codeword (the same packed-long argmin
     * the encoder uses), recompute each codeword as the rounded mean of
-    * its members, repeat. The mean of BIGINTs is exact (long sum /
-    * long count — no FP accumulation order), so iterations are
-    * bit-deterministic; codewords that lose all members keep their
+    * its members, repeat. The member sum is an exact LONG sum (never
+    * Spark's avg, whose Double sum buffer is accumulation-order-
+    * dependent once partials pass 2^53); the one FP operation per
+    * codeword dimension is a single division of exact operands, which
+    * is deterministic regardless of partitioning — so iterations are
+    * bit-reproducible. Codewords that lose all members keep their
     * previous value (kmeansRefine's convention). Driver-iterated like
     * Lloyd everywhere; per iteration one broadcast join + one keyed
     * agg over (vector, subspace) rows.
@@ -112,11 +115,12 @@ object Pq {
       val means = assigned
         .select(col("sub"), col("cent_id"), posexplode(col("sv")).as(Seq("dim", "v")))
         .groupBy("sub", "cent_id", "dim")
-        .agg(avg("v").as("m"))
+        .agg(sum("v").as("vs"), count(lit(1)).as("cn"))
+        .withColumn("m", round(col("vs").cast("double") / col("cn"), 0).cast("long"))
         .groupBy("sub", "cent_id")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("sub"), col("cent_id"),
-          transform(col("dm"), d => round(d.getField("m"), 0).cast("long")).as("cv"))
+          transform(col("dm"), _.getField("m")).as("cv"))
       cb = cb.as("old")
         .join(means.as("new"), Seq("sub", "cent_id"), "left_outer")
         .select(col("sub"), col("cent_id"),

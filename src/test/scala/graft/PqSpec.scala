@@ -29,11 +29,16 @@ class PqSpec extends SparkSpec {
     assert(d1 < d0 * 0.9, s"distortion reduction too weak: $d0 -> $d1")
   }
 
-  test("training is bit-deterministic: two runs produce identical codebooks") {
+  test("training is bit-deterministic across DIFFERENT partitionings") {
+    // the second run consumes a reshuffled copy: if any accumulation
+    // were FP-order-dependent (e.g. avg's Double sum buffer), the
+    // codebooks would diverge — the exact-long-sum contract is what
+    // this pins, not mere same-layout repeatability
     val s = subs.localCheckpoint()
     val a = Pq.trainCodebooks(s, iters = 3).orderBy("sub", "cent_id").collect()
-    val b = Pq.trainCodebooks(s, iters = 3).orderBy("sub", "cent_id").collect()
-    assert(a.sameElements(b), "integer Lloyd diverged between identical runs")
+    val b = Pq.trainCodebooks(s.repartition(13, col("sub")), iters = 3)
+      .orderBy("sub", "cent_id").collect()
+    assert(a.sameElements(b), "integer Lloyd diverged across partitionings")
   }
 
   test("trained codebooks do not hurt recall vs the sample baseline") {
