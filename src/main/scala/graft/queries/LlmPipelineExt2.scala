@@ -30,6 +30,18 @@ object LlmPipelineExt2 {
   }
   private val oracleTokens = "string_split_regex(trim(text), '\\s+')"
 
+  /** Fixed n-word chunk array of `text` (≥1 chunk; the "paragraphs" of
+    * this punctuation-free corpus) — the ONE chunking definition
+    * `l_chunk_dedup` (accounting) and `l_paragraph_scrub` (removal)
+    * share: the scrub must remove exactly what the accounting counts.
+    */
+  private def chunkArr(n: Int): org.apache.spark.sql.Column = {
+    val tokens = split(trim(col("text")), "\\s+")
+    val nChunks = greatest(ceil(size(tokens) / lit(n.toDouble)).cast("int"), lit(1))
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(tokens, i * n + 1, lit(n)), " "))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery("l_repetition", (s, dir) => {
@@ -155,13 +167,8 @@ object LlmPipelineExt2 {
       // distinct chunks appear in at least one OTHER doc. Scale shape:
       // explode → distinct (doc, hash) → hash-count groupBy → hash
       // join back → per-doc agg; every count integer-exact.
-      val n = 20
-      val tokens = split(trim(col("text")), "\\s+")
-      val nChunks = greatest(ceil(size(tokens) / lit(n.toDouble)).cast("int"), lit(1))
-      val chunkArr = transform(sequence(lit(0), nChunks - 1),
-        i => array_join(slice(tokens, i * n + 1, lit(n)), " "))
       val ch = docsWide(s, dir)
-        .select(col("doc_id"), explode(chunkArr).as("chunk"))
+        .select(col("doc_id"), explode(chunkArr(20)).as("chunk"))
         .select(col("doc_id"), md5(col("chunk")).as("h")).distinct()
       val byHash = ch.groupBy("h").agg(count(lit(1)).as("n_docs"))
       ch.join(byHash, "h")
@@ -184,6 +191,50 @@ object LlmPipelineExt2 {
         CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
         round(CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 4)
           AS dup_ratio
+      FROM ch JOIN byh USING (h)
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    GraftQuery("l_paragraph_scrub", (s, dir) => {
+      // duplicated-paragraph REMOVAL with document reconstruction —
+      // the transform l_chunk_dedup only accounts for (RefinedWeb §3:
+      // duplicated spans are cut out of the kept documents, not just
+      // counted). A chunk instance is removed when its hash occurs in
+      // more than one distinct document; survivors are reassembled in
+      // position order and the cleaned text rides as its md5 (rows
+      // stay narrow — the full cleaned corpus would be the same plan
+      // minus the final hash). Same chunking core as l_chunk_dedup by
+      // construction. Scale shape: explode → distinct-doc hash counts
+      // (partial-agg) → broadcast-eligible hash join back → per-doc
+      // ordered reassembly via array_sort over (idx, chunk) structs —
+      // no window, no global order, every count integer.
+      val ch = docsWide(s, dir)
+        .select(col("doc_id"), posexplode(chunkArr(20)).as(Seq("idx", "chunk")))
+        .withColumn("h", md5(col("chunk")))
+      val byHash = ch.select("doc_id", "h").distinct()
+        .groupBy("h").agg(count(lit(1)).as("n_docs"))
+      ch.join(byHash, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum((col("n_docs") > 1).cast("long")).as("n_removed"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("n_docs") === 1,
+              struct(col("idx"), col("chunk"))))),
+            _.getField("chunk")), " ")).as("clean_md5"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                   FROM documents),
+      ch AS (
+        SELECT doc_id, i AS idx,
+          array_to_string(t[i*20+1 : i*20+20], ' ') AS chunk,
+          md5(array_to_string(t[i*20+1 : i*20+20], ' ')) AS h
+        FROM tok, LATERAL (SELECT unnest(range(0,
+          GREATEST(CAST(ceil(len(t)/20.0) AS INTEGER), 1))) AS i) gen),
+      byh AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY h)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        md5(COALESCE(string_agg(CASE WHEN n_docs = 1 THEN chunk END, ' ' ORDER BY idx),
+                     '')) AS clean_md5
       FROM ch JOIN byh USING (h)
       GROUP BY doc_id ORDER BY doc_id""")),
 
