@@ -359,6 +359,53 @@ object LlmPipelineExt6 {
         FROM tb JOIN wts USING (b) GROUP BY doc_id)
       SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(score AS BIGINT) AS score,
         CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-      FROM sc ORDER BY doc_id"""))
+      FROM sc ORDER BY doc_id""")),
+
+    GraftQuery("l_bigram_lm", (s, dir) => {
+      // n-gram LM count tables (the Kneser-Ney statistics: raw bigram
+      // count, left total + right diversity per w1, continuation count
+      // per w2 — everything KN smoothing needs before the final
+      // discount arithmetic). Consecutive pairs via zip_with over two
+      // shifted slices (no index sequence — sequence(1, n-1) would
+      // DESCEND for 1-token docs and fabricate pairs). All counts
+      // integer; top-50 by count keeps the checked output bounded.
+      // Scale shape: one explode + three partial-agg groupBys keyed by
+      // word — the classic count-table pipeline; at corpus scale the
+      // (w1, w2) table shards by key and the per-word side tables are
+      // its rollups, never a re-scan of the text.
+      val t = split(trim(col("text")), "\\s+")
+      val pairs = Tables.df(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val w1t = pc.groupBy("w1")
+        .agg(sum("c").as("w1_total"), count(lit(1)).as("right_div"))
+      val w2t = pc.groupBy("w2").agg(count(lit(1)).as("cont"))
+      val rw = Window.orderBy(col("c").desc, col("w1"), col("w2"))
+      pc.join(w1t, "w1").join(w2t, "w2")
+        .withColumn("rk", row_number().over(rw).cast("long"))
+        .where(col("rk") <= 50)
+        .select(col("rk"), col("w1"), col("w2"), col("c"),
+          col("w1_total"), col("right_div"), col("cont"))
+        .orderBy("rk")
+    }, Some("""
+      WITH tok AS (SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+      bg AS (
+        SELECT t[i] AS w1, t[i+1] AS w2
+        FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) g),
+      pc AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      w1t AS (SELECT w1, SUM(c) AS w1_total, COUNT(*) AS right_div FROM pc GROUP BY 1),
+      w2t AS (SELECT w2, COUNT(*) AS cont FROM pc GROUP BY 1),
+      r AS (
+        SELECT pc.w1, pc.w2, c, w1_total, right_div, cont,
+          ROW_NUMBER() OVER (ORDER BY c DESC, pc.w1, pc.w2) AS rk
+        FROM pc JOIN w1t ON pc.w1 = w1t.w1 JOIN w2t ON pc.w2 = w2t.w2)
+      SELECT CAST(rk AS BIGINT) AS rk, w1, w2, CAST(c AS BIGINT) AS c,
+        CAST(w1_total AS BIGINT) AS w1_total, CAST(right_div AS BIGINT) AS right_div,
+        CAST(cont AS BIGINT) AS cont
+      FROM r WHERE rk <= 50 ORDER BY rk"""))
   )
 }
