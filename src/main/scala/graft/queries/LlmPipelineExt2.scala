@@ -207,9 +207,15 @@ object LlmPipelineExt2 {
       // (partial-agg) → broadcast-eligible hash join back → per-doc
       // ordered reassembly via array_sort over (idx, chunk) structs —
       // no window, no global order, every count integer.
+      // ch feeds both the hash-count build side and the join probe;
+      // checkpointing materializes the chunk explode ONCE (2 scans →
+      // 1). Same tradeoff as minhash's corpus checkpoint: wins while
+      // the chunk table fits storage, recompute is the >memory-scale
+      // fallback.
       val ch = docsWide(s, dir)
         .select(col("doc_id"), posexplode(chunkArr(20)).as(Seq("idx", "chunk")))
         .withColumn("h", md5(col("chunk")))
+        .localCheckpoint()
       val byHash = ch.select("doc_id", "h").distinct()
         .groupBy("h").agg(count(lit(1)).as("n_docs"))
       ch.join(byHash, "h")

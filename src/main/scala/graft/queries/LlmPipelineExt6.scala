@@ -380,7 +380,12 @@ object LlmPipelineExt6 {
           slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      // pc feeds three consumers (the join probe and both rollups);
+      // checkpointing materializes the count table ONCE so the
+      // tokenize+explode doesn't recompute per branch (3 scans → 1 —
+      // the same tradeoff as minhash's corpus checkpoint, and pc is
+      // the SMALL artifact: distinct bigrams, not token instances)
+      val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c")).localCheckpoint()
       val w1t = pc.groupBy("w1")
         .agg(sum("c").as("w1_total"), count(lit(1)).as("right_div"))
       val w2t = pc.groupBy("w2").agg(count(lit(1)).as("cont"))
