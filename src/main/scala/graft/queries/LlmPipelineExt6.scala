@@ -37,9 +37,10 @@ import org.apache.spark.sql.functions._
   * candidate set comes from an IVF coarse stage (`l_ann_ivf`) instead
   * of the full corpus — composing the two is exactly IVFADC.
   *
-  * Plus `l_quality_classifier`: the model-based quality gate
-  * (fasttext-linear shape) — hashed-unigram features against a
-  * broadcast weight vector, exact integer scoring.
+  * Plus two text-model artifacts: `l_quality_classifier` (the
+  * model-based quality gate, fasttext-linear shape — hashed-unigram
+  * features against a broadcast weight vector, exact integer scoring)
+  * and `l_bigram_lm` (Kneser-Ney n-gram count tables).
   */
 object LlmPipelineExt6 {
 
