@@ -1,0 +1,109 @@
+package graft
+
+import graft.functions.Histograms
+import org.apache.spark.sql.functions._
+
+/** Fidelity check against the reference's OWN documentation: every
+  * query shape `doc/how_to_query/README.md` teaches users runs through
+  * `Graft.query` on the analog views (schemas differ — our views are
+  * derived from the synthetic events stream — but the SHAPES, function
+  * surface and range-scoping semantics are the documented ones). A
+  * user following the reference's query guide should find each pattern
+  * expressible here; this spec is that claim, executable.
+  */
+class DocExamplesSpec extends SparkSpec {
+
+  // events at sf0.001 span 2024-01; a mid-month window for range tests
+  private val begin = 1704067200000000L // 2024-01-01T00:00Z in micros
+  private val mid = 1705276800000000L   // 2024-01-15T00:00Z
+
+  test("doc: recent errors — level filter + time range + ORDER BY + LIMIT") {
+    // README.md:26 / :152 (the guide's first query)
+    val df = Graft.query(spark, sfDir,
+      """SELECT time_ms, process_id, level, target, msg
+         FROM log_entries WHERE level <= 4
+         ORDER BY time_ms DESC LIMIT 10""", Some(begin), Some(mid))
+    val rows = df.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Int]("level") <= 4))
+    // range scoping reached the scan: everything before the mid bound
+    assert(rows.forall(_.getAs[Long]("time_ms") * 1000 <= mid))
+  }
+
+  test("doc: COUNT(*) and LIMITed metadata listing") {
+    // README.md:54 / :58
+    val n = Graft.query(spark, sfDir, "SELECT COUNT(*) AS n FROM log_entries")
+      .head().getLong(0)
+    assert(n > 0)
+    val procs = Graft.query(spark, sfDir,
+      "SELECT process_id, n_events FROM processes LIMIT 10").collect()
+    assert(procs.length == 10 && procs.forall(_.getAs[Long]("n_events") > 0))
+  }
+
+  test("doc: measures by name over a time range") {
+    // README.md:94 / :104
+    val df = Graft.query(spark, sfDir,
+      """SELECT time_ms, name, value, unit FROM measures
+         WHERE name = 'purchase' ORDER BY time_ms LIMIT 20""",
+      Some(begin), Some(mid))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[String]("name") == "purchase"))
+  }
+
+  test("doc: property_get over the properties column") {
+    // README.md:411 / :536
+    val df = Graft.query(spark, sfDir,
+      """SELECT graft_property_get(properties, 'k') AS k, COUNT(*) AS n
+         FROM log_entries GROUP BY 1 ORDER BY 1""")
+    assert(df.count() > 1) // several property values + possibly null
+  }
+
+  test("doc: histogram pipeline — make, accessors, re-aggregation") {
+    // README.md:634 (make_histogram GROUP BY target), :571 (p95),
+    // :654 (sum_histograms re-aggregation)
+    val perTarget = Graft.query(spark, sfDir,
+      """SELECT name, graft_make_histogram(0.0, 500.0, 100, value) AS h
+         FROM measures GROUP BY name""")
+    val stats = perTarget.select(col("name"),
+      Histograms.countFromHistogram(col("h")).as("n"),
+      Histograms.sumFromHistogram(col("h")).as("s"),
+      Histograms.varianceFromHistogram(col("h")).as("v"),
+      Histograms.quantileFromHistogram(col("h"), 0.95).as("p95")).collect()
+    assert(stats.length == 5)
+    assert(stats.forall(r => r.getAs[Long]("n") > 0 && r.getAs[Double]("p95") >= 0.0))
+    // re-aggregate the per-target sketches into one (the doc's
+    // combined_histogram) — count must be conserved exactly
+    val combined = perTarget
+      .select(Histograms.sumHistograms(col("h")).as("h"))
+      .select(Histograms.countFromHistogram(col("h"))).head().getLong(0)
+    assert(combined == stats.map(_.getAs[Long]("n")).sum)
+  }
+
+  test("doc: view_instance process-scoped JIT view") {
+    // README.md:463
+    val lk = new Lakehouse(spark, sfDir)
+    val inst = lk.viewInstance("log_entries", "9")
+    val rows = inst.select("process_id").distinct().collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "9")
+  }
+
+  test("doc: top error targets — the dashboard GROUP BY shape") {
+    // README.md:880
+    val df = Graft.query(spark, sfDir,
+      """SELECT target, COUNT(*) AS count FROM log_entries
+         WHERE level <= 3 GROUP BY target ORDER BY count DESC LIMIT 5""")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.head.getAs[String]("target") == "error")
+  }
+
+  test("doc: spans and otel_spans surfaces") {
+    // README.md:802 (thread span columns), otel attribute surface
+    val spans = Graft.query(spark, sfDir,
+      """SELECT process_id, name, duration_ms FROM thread_spans
+         WHERE duration_ms >= 0 ORDER BY duration_ms DESC LIMIT 10""").collect()
+    assert(spans.length == 10)
+    val otel = Graft.query(spark, sfDir,
+      """SELECT trace_id, span_id, kind, status FROM otel_spans LIMIT 10""").collect()
+    assert(otel.length == 10 && otel.forall(_.getAs[String]("trace_id").length == 32))
+  }
+}
