@@ -55,6 +55,33 @@ class PqSpec extends SparkSpec {
       s"trained codebooks recovered fewer exact neighbors: $sampled -> $trained")
   }
 
+  test("trained IVFADC structures: each quantization stage improves on its sample init") {
+    // the full trained index structure, stage by stage. Coarse
+    // centroids are trainCodebooks with ONE subspace spanning the
+    // whole vector (m=1, dims=64) — the same integer-Lloyd machinery
+    // serves both quantizers.
+    val e = Pq.scaled(Tables.df(spark, "/root/testdata/sf0.01", "embeddings"))
+      .localCheckpoint()
+    val whole = Pq.subSlices(e, m = 1, dims = 64).localCheckpoint()
+    val coarse0 = Pq.sampleCodebook(whole, k = 16)
+    val coarse1 = Pq.trainCodebooks(whole, k = 16, iters = 4)
+    val cd0 = Pq.distortion(whole, coarse0, k = 16)
+    val cd1 = Pq.distortion(whole, coarse1, k = 16)
+    assert(cd1 < cd0, s"trained coarse centroids did not improve: $cd0 -> $cd1")
+
+    // residuals under the TRAINED coarse assignment; residual PQ
+    // codebooks trained on the same input must beat their sample init
+    val asg = Pq.encode(whole, coarse1, k = 16)
+      .select(col("vec_id"), col("code"))
+    val resid = e.join(asg, "vec_id")
+      .join(broadcast(coarse1.select(col("cent_id").as("code"), col("cv"))), "code")
+      .select(col("vec_id"), zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qv"))
+    val rsubs = Pq.subSlices(resid).localCheckpoint()
+    val rd0 = Pq.distortion(rsubs, Pq.sampleCodebook(rsubs, k = 16, offset = 16))
+    val rd1 = Pq.distortion(rsubs, Pq.trainCodebooks(rsubs, k = 16, iters = 4, initOffset = 16))
+    assert(rd1 < rd0, s"trained residual codebooks did not improve: $rd0 -> $rd1")
+  }
+
   /** Exact integer-L2 top-10 over the full vectors for vec_id < 20. */
   private lazy val exact10 = {
     val e = Pq.scaled(Tables.df(spark, "/root/testdata/sf0.01", "embeddings"))
