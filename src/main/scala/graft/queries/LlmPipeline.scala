@@ -353,12 +353,10 @@ object LlmPipeline {
       // a pushdown-friendly scalar predicate.
       //
       // The quality score is carried as q10k = round(quality*10000)
-      // BIGINT through the gate, the global order, and the prefix sum:
-      // every comparison downstream of the scorer is integer, so the
-      // composite is bit-robust by construction (no FP gate/order can
-      // flake across partitionings); the double re-appears only in the
-      // final projection as q10k/10000.0 — one exact IEEE division both
-      // engines share.
+      // BIGINT through the gate, the global order, the prefix sum AND
+      // the output projection (quality_e4): every value downstream of
+      // the scorer is integer, so the composite is bit-robust by
+      // construction — no float column ever reaches a hasher.
       val d = docs(s, dir)
       val scored = d.select(col("doc_id"), col("lang"),
           TextAnalysis.langIdHeuristic(col("text")).as("pred_lang"),
@@ -378,9 +376,9 @@ object LlmPipeline {
       graft.operators.Prefix
         .runningSum(curated, Seq(col("q10k").desc, col("doc_id")), col("n_tokens"), "cum_tokens")
         .where(col("cum_tokens") <= 20000L)
-        .select(col("doc_id"), (col("q10k").cast("double") / lit(10000.0)).as("quality"),
+        .select(col("doc_id"), col("q10k").as("quality_e4"),
           col("n_tokens"), col("cum_tokens"))
-        .orderBy(col("quality").desc, col("doc_id"))
+        .orderBy(col("quality_e4").desc, col("doc_id"))
     }, Some("""
       WITH f AS (
         SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t, md5(text) AS h,
@@ -413,9 +411,9 @@ object LlmPipeline {
           SUM(n_tokens) OVER (ORDER BY q10k DESC, doc_id
                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
         FROM curated)
-      SELECT doc_id, CAST(q10k AS DOUBLE) / 10000.0 AS quality, n_tokens, cum_tokens
+      SELECT doc_id, q10k AS quality_e4, n_tokens, cum_tokens
       FROM budget WHERE cum_tokens <= 20000
-      ORDER BY quality DESC, doc_id""")),
+      ORDER BY quality_e4 DESC, doc_id""")),
 
     GraftQuery("l_fingerprint", (s, dir) => {
       docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
