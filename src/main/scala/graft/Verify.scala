@@ -17,9 +17,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    new java.io.File(s"$outDir/_forensics").mkdirs()
     SparkEntry.queries.filter(kv => only.isEmpty || only(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // hash decomposition of the EXACT bytes the driver will read
+        // (re-read from the written file, not the live plan) — see
+        // Forensics; a driver-side hash mismatch diffs against this
+        Files.writeString(Paths.get(s"$outDir/_forensics/$name.json"),
+          Forensics.report(spark.read.parquet(s"$outDir/$name")))
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a failed query must not leave a stale (previous-run) result
@@ -30,6 +38,7 @@ object Verify {
           java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
             .foreach(java.nio.file.Files.deleteIfExists(_))
         }
+        Files.deleteIfExists(Paths.get(s"$outDir/_forensics/$name.json"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

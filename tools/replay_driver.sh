@@ -27,6 +27,10 @@ for sf in $SFS; do
   if ! python3 tools/compare_oracle.py "/root/testdata/sf$sf" "$out" ${QUERIES[@]:-} \
       | tee "/tmp/graft_replay_sf${sf}.log" | tail -1 | grep -q " 0 fail"; then
     echo "== MISMATCH at sf$sf (see /tmp/graft_replay_sf${sf}.log)"
+    # localize: per-column/per-row md5 diff vs the oracle (forensics.py
+    # mirrors graft.Forensics' canonical form)
+    python3 tools/forensics.py "/root/testdata/sf$sf" "$out" ${QUERIES[@]:-} \
+      | grep -v '^PASS' || true
     fail=1
   fi
 done
