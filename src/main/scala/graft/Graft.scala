@@ -21,6 +21,7 @@ object Graft {
     lk.logStats.createOrReplaceTempView("log_stats")
     lk.threadSpans.createOrReplaceTempView("thread_spans")
     lk.otelSpans.createOrReplaceTempView("otel_spans")
+    lk.asyncEvents.createOrReplaceTempView("async_events")
     lk.processes.createOrReplaceTempView("processes")
     lk.streams.createOrReplaceTempView("streams")
     lk.blocks.createOrReplaceTempView("blocks")

@@ -158,6 +158,41 @@ final class Lakehouse(spark: SparkSession, dir: String) {
     * the span's interval (keyed containment join — the equi-key is the
     * process, so no all-pairs work).
     */
+  /** Raw UNPAIRED async span events — one row per begin and per end
+    * (reference async_events_view.rs:35 + async_events_table.rs:43:
+    * stream_id, block_id, time, event_type 'begin'/'end', span_id,
+    * parent_span_id, depth, name). Users debugging lost/unmatched
+    * async ends query this stream directly; `m_async_spans` is the
+    * PAIRED companion. Derivation note: the reference's wire events
+    * carry span/parent ids emitted by the instrumented app; the
+    * synthetic corpus doesn't, so the ids are recovered by the same
+    * stack decode the reference's block processor runs at ingestion,
+    * then each span is unpivoted back to its two raw events.
+    */
+  def asyncEvents: DataFrame = asyncEventsFrom(table("events"))
+
+  private def asyncEventsFrom(e: DataFrame): DataFrame = {
+    val base = graft.operators.SpanAssembly.beginEndSpans(
+      e, "user_id", epochMs(col("ts")), "event_id", "event_type",
+      col("event_type").isin("signup", "view"))
+    val sp = graft.operators.SpanAssembly.withParents(base, "user_id")
+    sp.select(col("user_id"), col("span_id"), col("parent_id"), col("name"), col("depth"),
+        explode(array(
+          struct(lit("begin").as("etype"), col("begin_ms").as("t_ms")),
+          struct(lit("end").as("etype"), col("end_ms").as("t_ms")))).as("ev"))
+      .select(
+        col("user_id").cast("string").as("process_id"),
+        concat(col("user_id").cast("string"), lit("-async")).as("stream_id"),
+        concat(col("user_id").cast("string"), lit("-async-"),
+          (col("ev.t_ms") - pmod(col("ev.t_ms"), lit(60000L))).cast("string")).as("block_id"),
+        col("ev.t_ms").as("time_ms"),
+        col("ev.etype").as("event_type"),
+        col("span_id"),
+        col("parent_id").as("parent_span_id"),
+        col("depth"),
+        col("name"))
+  }
+
   def otelSpans: DataFrame = otelSpansFrom(table("events"))
 
   // In production this view is MATERIALIZED (the reference's otel views
@@ -225,6 +260,7 @@ final class Lakehouse(spark: SparkSession, dir: String) {
       case "thread_spans" => threadSpansFrom(scoped)
       case "images"       => imagesFrom(scoped)
       case "otel_spans"   => otelSpansFrom(scoped)
+      case "async_events" => asyncEventsFrom(scoped)
       case other => throw new IllegalArgumentException(s"unknown view set: $other")
     }
   }
@@ -235,5 +271,6 @@ final class Lakehouse(spark: SparkSession, dir: String) {
     * through viewInstance, matching that contract.
     */
   def viewSets: Seq[String] =
-    Seq("log_entries", "measures", "log_stats", "thread_spans", "images", "otel_spans")
+    Seq("log_entries", "measures", "log_stats", "thread_spans", "images",
+      "otel_spans", "async_events")
 }

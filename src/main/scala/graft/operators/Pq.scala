@@ -55,9 +55,19 @@ object Pq {
 
   /** Nearest-codeword encoding: (vec_id, sub, code). The packed-long
     * argmin keeps this in HashAggregate with map-side partials.
+    *
+    * `k` MUST equal the codebook's codeword count: the packed argmin
+    * decodes via pm % k, so a disagreement would silently yield wrong
+    * codes — the in-plan assert_true turns that into a loud runtime
+    * failure instead. Input-magnitude contract (packed-long range):
+    * dims · (2·max|component|)² · k must stay below 2^63; the scaled
+    * corpus (|x| ≲ 10^5 after round(x·1000), dims ≤ 64, k ≤ 256) sits
+    * at ~10^15, four orders of magnitude under the edge.
     */
   def encode(subs: DataFrame, cb: DataFrame, k: Int = 16): DataFrame =
     subs.join(broadcast(cb), "sub")
+      .where(assert_true(col("cent_id") < k,
+        lit(s"Pq.encode: codebook has cent_id >= k=$k")).isNull)
       .withColumn("l2", l2sq(col("sv"), col("cv")))
       .groupBy("vec_id", "sub")
       .agg(min(col("l2") * k + col("cent_id")).as("pm"))
@@ -93,13 +103,16 @@ object Pq {
     * the encoder uses), recompute each codeword as the rounded mean of
     * its members, repeat. The member sum is an exact LONG sum (never
     * Spark's avg, whose Double sum buffer is accumulation-order-
-    * dependent once partials pass 2^53); the one FP operation per
-    * codeword dimension is a single division of exact operands, which
-    * is deterministic regardless of partitioning — so iterations are
-    * bit-reproducible. Codewords that lose all members keep their
-    * previous value (kmeansRefine's convention). Driver-iterated like
-    * Lloyd everywhere; per iteration one broadcast join + one keyed
-    * agg over (vector, subspace) rows.
+    * dependent once partials pass 2^53), and the mean is rounded
+    * half-away-from-zero in PURE INTEGER arithmetic —
+    * (2·|vs| + cn) div (2·cn), sign restored — so there is no FP
+    * operation anywhere in training and iterations are bit-identical
+    * under any partitioning AND any engine (the `l_ann_pq_trained`
+    * oracle replays the same recurrence in SQL). Codewords that lose
+    * all members keep their previous value (kmeansRefine's
+    * convention). Driver-iterated like Lloyd everywhere; per
+    * iteration one broadcast join + one keyed agg over (vector,
+    * subspace) rows.
     */
   def trainCodebooks(subs: DataFrame, k: Int = 16, iters: Int = 4,
       initOffset: Int = 0): DataFrame = {
@@ -116,7 +129,8 @@ object Pq {
         .select(col("sub"), col("cent_id"), posexplode(col("sv")).as(Seq("dim", "v")))
         .groupBy("sub", "cent_id", "dim")
         .agg(sum("v").as("vs"), count(lit(1)).as("cn"))
-        .withColumn("m", round(col("vs").cast("double") / col("cn"), 0).cast("long"))
+        .withColumn("m", when(col("vs") >= 0, expr("(2*vs + cn) div (2*cn)"))
+          .otherwise(-expr("(-2*vs + cn) div (2*cn)")))
         .groupBy("sub", "cent_id")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("sub"), col("cent_id"),

@@ -60,6 +60,29 @@ object SqlBatchView {
         CAST(sum(count) AS BIGINT) AS count
       FROM {source} GROUP BY 1, 2, 3, 4""")
 
+  /** otel_spans as a batch view — the production path for the span
+    * assembly (the reference's otel views are materialized batch
+    * views, never recomputed per query; spans_view.rs builds on the
+    * same partition machinery as log_stats_view.rs). The transform is
+    * the full live derivation scoped to spans STARTING in the slice —
+    * each span lands in exactly one slice, so the merge is a plain
+    * pass-through and incremental materialization is bitwise equal to
+    * the live view under ANY slicing (SqlBatchViewSpec pins this).
+    * Serving then costs one parquet scan instead of the 3-replay /
+    * 8-scan unmaterialized derivation. The staleness probe counts raw
+    * source events in the slice window (count_src_query's
+    * approximation in the reference: a source-rows count, not a
+    * transform run).
+    */
+  val otelSpans: Def = Def(
+    name = "otel_spans_sql",
+    countSrcSql = """SELECT count(*) AS n FROM events
+      WHERE unix_millis(ts) >= {begin} AND unix_millis(ts) < {end}""",
+    transformSql = """
+      SELECT * FROM otel_spans
+      WHERE start_time_ns >= {begin} * 1000000 AND start_time_ns < {end} * 1000000""",
+    mergeSql = "SELECT * FROM {source}")
+
   private def subst(sql: String, beginMs: Long, endMs: Long): String =
     sql.replace("{begin}", beginMs.toString).replace("{end}", endMs.toString)
 

@@ -75,6 +75,32 @@ class SqlBatchViewSpec extends SparkSpec with TmpDirSupport {
     assert(merged === direct)
   }
 
+  test("otel_spans materialized via SqlBatchView == live derivation, bitwise") {
+    // closes the m_otel_spans loop: the live view replays span
+    // assembly per consumer (an unmaterialized-view artifact); the
+    // production path materializes it once per slice and serves from
+    // parquet. This pins that the served rows are EXACTLY the live
+    // derivation — every column, including null parent ids and
+    // attributes — under a 3-way slicing on non-aligned cuts (each
+    // span lands in one slice by start time, so any slicing works).
+    Graft.registerViews(spark, sfDir)
+    val live = new Lakehouse(spark, sfDir).otelSpans
+    val r = live.agg(min("start_time_ns"), max("start_time_ns")).head()
+    val (lo, hi) = (r.getLong(0) / 1000000L, r.getLong(1) / 1000000L + 1)
+    val cut1 = lo + (hi - lo) / 3 + 7
+    val cut2 = lo + 2 * (hi - lo) / 3 + 13
+    val dir = tmpDir("sqlbatch-otel") + "/v"
+    Seq((lo, cut1), (cut1, cut2), (cut2, hi)).foreach { case (b, e) =>
+      assert(SqlBatchView.updateSlice(spark, SqlBatchView.otelSpans, dir, b, e) >= 0)
+    }
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("process_id", "span_id").collect().map(_.toString).toSeq
+    val served = canon(SqlBatchView.query(spark, SqlBatchView.otelSpans, dir))
+    val direct = canon(live)
+    assert(served.size === direct.size)
+    assert(served === direct)
+  }
+
   test("staleness probe skips fresh slices and refreshes grown ones") {
     Graft.registerViews(spark, sfDir)
     val (lo, hi) = bounds

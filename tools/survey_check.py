@@ -16,7 +16,9 @@ def main():
             cells = [c.strip() for c in line.split("|")]
             if len(cells) >= 4:
                 claimed |= set(re.findall(r"`([a-z0-9_]+)`", cells[3]))
-    dumped = {d for d in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, d))}
+    dumped = {d for d in os.listdir(outdir)
+              if os.path.isdir(os.path.join(outdir, d))
+              and not d.startswith("_")}  # _forensics etc. are not queries
     missing = sorted(claimed - dumped)
     unclaimed = sorted(dumped - claimed)
     # q_approx_distinct is documented in prose (rows-only), not a table row
