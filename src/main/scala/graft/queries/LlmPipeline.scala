@@ -413,7 +413,7 @@ object LlmPipeline {
         FROM curated)
       SELECT doc_id, q10k AS quality_e4, n_tokens, cum_tokens
       FROM budget WHERE cum_tokens <= 20000
-      ORDER BY quality_e4 DESC, doc_id""")),
+      ORDER BY quality_e4 DESC, doc_id"""), headline = true),
 
     GraftQuery("l_fingerprint", (s, dir) => {
       docs(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))

@@ -242,7 +242,7 @@ object LlmPipelineExt2 {
         md5(COALESCE(string_agg(CASE WHEN n_docs = 1 THEN chunk END, ' ' ORDER BY idx),
                      '')) AS clean_md5
       FROM ch JOIN byh USING (h)
-      GROUP BY doc_id ORDER BY doc_id""")),
+      GROUP BY doc_id ORDER BY doc_id"""), headline = true),
 
     GraftQuery("l_pii_scrub", (s, dir) => {
       // PII redaction: emails and phone-shaped strings replaced with

@@ -256,7 +256,7 @@ object LlmPipelineExt5 {
       SELECT o.doc_id, CAST(n_before AS BIGINT) AS n_before,
         CAST(n_after AS BIGINT) AS n_after, w1, w2,
         CAST(pair_n AS BIGINT) AS pair_n, merged_md5
-      FROM o JOIN nb USING (doc_id) ORDER BY o.doc_id""")),
+      FROM o JOIN nb USING (doc_id) ORDER BY o.doc_id"""), headline = true),
 
     GraftQuery("l_curation_v2", (s, dir) => {
       // Second-generation curation composite over this tranche's
@@ -349,6 +349,6 @@ object LlmPipelineExt5 {
         FROM cur)
       SELECT doc_id, n_words, CAST(sum_t AS BIGINT) AS sum_t,
         CAST(sum_r AS BIGINT) AS sum_r, CAST(cum_tokens AS BIGINT) AS cum_tokens
-      FROM bud WHERE cum_tokens <= 3000 ORDER BY doc_id"""))
+      FROM bud WHERE cum_tokens <= 3000 ORDER BY doc_id"""), headline = true)
   )
 }

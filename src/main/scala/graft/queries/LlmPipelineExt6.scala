@@ -181,7 +181,7 @@ object LlmPipelineExt6 {
       SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id,
         CAST(adc_l2 AS BIGINT) AS adc_l2
       FROM r WHERE rk <= 5
-      ORDER BY query_id, rk""")),
+      ORDER BY query_id, rk"""), headline = true),
 
     GraftQuery("l_ann_ivfadc", (s, dir) => {
       // The full IVFADC composition (Jégou et al. 2011 §IV; the FAISS
@@ -318,7 +318,7 @@ object LlmPipelineExt6 {
       SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id,
         CAST(adc_l2 AS BIGINT) AS adc_l2
       FROM r WHERE rk <= 5
-      ORDER BY query_id, rk""")),
+      ORDER BY query_id, rk"""), headline = true),
 
     GraftQuery("l_pq_recall", (s, dir) => {
       // recall accounting for the PQ index — "measure, don't guess"
@@ -429,7 +429,7 @@ object LlmPipelineExt6 {
         .where(col("rk") <= 5)
         .select(col("query_id"), col("rk"), col("neighbor_id"), col("el2"))
         .orderBy("query_id", "rk")
-    }, Some(trainedPqOracle(iters = 2))),
+    }, Some(trainedPqOracle(iters = 2)), headline = true),
 
     GraftQuery("l_quality_classifier", (s, dir) => {
       // model-based quality gate, fasttext-linear shape (the CCNet /

@@ -156,7 +156,7 @@ object ObservabilityExt6 {
           Some(perfettoAsyncSpans(s, dir)))
         .select("user_id", "chunk_id", "n_packets", "n_bytes", "chunk_md5")
         .orderBy("user_id", "chunk_id")
-    }, None),
+    }, None, headline = true),
 
     GraftQuery("m_props_dict", (s, dir) => {
       // property-set dictionary encoding (reference: rust/analytics/
