@@ -259,7 +259,12 @@ object Materialize {
     * parquet readers.
     */
   def schemaHash(schema: org.apache.spark.sql.types.StructType): String = {
-    val canon = schema.fields.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
+    // length-prefixed name/type tokens: unambiguous even if a column
+    // name contains ':' or ',' (plain joining would let two different
+    // schemas collide on the same canonical string)
+    val canon = schema.fields
+      .map(f => s"${f.name.length}:${f.name}|${f.dataType.sql.length}:${f.dataType.sql}")
+      .mkString(",")
     java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
@@ -286,7 +291,11 @@ object Materialize {
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
         .sortBy(_.getPath.getName)
         .flatMap { s =>
-          val files = fs.listStatus(s.getPath).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+          // sorted so the probed file is deterministic across
+          // filesystems (listStatus order is unspecified)
+          val files = fs.listStatus(s.getPath).toSeq
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName)
           files.headOption.map { f =>
             // footer-only schema read; partition dirs are single-schema
             // by construction (each day is written in one atomic swap)
