@@ -98,6 +98,26 @@ object Graft {
     } finally plans.QueryRange.clear()
   }
 
+  /** Streaming read of a query result — the reference client's
+    * `query_stream` (python/micromegas/micromegas/flightsql/
+    * client.py:371: Arrow record batches for larger-than-driver-memory
+    * reads; its `query` docstring points large result sets here). The
+    * Spark analog: `toLocalIterator` pulls ONE PARTITION at a time to
+    * the driver, so peak driver memory is a partition, not the result;
+    * consumption starts as soon as the first partition lands, and the
+    * record-batch granularity is `batchRows`. Same begin/end
+    * partition-pruning semantics as [[query]] (the range is applied at
+    * analysis time, before the first fetch).
+    */
+  def queryStream(spark: SparkSession, dir: String, sql: String,
+      beginMicros: Option[Long] = None, endMicros: Option[Long] = None,
+      batchRows: Int = 4096): Iterator[Seq[org.apache.spark.sql.Row]] = {
+    require(batchRows > 0, s"batchRows must be positive: $batchRows")
+    import scala.jdk.CollectionConverters._
+    query(spark, dir, sql, beginMicros, endMicros)
+      .toLocalIterator().asScala.grouped(batchRows)
+  }
+
   // -----------------------------------------------------------------
   // convenience API mirroring the reference Python client
   // (python/micromegas/micromegas/flightsql/client.py: find_process,

@@ -85,6 +85,26 @@ class GraftApiSpec extends SparkSpec {
     assert(row.getLong(0) > 0)
   }
 
+  test("queryStream: batched partition-at-a-time read == query, range-scoped alike") {
+    // the query_stream analog: same rows as query() in the same order
+    // semantics (batch concatenation), record-batch granularity honored
+    val sql = "SELECT event_id, level FROM log_entries ORDER BY event_id"
+    val direct = Graft.query(spark, sfDir, sql).collect().toSeq
+    val batches = Graft.queryStream(spark, sfDir, sql, batchRows = 97).toSeq
+    assert(batches.nonEmpty)
+    assert(batches.init.forall(_.size == 97)) // full batches except the tail
+    assert(batches.flatten === direct)
+    // ranged stream applies the same pruning as ranged query
+    val b = Some(micros("2024-01-01T00:00:00Z"))
+    val e = Some(micros("2024-01-15T00:00:00Z"))
+    val rangedDirect = Graft.query(spark, sfDir,
+      "SELECT count(*) FROM events", b, e).head().getLong(0)
+    val rangedStream = Graft.queryStream(spark, sfDir,
+      "SELECT event_id FROM events", b, e).map(_.size.toLong).sum
+    assert(rangedStream === rangedDirect)
+    assert(rangedStream > 0)
+  }
+
   test("client convenience API: find_process / query_streams / query_blocks / query_spans") {
     val p = Graft.findProcess(spark, sfDir, "9").collect()
     assert(p.length == 1 && p.head.getAs[Long]("n_events") > 0)
