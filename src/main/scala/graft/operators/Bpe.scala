@@ -87,6 +87,19 @@ object Bpe {
         (row_number().over(byDoc) - 1).as("pos"), col("tk").as("w"))
   }
 
+  /** Tokenize-with-trained-merges — the SERVING path (Sennrich et al.
+    * 2016 §3's encode loop): apply the learned merge list to a token
+    * table greedily, in rank order. Each rank is one
+    * [[applyMergeJoined]] pass, so application and training share the
+    * exact parity semantics and cannot drift. The target is typically
+    * NEW text the vocabulary was not trained on; cost is
+    * O(ranks · target tokens), corpus-free.
+    */
+  def encode(tok: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(tok) { case (t, (a, b)) =>
+      applyMerge(t, Merge(a, b, 0L)).localCheckpoint()
+    }
+
   /** Train `rounds` merges; returns the final token table and the
     * merge list in order. Stops early when no pair remains.
     */
