@@ -31,8 +31,14 @@ object Forensics {
     MessageDigest.getInstance("MD5").digest(s.getBytes(UTF_8))
       .map("%02x".format(_)).mkString
 
+  private def lenPrefixed(s: String): String =
+    s.getBytes(UTF_8).length.toString + ":" + s
+
   /** Type-tagged canonical rendering; must stay in lock-step with
-    * tools/forensics.py (the DuckDB mirror).
+    * tools/forensics.py (the DuckDB mirror). Container ELEMENTS are
+    * length-prefixed too: without it, nested values could alias across
+    * element boundaries (["a","b"] vs ["a,s:b"]) and hash a genuine
+    * divergence as a clean match.
     */
   def cell(v: Any): String = v match {
     case null => "∅"
@@ -44,22 +50,22 @@ object Forensics {
     case d: java.sql.Date => "dt:" + d.toLocalDate.toEpochDay
     case d: java.time.LocalDate => "dt:" + d.toEpochDay
     case t: java.sql.Timestamp =>
-      "ts:" + (t.getTime / 1000 * 1000000 + t.getNanos / 1000)
+      // floorDiv, not /: pre-epoch truncation toward zero would add
+      // the positive nanos field to the WRONG second
+      "ts:" + (Math.floorDiv(t.getTime, 1000L) * 1000000 + t.getNanos / 1000)
     case t: java.time.Instant =>
       "ts:" + (t.getEpochSecond * 1000000 + t.getNano / 1000)
     case d: java.math.BigDecimal => "dec:" + d.stripTrailingZeros.toPlainString
     case d: BigDecimal => "dec:" + d.underlying.stripTrailingZeros.toPlainString
-    case seq: scala.collection.Seq[_] => seq.map(cell).mkString("[", ",", "]")
+    case seq: scala.collection.Seq[_] =>
+      seq.map(e => lenPrefixed(cell(e))).mkString("[", ",", "]")
     case m: scala.collection.Map[_, _] =>
-      m.map { case (k, x) => cell(k) + "->" + cell(x) }.toSeq.sorted
-        .mkString("{", ",", "}")
-    case r: Row => r.toSeq.map(cell).mkString("(", ",", ")")
+      m.map { case (k, x) => lenPrefixed(cell(k)) + "->" + lenPrefixed(cell(x)) }
+        .toSeq.sorted.mkString("{", ",", "}")
+    case r: Row => r.toSeq.map(e => lenPrefixed(cell(e))).mkString("(", ",", ")")
     case n: Number => n.toString // integral types: Long/Int/Short/Byte
     case other => "?:" + other.toString
   }
-
-  private def lenPrefixed(s: String): String =
-    s.getBytes(UTF_8).length.toString + ":" + s
 
   /** Canonical hash decomposition of `df` → JSON string. */
   def report(df: DataFrame): String = {

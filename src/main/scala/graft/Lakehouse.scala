@@ -149,15 +149,6 @@ final class Lakehouse(spark: SparkSession, dir: String) {
       payload.cast("binary").as("data"))
   }
 
-  /** OTLP-shaped span view (reference:
-    * rust/analytics/src/lakehouse/otel/spans_view.rs, spans_table.rs,
-    * spans_block_processor.rs): W3C trace/span ids (hex), span kind,
-    * status + status_message, and the begin-event properties as the
-    * attribute map. Built on the same begin/end assembly as
-    * thread_spans; status is derived from error events that fall inside
-    * the span's interval (keyed containment join — the equi-key is the
-    * process, so no all-pairs work).
-    */
   /** Raw UNPAIRED async span events — one row per begin and per end
     * (reference async_events_view.rs:35 + async_events_table.rs:43:
     * stream_id, block_id, time, event_type 'begin'/'end', span_id,
@@ -193,6 +184,15 @@ final class Lakehouse(spark: SparkSession, dir: String) {
         col("name"))
   }
 
+  /** OTLP-shaped span view (reference:
+    * rust/analytics/src/lakehouse/otel/spans_view.rs, spans_table.rs,
+    * spans_block_processor.rs): W3C trace/span ids (hex), span kind,
+    * status + status_message, and the begin-event properties as the
+    * attribute map. Built on the same begin/end assembly as
+    * thread_spans; status is derived from error events that fall inside
+    * the span's interval (keyed containment join — the equi-key is the
+    * process, so no all-pairs work).
+    */
   def otelSpans: DataFrame = otelSpansFrom(table("events"))
 
   // In production this view is MATERIALIZED (the reference's otel views

@@ -24,9 +24,19 @@ object Verify {
           .parquet(s"$outDir/$name")
         // hash decomposition of the EXACT bytes the driver will read
         // (re-read from the written file, not the live plan) — see
-        // Forensics; a driver-side hash mismatch diffs against this
-        Files.writeString(Paths.get(s"$outDir/_forensics/$name.json"),
-          Forensics.report(spark.read.parquet(s"$outDir/$name")))
+        // Forensics; a driver-side hash mismatch diffs against this.
+        // Diagnostics-only: its own failure must never delete the
+        // fresh, successfully-written result above (the outer catch
+        // does exactly that), and its driver-side collect is skipped
+        // for results too large to decompose cheaply.
+        try {
+          val written = spark.read.parquet(s"$outDir/$name")
+          if (written.count() <= 200000)
+            Files.writeString(Paths.get(s"$outDir/_forensics/$name.json"),
+              Forensics.report(written))
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name forensics skipped: ${e.getMessage}")
+        }
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

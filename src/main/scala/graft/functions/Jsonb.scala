@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.types.{ArrayType, MapType, StringType}
 
 /** JSONPath helpers that complete the engine's jsonb function family
   * (reference: rust/datafusion-extensions/src/jsonb/path_query.rs —
@@ -21,10 +21,39 @@ object Jsonb {
     * document order; for a single-match path it is the match itself.
     * Returns a string column (null when nothing matches), like the
     * reference's variant-to-string serving path.
+    *
+    * Wildcard caveats:
+    *  - OBJECT wildcard (trailing `.*`): Spark's `get_json_object`
+    *    has no object wildcard at all (the whole match is null), so
+    *    the object at the prefix path is parsed as a map and its
+    *    first value taken in document order — `from_json`'s string
+    *    converter renders non-string values (numbers, nested
+    *    containers) as their raw JSON text, matching DuckDB's
+    *    `json_extract_string(j, '$.o.*')[1]`. A mid-path object
+    *    wildcard is outside this function's contract.
+    *  - ARRAY wildcard (`[*]`): `get_json_object` UNWRAPS the
+    *    match-set array when the wildcard finds exactly one match —
+    *    and in wildcard mode the unwrapped match keeps its JSON text
+    *    form (a string match stays quoted). The fallback re-wraps the
+    *    scalar match in `[...]` and parses, which both unquotes and
+    *    unescapes it, keeping parity with engines that return the
+    *    single match directly. A single match that is itself a JSON
+    *    array is indistinguishable from a multi-match set in Spark's
+    *    representation (inherent to the unwrapping) and resolves as a
+    *    match set.
     */
   def pathQueryFirst(j: Column, path: String): Column =
-    if (path.contains("[*]") || path.contains(".*"))
-      element_at(from_json(get_json_object(j, path), ArrayType(StringType)), 1)
-    else
+    if (path.endsWith(".*")) {
+      val prefix = path.dropRight(2)
+      val obj = if (prefix == "$") j else get_json_object(j, prefix)
+      element_at(map_values(from_json(obj, MapType(StringType, StringType))), 1)
+    } else if (path.contains("[*]") || path.contains(".*")) {
+      val matches = get_json_object(j, path)
+      coalesce(
+        element_at(from_json(matches, ArrayType(StringType)), 1),
+        element_at(from_json(concat(lit("["), matches, lit("]")),
+          ArrayType(StringType)), 1),
+        matches)
+    } else
       get_json_object(j, path)
 }

@@ -71,14 +71,40 @@ object NrtCadence {
     * retire every finer slice whose begin falls inside it. Write
     * before delete: a crash between the two serves duplicates to a
     * point-in-time read, never a gap, and the retire is idempotent on
-    * re-fire.
+    * re-fire. A `_compacted_<begin>` marker records the compacted
+    * window LAST, so [[catchUp]]'s fine loop skips windows that are
+    * already coarse (a replayed fine tick must not tear a compacted
+    * partition back down to its first fragment); a crash before the
+    * marker leaves the window fine-tick-rewritable and the replayed
+    * compaction restores it.
     */
   def compact(spark: SparkSession, v: SqlBatchView.Def, outDir: String,
       tMs: Long, coarseMs: Long): Long = {
     val (b, e) = tickSlice(tMs, coarseMs)
     val written = SqlBatchView.updateSlice(spark, v, outDir, b, e, force = true)
     retireFineSlices(spark, outDir, b, e, keepMs = b)
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/_compacted_$b")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(e.toString.getBytes("UTF-8")) finally out.close()
     written
+  }
+
+  /** Compacted windows recorded by [[compact]]: begin → end. */
+  private def compactedWindows(spark: SparkSession, outDir: String): Seq[(Long, Long)] = {
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (!n.startsWith("_compacted_")) None
+      else scala.util.Try {
+        val b = n.stripPrefix("_compacted_").toLong
+        val in = fs.open(s.getPath)
+        val e = try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+        (b, e)
+      }.toOption
+    }
   }
 
   /** Drop slice PARTITIONS with begin in [fromMs, toMs) except
@@ -109,14 +135,28 @@ object NrtCadence {
   /** Deterministic scheduler replay over [fromMs, toMs): every fine
     * tick in time order, then every coarse compaction whose slice is
     * fully closed by `toMs`. One call == what the two daemon loops
-    * would have run across that span.
+    * would have run across that span. Fine ticks whose slice lies in
+    * an already-compacted window are skipped outright — the coarse
+    * partition IS their data; rewriting its begin-fragment would tear
+    * a hole until the coarse pass re-fired. Tiers must nest
+    * (coarse = k·fine): a straddling fine slice would otherwise be
+    * retired by a compaction that doesn't cover its tail.
     */
   def catchUp(spark: SparkSession, v: SqlBatchView.Def, outDir: String,
       fromMs: Long, toMs: Long, fineMs: Long, coarseMs: Long): CadenceStats = {
+    require(fineMs > 0 && coarseMs > 0 && coarseMs % fineMs == 0,
+      s"tiers must nest: coarseMs=$coarseMs must be a positive multiple of fineMs=$fineMs")
+    val compacted = compactedWindows(spark, outDir)
+    def inCompacted(sliceBegin: Long): Boolean =
+      compacted.exists { case (b, e) => sliceBegin >= b && sliceBegin < e }
     var run = 0L; var skip = 0L; var comp = 0L; var rows = 0L
     tickTimes(fromMs, toMs, fineMs).foreach { t =>
-      val w = tick(spark, v, outDir, t, fineMs)
-      if (w < 0) skip += 1 else { run += 1; rows += w }
+      val (b, _) = tickSlice(t, fineMs)
+      if (inCompacted(b)) skip += 1
+      else {
+        val w = tick(spark, v, outDir, t, fineMs)
+        if (w < 0) skip += 1 else { run += 1; rows += w }
+      }
     }
     tickTimes(fromMs, toMs, coarseMs).foreach { t =>
       val w = compact(spark, v, outDir, t, coarseMs)

@@ -69,15 +69,24 @@ object SqlBatchView {
     * pass-through and incremental materialization is bitwise equal to
     * the live view under ANY slicing (SqlBatchViewSpec pins this).
     * Serving then costs one parquet scan instead of the 3-replay /
-    * 8-scan unmaterialized derivation. The staleness probe counts raw
-    * source events in the slice window (count_src_query's
-    * approximation in the reference: a source-rows count, not a
-    * transform run).
+    * 8-scan unmaterialized derivation.
+    *
+    * Staleness probe: a span STARTING in the slice only assembles
+    * once its END event exists, and that end event's timestamp lies
+    * beyond the slice — so the probe counts raw source events in
+    * [begin, end + LATENESS), a declared 24h max-span-duration
+    * horizon. An end event landing inside the horizon refreshes the
+    * slice; a span open longer than the horizon is outside this
+    * view's freshness contract (the reference's block-level
+    * bookkeeping is the unbounded-lateness answer; count_src_query
+    * is the same count-based approximation). SqlBatchViewSpec's
+    * late-arrival case pins the refresh.
     */
+  val otelSpansLatenessMs: Long = 24L * 3600000L
   val otelSpans: Def = Def(
     name = "otel_spans_sql",
-    countSrcSql = """SELECT count(*) AS n FROM events
-      WHERE unix_millis(ts) >= {begin} AND unix_millis(ts) < {end}""",
+    countSrcSql = s"""SELECT count(*) AS n FROM events
+      WHERE unix_millis(ts) >= {begin} AND unix_millis(ts) < {end} + $otelSpansLatenessMs""",
     transformSql = """
       SELECT * FROM otel_spans
       WHERE start_time_ns >= {begin} * 1000000 AND start_time_ns < {end} * 1000000""",

@@ -107,6 +107,12 @@ object LlmPipelineExt7 {
     GraftQuery("l_bpe_encode", (s, dir) => {
       val corpus = docs(s, dir)
       val (_, merges) = Bpe.train(corpus, "text", rounds = ranks)
+      // the generated oracle unrolls EXACTLY `ranks` rounds; if the
+      // corpus ran out of pairs early its empty top-CTE would CROSS
+      // JOIN every token away and the engines would silently diverge
+      // — fail loudly instead (can't happen on real text corpora)
+      require(merges.size == ranks,
+        s"l_bpe_encode: corpus exhausted pairs after ${merges.size}/$ranks merges")
       val target = Bpe.tokens(corpus, "text").where(col("pos") < targetLen)
         .localCheckpoint()
       val enc = Bpe.encode(target, merges.map(m => (m.w1, m.w2)))

@@ -28,8 +28,11 @@ object ObservabilityExt {
           get_json_object(col("j"), "$.nested.v").cast("long").as("nested_v"),
           json_array_length(get_json_object(col("j"), "$.tags")).cast("long").as("tags_len"),
           get_json_object(col("j"), "$.tags[0]").as("first_tag"),
-          // jsonb_path_query_first: first result of a MULTI-match path
+          // jsonb_path_query_first: first result of a MULTI-match path,
+          // a single-match wildcard (Spark unwraps the match-set array
+          // there — the coalesce fallback this pins), and a plain path
           graft.functions.Jsonb.pathQueryFirst(col("j"), "$.tags[*]").as("first_of_tags"),
+          graft.functions.Jsonb.pathQueryFirst(col("j"), "$.nested.*").as("first_of_nested"),
           graft.functions.Jsonb.pathQueryFirst(col("j"), "$.nested.v").as("first_nested"),
           array_join(json_object_keys(col("j")), ",").as("keys"))
         .orderBy("event_id")
@@ -45,6 +48,7 @@ object ObservabilityExt {
         CAST(json_array_length(j, '$.tags') AS BIGINT) AS tags_len,
         json_extract_string(j, '$.tags[0]') AS first_tag,
         json_extract_string(j, '$.tags[*]')[1] AS first_of_tags,
+        json_extract_string(j, '$.nested.*')[1] AS first_of_nested,
         json_extract_string(j, '$.nested.v') AS first_nested,
         array_to_string(json_keys(j), ',') AS keys
       FROM e ORDER BY event_id""")),

@@ -101,6 +101,69 @@ class SqlBatchViewSpec extends SparkSpec with TmpDirSupport {
     assert(served === direct)
   }
 
+  test("otel_spans batch view refreshes when a span's END event arrives late") {
+    // a span starting in the slice only assembles once its end event
+    // exists — and that end event's ts lies beyond the slice, where a
+    // window-bounded probe would never see it. The lateness-horizon
+    // probe must: (1) report the slice stale after the ends arrive,
+    // (2) rewrite it to the full derivation on the next tick.
+    val lakeDir = tmpDir("otel-late")
+    val fs = new org.apache.hadoop.fs.Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Tables.all.filterNot(_ == "events").foreach { t =>
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet"), fs,
+        new org.apache.hadoop.fs.Path(s"$lakeDir/$t.parquet"), false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    def writeEvents(df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$lakeDir/events.parquet")
+    val full = spark.read.parquet(s"$sfDir/events.parquet")
+    // cut through the MIDDLE of the longest span of the full
+    // derivation: its begin event survives the truncation, its end
+    // event does not — so that span provably cannot assemble until
+    // the tail arrives
+    Graft.registerViews(spark, sfDir)
+    val victim = new Lakehouse(spark, sfDir).otelSpans
+      .orderBy(col("duration_ns").desc, col("span_id")).head()
+    val victimId = victim.getString(victim.fieldIndex("span_id"))
+    val cutNs = (victim.getLong(victim.fieldIndex("start_time_ns"))
+      + victim.getLong(victim.fieldIndex("end_time_ns"))) / 2 // ns, like raw ts
+    writeEvents(full.where(col("ts") < cutNs)) // late tail missing
+
+    Graft.registerViews(spark, lakeDir)
+    // slice bounds from the FULL event range so every span — including
+    // the late-assembled tail ones — lands inside the one slice
+    val fr = full.selectExpr("min(ts) div 1000000", "max(ts) div 1000000").head()
+    val (lo, hi) = (fr.getLong(0), fr.getLong(1) + 1)
+    val dir = tmpDir("otel-late-lake") + "/v"
+    assert(SqlBatchView.updateSlice(spark, SqlBatchView.otelSpans, dir, lo, hi) > 0)
+    assert(SqlBatchView.isUpToDate(spark, SqlBatchView.otelSpans, dir, lo, hi))
+    // the victim span must be OPEN in the materialized partial lake —
+    // otherwise the truncation proved nothing
+    assert(SqlBatchView.query(spark, SqlBatchView.otelSpans, dir)
+      .where(col("span_id") === victimId).count() === 0L,
+      "victim span assembled despite its end event being truncated away")
+
+    // the tail arrives (ends of spans that already started)
+    writeEvents(full)
+    Graft.registerViews(spark, lakeDir) // re-register over the grown source
+    assert(!SqlBatchView.isUpToDate(spark, SqlBatchView.otelSpans, dir, lo, hi),
+      "lateness probe missed the newly-arrived end events")
+    assert(SqlBatchView.updateSlice(spark, SqlBatchView.otelSpans, dir, lo, hi) > 0)
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.where(col("start_time_ns") >= lo * 1000000L && col("start_time_ns") < hi * 1000000L)
+        .orderBy("process_id", "span_id").collect().map(_.toString).toSeq
+    val live = canon(new Lakehouse(spark, lakeDir).otelSpans)
+    val served = canon(SqlBatchView.query(spark, SqlBatchView.otelSpans, dir))
+    assert(served === live)
+    assert(served.exists(_.contains(victimId)),
+      s"victim span $victimId missing after refresh")
+    // leave the shared session's views pointing back at the main lake
+    Graft.registerViews(spark, sfDir)
+  }
+
   test("staleness probe skips fresh slices and refreshes grown ones") {
     Graft.registerViews(spark, sfDir)
     val (lo, hi) = bounds

@@ -48,10 +48,14 @@ def cell(v):
         # converts it (correctly-rounded nearest double)
         return cell(float(v))
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(cell(x) for x in v) + "]"
+        return "[" + ",".join(lp(cell(x)) for x in v) + "]"
     if isinstance(v, dict):
-        return "{" + ",".join(sorted(cell(k) + "->" + cell(x)
-                                     for k, x in v.items())) + "}"
+        # DuckDB STRUCT arrives as a dict in declared-field order →
+        # render positionally like Forensics' Row branch. (A DuckDB MAP
+        # also arrives as a dict and would need the sorted '{k->v}'
+        # form — no oracle query outputs maps; compare_oracle remains
+        # the gate if one ever does.)
+        return "(" + ",".join(lp(cell(x)) for x in v.values()) + ")"
     if isinstance(v, int):
         return str(v)
     return "?:" + str(v)
