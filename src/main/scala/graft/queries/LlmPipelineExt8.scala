@@ -68,6 +68,12 @@ object LlmPipelineExt8 {
 
   private val substrW = 20 // window length in tokens (Lee et al. use 50 BPE tokens; 20 words ≈ same span)
 
+  /** Surprisal gate: keep docs whose mean bigram surprisal ≤ this many
+    * centibits (4.32 bits/bigram = the sf0.01 corpus median — a real
+    * ~50% gate, not a pass-all).
+    */
+  private val surprisalGateE2 = 432L
+
   def queries: Seq[GraftQuery] = Seq(
 
     GraftQuery("l_ann_hamming", (s, dir) => {
@@ -140,6 +146,60 @@ object LlmPipelineExt8 {
         CAST(COALESCE(dup_windows, 0) AS BIGINT) AS dup_windows,
         CAST(COALESCE(dup_windows * 10000 // n_windows, 0) AS BIGINT) AS dup_frac_e4
       FROM documents LEFT JOIN d USING (doc_id) ORDER BY doc_id"""), headline = true),
+
+    GraftQuery("l_surprisal_gate", (s, dir) => {
+      // CCNet's perplexity-gate shape (Wenzek et al. 2020: keep docs a
+      // reference LM finds unsurprising) made cross-engine-exact: FP
+      // log-probs are replaced by INTEGER surprisal bits,
+      // floor(log2(w1_total / c)) = length(bin(w1_total div c)) - 1 —
+      // the bigram's probability rounded down to a power of two. The
+      // "LM" is the corpus's own bigram table (l_bigram_lm's pc/w1t
+      // rollups); per doc, mean surprisal bits (e2-scaled integer)
+      // gates at ≤ MEAN_BITS_E2. Scale shape: the count table shards
+      // by (w1,w2) key; the instance stream joins it keyed — never
+      // broadcast (it's vocabulary², corpus-sized) — then one per-doc
+      // partial agg. Same two-shuffle budget as l_bigram_lm.
+      val t = split(trim(col("text")), "\\s+")
+      val d = docs(s, dir)
+      val pairs = d.select(col("doc_id"), explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .localCheckpoint() // feeds the model build AND the probe join
+      val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val w1t = pc.groupBy("w1").agg(sum("c").as("w1_total"))
+      val model = pc.join(w1t, "w1")
+        .withColumn("bits", length(bin(expr("w1_total div c"))).cast("long") - 1L)
+      val perDoc = pairs.join(model, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("total_bits"))
+      d.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+          coalesce(expr("total_bits * 100 div n_bigrams"), lit(0L)).as("mean_bits_e2"))
+        .withColumn("keep",
+          (col("n_bigrams") > 0L && col("mean_bits_e2") <= surprisalGateE2).cast("long"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+      bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+             FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) g),
+      pc AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      w1t AS (SELECT w1, SUM(c) AS w1_total FROM pc GROUP BY 1),
+      model AS (SELECT pc.w1, pc.w2,
+                  length(bin(w1_total // c)) - 1 AS bits
+                FROM pc JOIN w1t ON pc.w1 = w1t.w1),
+      pd AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(bits) AS total_bits
+             FROM bg JOIN model USING (w1, w2) GROUP BY doc_id)
+      SELECT documents.doc_id,
+        CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        CAST(COALESCE(total_bits, 0) AS BIGINT) AS total_bits,
+        CAST(COALESCE(total_bits * 100 // n_bigrams, 0) AS BIGINT) AS mean_bits_e2,
+        CAST(CASE WHEN COALESCE(n_bigrams, 0) > 0
+                   AND COALESCE(total_bits * 100 // n_bigrams, 0) <= $surprisalGateE2
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM documents LEFT JOIN pd USING (doc_id) ORDER BY doc_id""")),
 
     GraftQuery("l_corpus_report", (s, dir) => {
       val base = docs(s, dir).select(col("source"), col("lang"), col("n_chars"),

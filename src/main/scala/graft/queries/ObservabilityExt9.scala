@@ -3,6 +3,7 @@ package graft.queries
 import graft.{GraftQuery, Tables}
 import graft.operators.SpanAssembly
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ninth observability tranche: trace triage analytics over the
@@ -70,6 +71,51 @@ object ObservabilityExt9 {
         CAST(SUM(duration_ms) AS BIGINT) AS total_ms,
         CAST(SUM(self_ms) AS BIGINT) AS self_ms
       FROM sl GROUP BY name ORDER BY name""")),
+
+    GraftQuery("m_critical_path", (s, dir) => {
+      // Hot-path extraction: per process, start at the LONGEST root
+      // span and descend, at each level into the longest direct child
+      // (ties → smaller span_id) — the chain a "why was this trace
+      // slow" drill-down follows. Driver-iterated level descent (depth
+      // is bounded by the stack model and known up front — the Lloyd
+      // convention: O(depth) tiny joins, no driver data movement);
+      // children are pre-ranked ONCE with a per-(process, parent)
+      // window, so each step is an equi-join against rank-1 rows.
+      val sp = SpanAssembly.withParents(spans(s, dir), "user_id").localCheckpoint()
+      val ranked = sp.withColumn("crk", row_number().over(
+          Window.partitionBy("user_id", "parent_id")
+            .orderBy(col("duration_ms").desc, col("span_id"))))
+        .where(col("crk") === 1).drop("crk").localCheckpoint()
+      val depthRow = sp.agg(max("depth")).head()
+      val maxDepth = if (depthRow.isNullAt(0)) 0 else depthRow.getLong(0).toInt
+      val root = ranked.where(col("parent_id") === -1L)
+        .select(col("user_id"), col("span_id"), col("name"),
+          col("duration_ms"), lit(1L).as("step"))
+      val frames = Iterator.iterate(root) { frontier =>
+        frontier.select(col("user_id").as("f_uid"), col("span_id").as("f_sid"),
+            col("step").as("f_step"))
+          .join(ranked, col("f_uid") === col("user_id") &&
+            col("f_sid") === col("parent_id"))
+          .select(col("user_id"), col("span_id"), col("name"),
+            col("duration_ms"), (col("f_step") + 1L).as("step"))
+      }.take(maxDepth + 1).toSeq
+      frames.reduce(_ union _)
+        .select("user_id", "step", "span_id", "name", "duration_ms")
+        .orderBy("user_id", "step")
+    }, Some(s"""${oracleLinked.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, parent_id
+          ORDER BY duration_ms DESC, span_id) AS crk
+        FROM fl),
+      pth AS (
+        SELECT user_id, span_id, name, duration_ms, CAST(1 AS BIGINT) AS step
+        FROM ranked WHERE parent_id IS NULL AND crk = 1
+        UNION ALL
+        SELECT c.user_id, c.span_id, c.name, c.duration_ms, p.step + 1
+        FROM pth p JOIN ranked c
+          ON c.user_id = p.user_id AND c.parent_id = p.span_id AND c.crk = 1)
+      SELECT user_id, step, span_id, name, duration_ms
+      FROM pth ORDER BY user_id, step""")),
 
     GraftQuery("m_trace_summary", (s, dir) => {
       spans(s, dir)
