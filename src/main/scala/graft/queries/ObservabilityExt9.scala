@@ -36,7 +36,7 @@ object ObservabilityExt9 {
       "event_type", col("event_type").isin("signup", "view"))
 
   /** The m_call_tree oracle chain (spans + parent linkage), shared. */
-  private def oracleLinked: String = s"""${ObservabilityExt2.oracleSpansCte("")},
+  private[queries] def oracleLinked: String = s"""${ObservabilityExt2.oracleSpansCte("")},
       linkedq AS (
         SELECT ch.user_id, ch.span_id, ch.name, ch.depth, ch.duration_ms,
           p.span_id AS parent_id,
