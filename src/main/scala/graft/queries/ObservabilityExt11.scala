@@ -152,6 +152,9 @@ object ObservabilityExt11 {
           sum(when(col("rk") === expr("(n + 2) div 2"), col("duration_ms"))
             .otherwise(0L)).as("hi"))
         .withColumn("med2", col("lo") + col("hi"))
+        // names×2 rows; without a cut the before/after branches each
+        // replay the whole span-assembly + rank chain
+        .localCheckpoint()
       val before = med.where(col("period") === "before")
         .select(col("name"), col("n_spans").as("n_before"), col("med2").as("med2_before"))
       val after = med.where(col("period") === "after")

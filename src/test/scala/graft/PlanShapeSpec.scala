@@ -110,4 +110,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(countShuffles(df) <= 4)
     assert(countBroadcasts(df) == 0)
   }
+
+  test("l_heavy_hitters: CMS cells broadcast to the probe; cell-bounded shuffles") {
+    val df = SparkEntry.queries("l_heavy_hitters")(spark, sfDir)
+    // post-checkpoint: top-k agg + output sort; the 1024-cell sketch
+    // reaches the probe join as a broadcast, never a shuffle side
+    assert(countShuffles(df) <= 2, "probe join must not shuffle the corpus")
+    assert(countBroadcasts(df) >= 1, "CMS cell table must broadcast")
+  }
+
+  test("l_gram_matrix: map-side partial cells, no joins") {
+    val df = SparkEntry.queries("l_gram_matrix")(spark, sfDir)
+    // repartition(vec_id) + the 2080-cell agg + output sort; the
+    // double posexplode must collapse BEFORE the exchange
+    assert(countShuffles(df) <= 3)
+    assert(countBroadcasts(df) == 0, "Gram has no join to broadcast")
+  }
+
+  test("m_deploy_compare: span chain computed once, branches read the cut") {
+    val df = SparkEntry.queries("m_deploy_compare")(spark, sfDir)
+    // the (name, period) median frame is localCheckpoint'd — without
+    // the cut the before/after branches replay the whole span
+    // assembly + rank chain (~9 exchanges measured)
+    assert(countShuffles(df) <= 3, "before/after branches re-derived the span chain")
+  }
+
+  test("m_burn_rate: bin-bounded aggregates, window table broadcasts") {
+    val df = SparkEntry.queries("m_burn_rate")(spark, sfDir)
+    // hourly agg (post-checkpoint) + 6h-window agg + sort; the 120-row
+    // window table joins back by broadcast
+    assert(countShuffles(df) <= 2)
+    assert(countBroadcasts(df) >= 1)
+  }
 }
