@@ -68,7 +68,7 @@ object LlmPipelineExt10 {
         CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(0, 64)) jj
         WHERE jj.j >= ii.i
         GROUP BY 1, 2)
-      SELECT i, j, CAST(g AS BIGINT) AS g FROM cells ORDER BY i, j""")),
+      SELECT i, j, CAST(g AS BIGINT) AS g FROM cells ORDER BY i, j"""), headline = true),
 
     GraftQuery("l_quality_quantile_norm", (s, dir) => {
       // percentile rank e4 of the quality score WITHIN source —

@@ -114,7 +114,7 @@ object LlmPipelineExt9 {
       SELECT tok AS token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
         CAST(cms_est AS BIGINT) AS cms_est,
         CAST(cms_est - exact_cnt AS BIGINT) AS overcount
-      FROM est ORDER BY exact_cnt DESC, token""")),
+      FROM est ORDER BY exact_cnt DESC, token"""), headline = true),
 
     GraftQuery("l_source_diversity", (s, dir) => {
       val d = docs(s, dir)

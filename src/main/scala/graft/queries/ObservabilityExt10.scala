@@ -81,7 +81,7 @@ object ObservabilityExt10 {
         CAST(MAX(c.duration_ms) AS BIGINT) AS max_ms
       FROM fl c LEFT JOIN fl p
         ON p.user_id = c.user_id AND p.span_id = c.parent_id
-      GROUP BY 1, 2 ORDER BY 1, 2""")),
+      GROUP BY 1, 2 ORDER BY 1, 2"""), headline = true),
 
     GraftQuery("m_flame_collapse", (s, dir) => {
       // folded stacks: path = root;…;self names, one row per unique

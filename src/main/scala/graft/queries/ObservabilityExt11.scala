@@ -94,7 +94,7 @@ object ObservabilityExt11 {
              THEN 1 ELSE 0 END AS BIGINT) AS page
       FROM hourly JOIN win
         ON (hourly.hour_ms // ${hourMs * longWindowHours}) * ${hourMs * longWindowHours} = win.win_ms
-      ORDER BY hour_ms""")),
+      ORDER BY hour_ms"""), headline = true),
 
     GraftQuery("m_baseline_deviation", (s, dir) => {
       val daily = events(s, dir)
