@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Cms, Dedup, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -42,23 +42,13 @@ object LlmPipelineExt9 {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
   }
 
-  private val cmsDepth = 4
-  private val cmsWidth = 256L
   private val topK = 20
 
-  /** (j, bucket) pairs for a token column under the d md5 hash rows. */
-  private def cmsHashes(tok: Column): Column = array(
-    (0 until cmsDepth).map { j =>
-      struct(lit(j.toLong).as("j"),
-        pmod(conv(substring(md5(concat(lit(s"$j|"), tok)), 1, 8), 16, 10).cast("long"),
-          lit(cmsWidth)).as("bucket"))
-    }: _*)
-
   private def oracleCmsBucket(tok: String): String =
-    s"CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || $tok), 1, 8)) AS BIGINT) % $cmsWidth"
+    s"CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || $tok), 1, 8)) AS BIGINT) % ${Cms.Width}"
 
   private val oracleSeeds =
-    s"(SELECT CAST(range AS BIGINT) AS j FROM range(0, $cmsDepth)) seeds"
+    s"(SELECT CAST(range AS BIGINT) AS j FROM range(0, ${Cms.Depth})) seeds"
 
   /** The l_curation_pipeline quality CTE (q10k BIGINT per doc). */
   private val oracleQ10k = """
@@ -83,16 +73,10 @@ object LlmPipelineExt9 {
       val toks = docs(s, dir)
         .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
         .localCheckpoint() // feeds the sketch build AND the exact counts
-      val cells = toks.select(explode(cmsHashes(col("tok"))).as("hb"))
-        .groupBy(col("hb.j").as("j"), col("hb.bucket").as("bucket"))
-        .agg(count(lit(1)).as("cell"))
+      val cells = Cms.cells(toks, "tok")
       val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("tok")).limit(topK)
-      top.select(col("tok"), col("exact_cnt"), explode(cmsHashes(col("tok"))).as("hb"))
-        .select(col("tok"), col("exact_cnt"), col("hb.j").as("j"), col("hb.bucket").as("bucket"))
-        .join(broadcast(cells), Seq("j", "bucket"))
-        .groupBy("tok", "exact_cnt")
-        .agg(min("cell").as("cms_est"))
+      Cms.estimate(top, "tok", cells)
         .select(col("tok").as("token"), col("exact_cnt"), col("cms_est"),
           (col("cms_est") - col("exact_cnt")).as("overcount"))
         .orderBy(col("exact_cnt").desc, col("token"))

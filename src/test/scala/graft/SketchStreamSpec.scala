@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.SketchStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming CMS + burn-rate: the sketch's sum-merge property must
+  * make the streamed cells bit-identical to a batch build over the
+  * same window, and the burn emission must match the batch integer
+  * ratio arithmetic.
+  */
+class SketchStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(hour: Int, minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:$sec%02d")
+
+  test("streaming CMS cells merge across micro-batches to the batch sketch") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val q = SketchStream.cmsCells(mem.toDF(), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("cms_cells").outputMode("update").start()
+    try {
+      mem.addData(StreamDoc(ts(10, 0, 10), 1, "the cat sat"),
+        StreamDoc(ts(10, 0, 20), 2, "the dog"))
+      q.processAllAvailable()
+      mem.addData(StreamDoc(ts(10, 0, 40), 3, "the cat"))
+      q.processAllAvailable()
+      // update mode re-emits a window's cells as they grow: the final
+      // value per cell is the max emission
+      val streamed = spark.table("cms_cells")
+        .where(col("time_bin") === ts(10, 0))
+        .groupBy("j", "bucket").agg(max("cell").as("cell"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.Cms.cells(
+          Seq("the cat sat", "the dog", "the cat").toDF("text")
+            .select(explode(split(col("text"), " ")).as("tok")), "tok")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch, "streamed cells must equal the batch sketch")
+    } finally q.stop()
+  }
+
+  test("streaming burn rate emits integer e6 ratios and budget flags per hour") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = SketchStream.burnRate(mem.toDF(), sloRatioE6 = 250000L, watermark = "5 minutes")
+      .writeStream.format("memory").queryName("burn").outputMode("update").start()
+    try {
+      // hour 10: 3 errors / 4 events = 750000 e6 → over budget
+      mem.addData(Ev(ts(10, 1), 1, "error", 1.0), Ev(ts(10, 2), 2, "error", 1.0),
+        Ev(ts(10, 3), 3, "error", 1.0), Ev(ts(10, 4), 4, "view", 1.0))
+      // hour 11: 1 error / 10 events = 100000 e6 → under budget
+      mem.addData(Ev(ts(11, 1), 1, "error", 1.0))
+      (2 to 10).foreach(m => mem.addData(Ev(ts(11, m), m.toLong, "view", 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table("burn")
+        .groupBy("hour").agg(max("total").as("total"), max("errors").as("errors"),
+          max("ratio_e6").as("ratio_e6"), max("over_budget").as("over_budget"))
+        .collect().map(r => r.getTimestamp(0).toString ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(rows("2024-01-01 10:00:00.0") === ((4L, 3L, 750000L, 1L)))
+      assert(rows("2024-01-01 11:00:00.0") === ((10L, 1L, 100000L, 0L)))
+    } finally q.stop()
+  }
+}
