@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Curation-pipeline tranche 11: cross-source contamination accounting
+  * and boilerplate-family detection.
+  *
+  *  - `l_source_overlap`: the source×source contamination matrix —
+  *    per source pair, how many distinct 3-gram shingles they share,
+  *    plus the overlap coefficient (shared / min(|A|,|B|), e4
+  *    integer). The "is src A scraped from src B" dashboard; run
+  *    before mixing sources so duplicated material doesn't get
+  *    double-weighted.
+  *  - `l_prefix_families`: shared-prefix boilerplate detection — docs
+  *    keyed by the hash of their first 10 tokens; families of ≥2 are
+  *    template boilerplate (headers, licence blocks, scraper chrome)
+  *    that position-level dedup (L42) treats as content. Per family:
+  *    size, source spread, keeper election.
+  *
+  * Scale shape: the overlap join is shingle-keyed on DISTINCT
+  * (shingle, source) pairs — fan-out per shingle is bounded by
+  * sources², not corpus size, and the matrix itself is sources²
+  * rows. Prefix families are one hash groupBy (partial-agg) over one
+  * row per document.
+  */
+object LlmPipelineExt11 {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.df(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+  }
+
+  private val prefixTokens = 10
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("l_source_overlap", (s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("source"), explode(Dedup.wordShingles(col("text"), 3)).as("g"))
+        .distinct()
+        .localCheckpoint() // feeds sizes AND both join sides
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val shared = sh.as("a")
+        .join(sh.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("shared_shingles"))
+      shared
+        .join(sizes.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+        .join(sizes.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+        .select(col("source_a"), col("source_b"), col("shared_shingles"),
+          expr("shared_shingles * 10000 div least(na, nb)").as("overlap_e4"))
+        .orderBy("source_a", "source_b")
+    }, Some("""
+      WITH tok AS (SELECT source, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT source,
+          unnest(list_distinct(list_transform(range(1, GREATEST(len(t) - 2, 1) + 1),
+            i -> array_to_string(t[i:i+2], ' ')))) AS g
+        FROM tok),
+      sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+      shared AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared_shingles
+        FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT source_a, source_b, CAST(shared_shingles AS BIGINT) AS shared_shingles,
+        CAST(shared_shingles * 10000 // LEAST(na.n, nb.n) AS BIGINT) AS overlap_e4
+      FROM shared
+      JOIN sizes na ON na.source = shared.source_a
+      JOIN sizes nb ON nb.source = shared.source_b
+      ORDER BY source_a, source_b""")),
+
+    GraftQuery("l_prefix_families", (s, dir) => {
+      val p = docs(s, dir).select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, prefixTokens)))
+          .as("prefix_hash"))
+      p.groupBy("prefix_hash")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sources"),
+          min("doc_id").as("keeper"))
+        .where(col("n_docs") >= 2)
+        .orderBy("prefix_hash")
+    }, Some(s"""
+      WITH p AS (
+        SELECT doc_id, source,
+          md5(array_to_string(string_split_regex(trim(text), '\\s+')[1:$prefixTokens], ' '))
+            AS prefix_hash
+        FROM documents)
+      SELECT prefix_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        MIN(doc_id) AS keeper
+      FROM p GROUP BY 1 HAVING COUNT(*) >= 2
+      ORDER BY prefix_hash"""))
+  )
+}
