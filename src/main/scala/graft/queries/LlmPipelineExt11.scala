@@ -73,6 +73,42 @@ object LlmPipelineExt11 {
       JOIN sizes nb ON nb.source = shared.source_b
       ORDER BY source_a, source_b""")),
 
+    GraftQuery("l_novelty_score", (s, dir) => {
+      // per-doc originality: the fraction (e4) of the doc's distinct
+      // 3-gram shingles that appear in NO other document — synthetic
+      // or dup-heavy docs score near 0, novel text near 10000. The
+      // inverse of contamination: measures what a doc ADDS to the
+      // corpus. Shingle doc-frequencies ride one (shingle) shuffle;
+      // the probe join is shingle-keyed (fan-out = df, bounded by the
+      // corpus's duplication itself); one per-doc agg closes it.
+      val sh = docs(s, dir)
+        .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 3)).as("g"))
+        .localCheckpoint() // feeds the df build AND the probe join
+      val df = sh.groupBy("g").agg(countDistinct("doc_id").as("df"))
+      sh.join(df, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1L, 1L).otherwise(0L)).as("unique_shingles"))
+        .select(col("doc_id"), col("n_shingles"), col("unique_shingles"),
+          expr("unique_shingles * 10000 div n_shingles").as("novelty_e4"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+          unnest(list_distinct(list_transform(range(1, GREATEST(len(t) - 2, 1) + 1),
+            i -> array_to_string(t[i:i+2], ' ')))) AS g
+        FROM tok),
+      dfq AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY 1),
+      pd AS (
+        SELECT doc_id, COUNT(*) AS n_shingles,
+          SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS unique_shingles
+        FROM sh JOIN dfq USING (g) GROUP BY 1)
+      SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+        CAST(unique_shingles AS BIGINT) AS unique_shingles,
+        CAST(unique_shingles * 10000 // n_shingles AS BIGINT) AS novelty_e4
+      FROM pd ORDER BY doc_id""")),
+
     GraftQuery("l_prefix_families", (s, dir) => {
       val p = docs(s, dir).select(col("doc_id"), col("source"),
         md5(concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, prefixTokens)))
