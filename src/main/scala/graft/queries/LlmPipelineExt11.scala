@@ -73,6 +73,45 @@ object LlmPipelineExt11 {
       JOIN sizes nb ON nb.source = shared.source_b
       ORDER BY source_a, source_b""")),
 
+    GraftQuery("l_split_leakage", (s, dir) => {
+      // train/val/test leakage audit: does any near-dup pair cross a
+      // split boundary? The eval-integrity gate every pipeline should
+      // run after splitting — a val doc near-duplicating a train doc
+      // inflates eval. Composes the deterministic split rule (L25)
+      // with the LSH near-dup edges (Jaccard ≥ 0.5): per ordered
+      // split pair, the crossing count and a leak flag.
+      val d = docs(s, dir)
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").cast("double") / lit(4294967296.0))
+      val splits = d.select(col("doc_id"),
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
+      LlmPipelineExt9.lshEdges(d)
+        .join(splits.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+        .join(splits.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+        .select(least(col("sa"), col("sb")).as("split_1"),
+          greatest(col("sa"), col("sb")).as("split_2"))
+        .groupBy("split_1", "split_2")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leak", (col("split_1") =!= col("split_2")).cast("long"))
+        .orderBy("split_1", "split_2")
+    }, Some(s"""
+      WITH ${LlmPipelineExt9.oracleLshEdges},
+      sp AS (
+        SELECT doc_id,
+          CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    / 4294967296.0 < 0.8 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    / 4294967296.0 < 0.9 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents),
+      cls AS (
+        SELECT LEAST(pa.split, pb.split) AS split_1,
+          GREATEST(pa.split, pb.split) AS split_2
+        FROM e JOIN sp pa ON pa.doc_id = e.a JOIN sp pb ON pb.doc_id = e.b)
+      SELECT split_1, split_2, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(CASE WHEN split_1 <> split_2 THEN 1 ELSE 0 END AS BIGINT) AS leak
+      FROM cls GROUP BY 1, 2 ORDER BY split_1, split_2""")),
+
     GraftQuery("l_novelty_score", (s, dir) => {
       // per-doc originality: the fraction (e4) of the doc's distinct
       // 3-gram shingles that appear in NO other document — synthetic

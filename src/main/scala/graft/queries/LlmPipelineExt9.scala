@@ -50,6 +50,52 @@ object LlmPipelineExt9 {
   private val oracleSeeds =
     s"(SELECT CAST(range AS BIGINT) AS j FROM range(0, ${Cms.Depth})) seeds"
 
+  /** The MinHash-LSH near-dup edge chain (→ CTE `e`(a, b), Jaccard
+    * ≥ 0.5) shared by l_canonical_select and l_split_leakage.
+    */
+  private[queries] val oracleLshEdges: String = """tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      shl AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, GREATEST(len(t) - 2, 1) + 1),
+          i -> array_to_string(t[i:i+2], ' '))) AS s
+        FROM tok),
+      ex AS (SELECT doc_id, unnest(s) AS shingle FROM shl),
+      dg AS (SELECT doc_id, md5(shingle) AS d0, md5('x|' || shingle) AS d1 FROM ex),
+      mh AS (
+        SELECT doc_id, seed.seed,
+          min(substring(CASE WHEN seed.seed < 4 THEN d0 ELSE d1 END,
+                        1 + 8 * (seed.seed % 4), 8)) AS mh
+        FROM dg CROSS JOIN (SELECT CAST(range AS INTEGER) AS seed FROM range(0, 8)) seed
+        GROUP BY doc_id, seed.seed),
+      sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, b.b AS band, md5(sig[2*b.b + 1] || '|' || sig[2*b.b + 2]) AS key
+        FROM sig CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(0, 4)) b),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+      e AS (
+        SELECT cand.a, cand.b
+        FROM cand JOIN shl sa ON sa.doc_id = cand.a JOIN shl sb ON sb.doc_id = cand.b
+        WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                / len(list_distinct(sa.s || sb.s)) >= 0.5)"""
+
+  /** The Spark-side LSH near-dup edges (a, b) at Jaccard ≥ 0.5 —
+    * shared by l_canonical_select and l_split_leakage.
+    */
+  private[queries] def lshEdges(d: DataFrame): DataFrame = {
+    val sh = d.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
+      .localCheckpoint()
+    val sig = Dedup.minhashSignatureExploded(sh, "doc_id", "shingles", numHashes = 8)
+    val bands = Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2)
+      .localCheckpoint()
+    val cand = Dedup.candidatePairs(bands, "doc_id")
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+      .where(Dedup.jaccard(col("sa"), col("sb")) >= 0.5)
+      .select("a", "b")
+  }
+
   /** The l_curation_pipeline quality CTE (q10k BIGINT per doc). */
   private val oracleQ10k = """
       qf AS (
@@ -143,18 +189,7 @@ object LlmPipelineExt9 {
       // own canonical. Output: every doc labeled (cluster, quality,
       // survives?).
       val d = docs(s, dir)
-      val sh = d.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
-        .localCheckpoint()
-      val sig = Dedup.minhashSignatureExploded(sh, "doc_id", "shingles", numHashes = 8)
-      val bands = Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2)
-        .localCheckpoint()
-      val cand = Dedup.candidatePairs(bands, "doc_id")
-      val edges = cand
-        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
-        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
-        .where(Dedup.jaccard(col("sa"), col("sb")) >= 0.5)
-        .select("a", "b")
-      val comp = Dedup.connectedComponents(edges)
+      val comp = Dedup.connectedComponents(lshEdges(d))
       val scored = d.select(col("doc_id"),
         round(TextAnalysis.qualityScore(col("text")) * lit(10000.0), 0)
           .cast("long").as("q10k"))
@@ -167,31 +202,7 @@ object LlmPipelineExt9 {
           (col("rk") === 1).cast("long").as("is_canonical"))
         .orderBy("doc_id")
     }, Some(s"""
-      WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
-      shl AS (
-        SELECT doc_id, list_distinct(list_transform(range(1, GREATEST(len(t) - 2, 1) + 1),
-          i -> array_to_string(t[i:i+2], ' '))) AS s
-        FROM tok),
-      ex AS (SELECT doc_id, unnest(s) AS shingle FROM shl),
-      dg AS (SELECT doc_id, md5(shingle) AS d0, md5('x|' || shingle) AS d1 FROM ex),
-      mh AS (
-        SELECT doc_id, seed.seed,
-          min(substring(CASE WHEN seed.seed < 4 THEN d0 ELSE d1 END,
-                        1 + 8 * (seed.seed % 4), 8)) AS mh
-        FROM dg CROSS JOIN (SELECT CAST(range AS INTEGER) AS seed FROM range(0, 8)) seed
-        GROUP BY doc_id, seed.seed),
-      sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
-      bands AS (
-        SELECT doc_id, b.b AS band, md5(sig[2*b.b + 1] || '|' || sig[2*b.b + 2]) AS key
-        FROM sig CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(0, 4)) b),
-      cand AS (
-        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
-      e AS (
-        SELECT cand.a, cand.b
-        FROM cand JOIN shl sa ON sa.doc_id = cand.a JOIN shl sb ON sb.doc_id = cand.b
-        WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                / len(list_distinct(sa.s || sb.s)) >= 0.5),
+      WITH $oracleLshEdges,
       sym AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
       nodes AS (SELECT DISTINCT src AS node FROM sym),
       comp AS (
