@@ -3,6 +3,7 @@ package graft.queries
 import graft.{GraftQuery, Tables}
 import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Curation-pipeline tranche 11: cross-source contamination accounting
@@ -72,6 +73,51 @@ object LlmPipelineExt11 {
       JOIN sizes na ON na.source = shared.source_a
       JOIN sizes nb ON nb.source = shared.source_b
       ORDER BY source_a, source_b""")),
+
+    GraftQuery("l_token_apportion", (s, dir) => {
+      // token-budget apportionment: allocate a fixed training budget
+      // across sources proportionally to their token mass with the
+      // LARGEST-REMAINDER method (Hamilton apportionment) — floor the
+      // integer quota, then hand the leftover seats to the largest
+      // remainders (source name breaking ties). Pure integer, sums
+      // EXACTLY to the budget — the planner that turns mixture
+      // weights into concrete per-source token counts. Scalars (total
+      // mass, leftover) ride 1-row broadcast cross joins; the rank
+      // window is over sources (tiny).
+      val budget = 100000L
+      val toks = docs(s, dir)
+        .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("t"))
+        .groupBy("source").agg(sum("t").as("n_tokens"))
+      val tot = toks.agg(sum("n_tokens").as("tot"))
+      val quota = toks.crossJoin(broadcast(tot))
+        .withColumn("floor_alloc", expr(s"$budget * n_tokens div tot"))
+        .withColumn("rem", expr(s"($budget * n_tokens) % tot"))
+      val left = quota.agg((lit(budget) - sum("floor_alloc")).as("leftover"))
+      val w = Window.orderBy(col("rem").desc, col("source"))
+      quota.crossJoin(broadcast(left))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("source"), col("n_tokens"), col("floor_alloc"),
+          (col("floor_alloc") + (col("rk") <= col("leftover")).cast("long"))
+            .as("allocated"))
+        .orderBy("source")
+    }, Some("""
+      WITH toks AS (
+        SELECT source,
+          SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS n_tokens
+        FROM documents GROUP BY 1),
+      tot AS (SELECT SUM(n_tokens) AS tot FROM toks),
+      quota AS (
+        SELECT source, n_tokens,
+          100000 * n_tokens // tot AS floor_alloc,
+          (100000 * n_tokens) % tot AS rem
+        FROM toks CROSS JOIN tot),
+      lf AS (SELECT 100000 - SUM(floor_alloc) AS leftover FROM quota),
+      rk AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS r
+        FROM quota)
+      SELECT source, n_tokens, CAST(floor_alloc AS BIGINT) AS floor_alloc,
+        CAST(floor_alloc + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS BIGINT) AS allocated
+      FROM rk CROSS JOIN lf ORDER BY source""")),
 
     GraftQuery("l_split_leakage", (s, dir) => {
       // train/val/test leakage audit: does any near-dup pair cross a

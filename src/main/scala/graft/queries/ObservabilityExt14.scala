@@ -75,6 +75,32 @@ object ObservabilityExt14 {
           AS conv_e4
       FROM counts ORDER BY step""")),
 
+    GraftQuery("m_label_cardinality", (s, dir) => {
+      // metrics-label cardinality guard: per metric name, how many
+      // distinct values the property label takes, as a ratio of rows
+      // (e4) — the "this label is about to explode the time-series
+      // store" audit every metrics backend runs before accepting a
+      // label into an index. Extraction uses the native property_get
+      // expression (codegen'd, same as M4); one partial-agg groupBy.
+      graft.functions.GraftFunctions.register(s)
+      events(s, dir)
+        .select(col("event_type"),
+          call_function("graft_property_get", col("props"), lit("k")).as("label"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("label").as("n_values"))
+        .withColumn("ratio_e4", expr("n_values * 10000 div n_rows"))
+        .withColumn("high_cardinality", (col("ratio_e4") >= 1000L).cast("long"))
+        .orderBy("event_type")
+    }, Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(DISTINCT regexp_extract(props, '"k": ([0-9]+)', 1)) AS BIGINT) AS n_values,
+        CAST(COUNT(DISTINCT regexp_extract(props, '"k": ([0-9]+)', 1)) * 10000 // COUNT(*)
+          AS BIGINT) AS ratio_e4,
+        CAST(CASE WHEN COUNT(DISTINCT regexp_extract(props, '"k": ([0-9]+)', 1)) * 10000
+                       // COUNT(*) >= 1000 THEN 1 ELSE 0 END AS BIGINT) AS high_cardinality
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
     GraftQuery("m_retention_cohort", (s, dir) => {
       val act = events(s, dir)
         .select(col("user_id"), epochMs(date_trunc("day", col("ts"))).as("day_ms"))
