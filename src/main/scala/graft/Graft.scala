@@ -65,18 +65,21 @@ object Graft {
   /** client.query(sql, begin, end) analog. Timestamps are epoch
     * microseconds UTC; either bound may be omitted.
     */
+  /** Range scoping is an analyzer rule; fail loudly rather than
+    * silently returning unscoped data on a session built without it.
+    */
+  private def requireRangeRule(spark: SparkSession): Unit = {
+    val hasRule = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.analyzer.extendedResolutionRules
+      .exists(_.isInstanceOf[graft.plans.TimeRangeRewrite])
+    require(hasRule,
+      "time-range scoping requires a session built with " +
+        ".withExtensions(new graft.functions.GraftExtensions)")
+  }
+
   def query(spark: SparkSession, dir: String, sql: String,
       beginMicros: Option[Long] = None, endMicros: Option[Long] = None): DataFrame = {
-    if (beginMicros.nonEmpty || endMicros.nonEmpty) {
-      // range scoping is an analyzer rule; fail loudly rather than
-      // silently returning unscoped data on a session built without it
-      val hasRule = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .sessionState.analyzer.extendedResolutionRules
-        .exists(_.isInstanceOf[graft.plans.TimeRangeRewrite])
-      require(hasRule,
-        "time-range scoping requires a session built with " +
-          ".withExtensions(new graft.functions.GraftExtensions)")
-    }
+    if (beginMicros.nonEmpty || endMicros.nonEmpty) requireRangeRule(spark)
     ensureViews(spark, dir)
     // The range travels to the analyzer rule through a THREAD-LOCAL
     // ([[graft.plans.QueryRange]]), not session conf: Spark re-runs the
@@ -116,6 +119,48 @@ object Graft {
     import scala.jdk.CollectionConverters._
     query(spark, dir, sql, beginMicros, endMicros)
       .toLocalIterator().asScala.grouped(batchRows)
+  }
+
+  /** prepare_statement / prepared_statement_stream analog (reference:
+    * python/micromegas/micromegas/flightsql/client.py:456,500). Parse
+    * and fully validate ONCE — unresolved views, bad columns, syntax
+    * errors all surface at prepare time, like the server-side prepare
+    * — then re-execute the SAME parsed tree under per-run time ranges.
+    * Each run re-analyzes (the range filter is an analyzer rule bound
+    * through a thread-local, and logical plans are immutable, so runs
+    * can't contaminate each other or the prepared tree).
+    */
+  final class PreparedQuery private[Graft] (spark: SparkSession, sql: String) {
+    private val parsed = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parsePlan(sql)
+    // prepare-time validation: full analysis with no range bound
+    org.apache.spark.sql.graftshim.Shim.ofRows(spark, parsed).queryExecution.analyzed
+
+    def run(beginMicros: Option[Long] = None,
+        endMicros: Option[Long] = None): DataFrame = {
+      if (beginMicros.nonEmpty || endMicros.nonEmpty) requireRangeRule(spark)
+      plans.QueryRange.set(beginMicros, endMicros)
+      try {
+        val df = org.apache.spark.sql.graftshim.Shim.ofRows(spark, parsed)
+        df.queryExecution.analyzed // force analysis inside the range scope
+        df
+      } finally plans.QueryRange.clear()
+    }
+
+    /** The prepared_statement_stream shape: batched partition-at-a-time
+      * read of a prepared query's result.
+      */
+    def stream(beginMicros: Option[Long] = None, endMicros: Option[Long] = None,
+        batchRows: Int = 4096): Iterator[Seq[org.apache.spark.sql.Row]] = {
+      require(batchRows > 0, s"batchRows must be positive: $batchRows")
+      import scala.jdk.CollectionConverters._
+      run(beginMicros, endMicros).toLocalIterator().asScala.grouped(batchRows)
+    }
+  }
+
+  def prepareStatement(spark: SparkSession, dir: String, sql: String): PreparedQuery = {
+    ensureViews(spark, dir)
+    new PreparedQuery(spark, sql)
   }
 
   // -----------------------------------------------------------------

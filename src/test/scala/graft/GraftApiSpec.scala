@@ -21,6 +21,26 @@ class GraftApiSpec extends SparkSpec {
     assert(scoped > 0 && scoped < all)
   }
 
+  test("prepareStatement: validate once, re-run under different ranges; bad SQL fails at prepare") {
+    val ps = Graft.prepareStatement(spark, sfDir, "SELECT count(*) AS n FROM events")
+    val all = ps.run().head().getLong(0)
+    val firstHalf = ps.run(Some(micros("2024-01-01T00:00:00Z")),
+      Some(micros("2024-01-15T00:00:00Z"))).head().getLong(0)
+    val secondHalf = ps.run(Some(micros("2024-01-15T00:00:00Z")),
+      Some(micros("2024-02-01T00:00:00Z"))).head().getLong(0)
+    assert(firstHalf > 0 && secondHalf > 0 && firstHalf < all && secondHalf < all)
+    // ranges must not accumulate on the shared parsed tree
+    assert(firstHalf + secondHalf === all)
+    // unscoped re-run after scoped runs still sees everything
+    assert(ps.run().head().getLong(0) === all)
+    // streamed read equals run()
+    assert(ps.stream(batchRows = 7).map(_.size).sum === 1L)
+    // validation happens at prepare time, not first run
+    intercept[Exception] {
+      Graft.prepareStatement(spark, sfDir, "SELECT nope FROM events")
+    }
+  }
+
   test("thread_spans view is queryable and concurrent query() calls don't cross-leak ranges") {
     val spans = Graft.query(spark, sfDir,
       "SELECT process_id, count(*) AS n, max(duration_ms) AS mx FROM thread_spans GROUP BY process_id")
