@@ -59,7 +59,7 @@ object LlmPipelineExt10 {
         .orderBy("i", "j")
     }, Some("""
       WITH q AS (
-        SELECT list_transform(embedding, x -> CAST(round(x * 1000, 0) AS BIGINT)) AS qv
+        SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
         FROM embeddings),
       cells AS (
         SELECT ii.i, jj.j, SUM(qv[ii.i + 1] * qv[jj.j + 1]) AS g

@@ -100,7 +100,7 @@ object LlmPipelineExt6 {
       WITH e AS (
         SELECT vec_id,
           list_transform(CAST(embedding AS DOUBLE[]),
-                         x -> CAST(round(x * 1000, 0) AS BIGINT)) AS qv
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
         FROM embeddings),
       subs AS (
         SELECT vec_id, sub, list_slice(qv, sub*8 + 1, sub*8 + 8) AS sv
@@ -148,7 +148,7 @@ object LlmPipelineExt6 {
       WITH e AS (
         SELECT vec_id,
           list_transform(CAST(embedding AS DOUBLE[]),
-                         x -> CAST(round(x * 1000, 0) AS BIGINT)) AS qv
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
         FROM embeddings),
       subs AS (
         SELECT vec_id, sub, list_slice(qv, sub*8 + 1, sub*8 + 8) AS sv
@@ -260,7 +260,7 @@ object LlmPipelineExt6 {
       WITH e AS (
         SELECT vec_id,
           list_transform(CAST(embedding AS DOUBLE[]),
-                         x -> CAST(round(x * 1000, 0) AS BIGINT)) AS qv
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
         FROM embeddings),
       coarse AS (SELECT vec_id AS coarse_id, qv AS cqv FROM e WHERE vec_id < 16),
       af AS (
@@ -355,7 +355,7 @@ object LlmPipelineExt6 {
       WITH e AS (
         SELECT vec_id,
           list_transform(CAST(embedding AS DOUBLE[]),
-                         x -> CAST(round(x * 1000, 0) AS BIGINT)) AS qv
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
         FROM embeddings),
       qs AS (SELECT vec_id AS query_id, qv AS qqv FROM e WHERE vec_id < 5),
       exact AS (
