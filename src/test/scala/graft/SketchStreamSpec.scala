@@ -42,6 +42,40 @@ class SketchStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tail sampling: verdict emitted once per trace when the quiet period expires") {
+    import graft.streaming.TailSampleStream
+    import graft.streaming.TailSampleStream.SpanStat
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SpanStat]
+    val q = TailSampleStream.decide(
+        mem.toDS().withWatermark("ts", "1 minute"),
+        slowWallMs = 100000L, deepDepth = 3L, quietMs = 60000L)
+      .writeStream.format("memory").queryName("tail_verdicts")
+      .outputMode("append").start()
+    try {
+      // trace 1: deep (depth 5) and slow (>100s wall); trace 2: one
+      // shallow 200ms span. All ends within 2 minutes, so the first
+      // batch's watermark (max - 1m) is still inside both quiet windows
+      mem.addData(SpanStat(ts(10, 0), 1L, 1000L, 5L), SpanStat(ts(10, 2), 1L, 500L, 1L),
+        SpanStat(ts(10, 1), 2L, 200L, 0L))
+      q.processAllAvailable()
+      assert(spark.table("tail_verdicts").count() === 0L, "no verdict before quiet period")
+      // advance the watermark far past both traces' quiet windows
+      mem.addData(SpanStat(ts(10, 30), 99L, 1L, 0L))
+      q.processAllAvailable()
+      mem.addData(SpanStat(ts(10, 40), 99L, 1L, 0L))
+      q.processAllAvailable()
+      val v = spark.table("tail_verdicts")
+        .collect().map(r => r.getAs[Long]("key") ->
+          ((r.getAs[Long]("keepSlow"), r.getAs[Long]("keepDeep"), r.getAs[Long]("keep")))).toMap
+      assert(v(1L) === ((1L, 1L, 1L)), "slow+deep trace must be kept")
+      assert(v(2L)._1 === 0L && v(2L)._2 === 0L, "fast shallow trace keeps only by sample")
+      // exactly one verdict per completed trace
+      assert(spark.table("tail_verdicts").groupBy("key").count()
+        .where(col("count") > 1).count() === 0L)
+    } finally q.stop()
+  }
+
   test("streaming burn rate emits integer e6 ratios and budget flags per hour") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
@@ -52,14 +86,20 @@ class SketchStreamSpec extends SparkSpec {
       mem.addData(Ev(ts(10, 1), 1, "error", 1.0), Ev(ts(10, 2), 2, "error", 1.0),
         Ev(ts(10, 3), 3, "error", 1.0), Ev(ts(10, 4), 4, "view", 1.0))
       // hour 11: 1 error / 10 events = 100000 e6 → under budget
-      mem.addData(Ev(ts(11, 1), 1, "error", 1.0))
-      (2 to 10).foreach(m => mem.addData(Ev(ts(11, m), m.toLong, "view", 1.0)))
+      mem.addData(Ev(ts(11, 1), 1, "error", 1.0) +:
+        (2 to 10).map(m => Ev(ts(11, m), m.toLong, "view", 1.0)): _*)
       q.processAllAvailable()
+      // update mode re-emits a window as it grows; the FINAL emission
+      // is the one with the largest (monotone) total — ratio itself is
+      // not monotone, so a column-wise max would read a stale row
       val rows = spark.table("burn")
-        .groupBy("hour").agg(max("total").as("total"), max("errors").as("errors"),
-          max("ratio_e6").as("ratio_e6"), max("over_budget").as("over_budget"))
-        .collect().map(r => r.getTimestamp(0).toString ->
-          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        .groupBy("hour").agg(max_by(
+          struct(col("total"), col("errors"), col("ratio_e6"), col("over_budget")),
+          col("total")).as("s"))
+        .collect().map(r => r.getTimestamp(0).toString -> {
+          val s = r.getStruct(1)
+          (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+        }).toMap
       assert(rows("2024-01-01 10:00:00.0") === ((4L, 3L, 750000L, 1L)))
       assert(rows("2024-01-01 11:00:00.0") === ((10L, 1L, 100000L, 0L)))
     } finally q.stop()
