@@ -74,6 +74,36 @@ object LlmPipelineExt11 {
       JOIN sizes nb ON nb.source = shared.source_b
       ORDER BY source_a, source_b""")),
 
+    GraftQuery("l_lang_confusion", (s, dir) => {
+      // lang-ID quality audit: declared label vs L8's prediction as a
+      // confusion matrix — the calibration view that says whether the
+      // classifier is good enough to GATE on (and for which
+      // languages). One (lang, predicted) HashAggregate.
+      docs(s, dir)
+        .select(col("lang"),
+          graft.operators.TextAnalysis.langIdHeuristic(col("text")).as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("correct", (col("lang") === col("predicted")).cast("long"))
+        .orderBy("lang", "predicted")
+    }, Some("""
+      WITH f AS (
+        SELECT lang,
+          len(list_filter(string_split_regex(trim(text), '\s+'), x -> list_contains(['the','a','of','and'], x))) AS en,
+          len(list_filter(string_split_regex(trim(text), '\s+'), x -> list_contains(['el','la','de','que'], x))) AS es,
+          len(list_filter(string_split_regex(trim(text), '\s+'), x -> list_contains(['der','die','das','und'], x))) AS de
+        FROM documents),
+      p AS (
+        SELECT lang,
+          CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+               WHEN es >= de AND es > 0 THEN 'es'
+               WHEN de > 0 THEN 'de'
+               ELSE 'unk' END AS predicted
+        FROM f)
+      SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(CASE WHEN lang = predicted THEN 1 ELSE 0 END AS BIGINT) AS correct
+      FROM p GROUP BY 1, 2 ORDER BY lang, predicted""")),
+
     GraftQuery("l_token_apportion", (s, dir) => {
       // token-budget apportionment: allocate a fixed training budget
       // across sources proportionally to their token mass with the
