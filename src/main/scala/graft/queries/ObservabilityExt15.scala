@@ -71,6 +71,37 @@ object ObservabilityExt15 {
         CAST(total_errors AS BIGINT) AS total_errors
       FROM b WHERE n_minutes >= 2 ORDER BY burst_start_ms""")),
 
+    GraftQuery("m_open_spans", (s, dir) => {
+      // malformed-stream detector: per process, the begin/end balance
+      // — positive = begins that never closed (crashed mid-operation
+      // or still running), negative = ends with no matching begin
+      // (truncated ingestion). BOTH are events the stack assembler
+      // silently drops from every span view (M10 pairs k-th begin
+      // with k-th end per depth), so this is the only place they
+      // surface. One conditional HashAggregate, one scan.
+      events(s, dir)
+        .select(col("user_id"),
+          when(col("event_type").isin("signup", "view"), 1L)
+            .otherwise(-1L).as("delta"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("delta").as("balance"))
+        .select(col("user_id"), col("n_events"),
+          greatest(col("balance"), lit(0L)).as("open_spans"),
+          greatest(-col("balance"), lit(0L)).as("orphan_ends"))
+        .withColumn("malformed",
+          (col("open_spans") > 0L || col("orphan_ends") > 0L).cast("long"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH b AS (
+        SELECT user_id, COUNT(*) AS n_events,
+          SUM(CASE WHEN event_type IN ('signup','view') THEN 1 ELSE -1 END) AS balance
+        FROM events GROUP BY user_id)
+      SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        CAST(GREATEST(balance, 0) AS BIGINT) AS open_spans,
+        CAST(GREATEST(-balance, 0) AS BIGINT) AS orphan_ends,
+        CAST(CASE WHEN balance <> 0 THEN 1 ELSE 0 END AS BIGINT) AS malformed
+      FROM b ORDER BY user_id""")),
+
     GraftQuery("m_span_error_rate", (s, dir) => {
       // spans enclosing >= 1 error event, per name: the containment
       // join is process-keyed (per-process span/error sets are small);
