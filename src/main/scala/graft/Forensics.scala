@@ -31,6 +31,16 @@ object Forensics {
     MessageDigest.getInstance("MD5").digest(s.getBytes(UTF_8))
       .map("%02x".format(_)).mkString
 
+  /** UTF-8 byte order == Unicode code-point order, which is also what
+    * Python's default str sort uses in the forensics.py mirror. Plain
+    * Scala String ordering compares UTF-16 code units, which ranks
+    * supplementary-plane characters (surrogate pairs) BELOW U+E000..FFFF
+    * and would silently disagree with the mirror on emoji/rare-CJK text.
+    */
+  private implicit val utf8Ordering: Ordering[String] =
+    (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8))
+
   private def lenPrefixed(s: String): String =
     s.getBytes(UTF_8).length.toString + ":" + s
 

@@ -17,7 +17,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    new java.io.File(s"$outDir/_forensics").mkdirs()
+    // forensics lives OUTSIDE outDir: the driver globs every entry of
+    // outDir as a query parquet dir, and a _forensics subdir breaks its read
+    val fDir = outDir.stripSuffix("/") + "_forensics"
+    new java.io.File(fDir).mkdirs()
+    // and scrub any stale in-outDir forensics a previous round left behind
+    val stale = Paths.get(s"$outDir/_forensics")
+    if (Files.exists(stale)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(stale).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
     SparkEntry.queries.filter(kv => only.isEmpty || only(kv._1)).foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -32,7 +41,7 @@ object Verify {
         try {
           val written = spark.read.parquet(s"$outDir/$name")
           if (written.count() <= 200000)
-            Files.writeString(Paths.get(s"$outDir/_forensics/$name.json"),
+            Files.writeString(Paths.get(s"$fDir/$name.json"),
               Forensics.report(written))
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name forensics skipped: ${e.getMessage}")
@@ -48,7 +57,7 @@ object Verify {
           java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
             .foreach(java.nio.file.Files.deleteIfExists(_))
         }
-        Files.deleteIfExists(Paths.get(s"$outDir/_forensics/$name.json"))
+        Files.deleteIfExists(Paths.get(s"$fDir/$name.json"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

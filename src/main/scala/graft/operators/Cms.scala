@@ -34,14 +34,17 @@ object Cms {
       .agg(count(lit(1)).as("cell"))
 
   /** Point estimate for probe tokens: min over the d row cells.
-    * `probes` must carry `tokCol`; the sketch is broadcast.
+    * `probes` must carry `tokCol`; the sketch is broadcast. Left join:
+    * a probe token absent from the build corpus may have EMPTY cells
+    * (no collisions landed in its buckets) — those must read 0, and a
+    * partial miss must not take the min over fewer than d rows.
     */
   def estimate(probes: DataFrame, tokCol: String, sketch: DataFrame): DataFrame = {
     val keep = probes.columns.map(col)
     probes.select(keep :+ explode(hashes(col(tokCol))).as("hb"): _*)
       .select(keep :+ col("hb.j").as("j") :+ col("hb.bucket").as("bucket"): _*)
-      .join(broadcast(sketch), Seq("j", "bucket"))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
       .groupBy(probes.columns.head, probes.columns.tail: _*)
-      .agg(min("cell").as("cms_est"))
+      .agg(min(coalesce(col("cell"), lit(0L))).as("cms_est"))
   }
 }

@@ -58,12 +58,21 @@ object NrtCadence {
   }
 
   /** One fine-tier firing. Returns rows written, or -1 when the
-    * freshness probe skipped the slice.
+    * freshness probe skipped the slice — including a slice that lies
+    * inside an already-compacted window: its freshness marker records
+    * the COARSE write's count, so the probe would read a mismatch and
+    * tear the coarse partition down to this one fine fragment, dropping
+    * the rest of the window from query results until the next coarse
+    * re-fire. The compacted-marker check costs one directory listing,
+    * the same order as the freshness probe itself.
     */
   def tick(spark: SparkSession, v: SqlBatchView.Def, outDir: String,
       tMs: Long, deltaMs: Long): Long = {
     val (b, e) = tickSlice(tMs, deltaMs)
-    SqlBatchView.updateSlice(spark, v, outDir, b, e)
+    val covered = compactedWindows(spark, outDir)
+      .exists { case (cb, ce) => b >= cb && b < ce }
+    if (covered) -1L
+    else SqlBatchView.updateSlice(spark, v, outDir, b, e)
   }
 
   /** One coarse-tier firing at scheduled time `tMs`: materialize the

@@ -411,7 +411,8 @@ object LlmPipeline {
           SUM(n_tokens) OVER (ORDER BY q10k DESC, doc_id
                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
         FROM curated)
-      SELECT doc_id, q10k AS quality_e4, n_tokens, cum_tokens
+      SELECT doc_id, q10k AS quality_e4, n_tokens,
+        CAST(cum_tokens AS BIGINT) AS cum_tokens
       FROM budget WHERE cum_tokens <= 20000
       ORDER BY quality_e4 DESC, doc_id"""), headline = true),
 

@@ -145,7 +145,8 @@ object LlmPipelineExt11 {
       rk AS (
         SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS r
         FROM quota)
-      SELECT source, n_tokens, CAST(floor_alloc AS BIGINT) AS floor_alloc,
+      SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(floor_alloc AS BIGINT) AS floor_alloc,
         CAST(floor_alloc + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS BIGINT) AS allocated
       FROM rk CROSS JOIN lf ORDER BY source""")),
 

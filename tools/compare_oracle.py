@@ -25,6 +25,11 @@ def cmp_cell(a, b):
         if math.isnan(a) and math.isnan(b): return True
         import struct
         return struct.pack("<d", a) == struct.pack("<d", b)
+    # int-vs-float (e.g. a DuckDB HUGEINT landing as float64 against a
+    # Spark int64) must FAIL: the driver hashes these differently even
+    # when Python's == says equal. This lenience hid l_curation_pipeline
+    # for three rounds.
+    if isinstance(a, float) != isinstance(b, float): return False
     return a == b
 
 def main():
@@ -42,7 +47,16 @@ def main():
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
             spark_df = pq.read_table(files).to_pandas()
-            duck_df = con.execute(sql).df()
+            rel = con.sql(sql)
+            # HUGEINT/unsigned oracle outputs reach pandas as float64 and
+            # hash-mismatch the Spark int64 driver-side — ban them outright
+            huge = [c for c, t in zip(rel.columns, [str(t) for t in rel.types])
+                    if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER",
+                                  "USMALLINT", "UTINYINT")]
+            if huge:
+                print(f"FAIL {name}: oracle columns {huge} typed HUGEINT/unsigned "
+                      f"(add CAST(... AS BIGINT))"); n_fail += 1; continue
+            duck_df = rel.df()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         s, d = canon(spark_df), canon(duck_df)

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """DuckDB-side mirror of graft.Forensics: render the oracle result of
 each query in the SAME canonical form Verify dumps to
-<outdir>/_forensics/<name>.json, and diff the hash decompositions.
+<outdir>_forensics/<name>.json (sibling dir of the verify outdir), and diff the hash decompositions.
 On a driver hash mismatch this localizes the divergence to a column
 (per-column md5) and a row set (per-row md5) without raw-data access
 to the other environment.
@@ -38,15 +38,15 @@ def cell(v):
         return "b:" + bytes(v).hex()
     if isinstance(v, datetime.datetime):
         epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-        return "ts:" + str(round((v - epoch).total_seconds() * 1e6))
+        # exact integer micros: float total_seconds() accumulates ~0.4µs
+        # of rounding for 2024-era datetimes and breaks outright past ~2100
+        return "ts:" + str((v - epoch) // datetime.timedelta(microseconds=1))
     if isinstance(v, datetime.date):
         return "dt:" + str(v.toordinal() - EPOCH_DAY)
     if isinstance(v, decimal.Decimal):
-        # Spark never outputs DecimalType (oracle-parity rules cast to
-        # BIGINT/DOUBLE), so a DuckDB decimal always lines up against a
-        # Spark double — render it the way the gate's pandas path
-        # converts it (correctly-rounded nearest double)
-        return cell(float(v))
+        # lock-step with Forensics.cell's BigDecimal branch:
+        # 'dec:' + stripTrailingZeros.toPlainString
+        return "dec:" + format(v.normalize(), "f")
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(lp(cell(x)) for x in v) + "]"
     if isinstance(v, dict):
@@ -74,7 +74,9 @@ def oracle_report(con, sql):
     names = [d[0] for d in cur.description]
     order = sorted(range(len(names)), key=lambda i: names[i])
     grid = [[cell(row[i]) for i in order] for row in cur.fetchall()]
-    grid.sort()  # elementwise-lexicographic, like Forensics.report
+    # elementwise-lexicographic, like Forensics.report; Python's str sort
+    # is code-point order == UTF-8 byte order == Forensics' utf8Ordering
+    grid.sort()
     # per-column md5 over INDEPENDENTLY sorted values (lock-step with
     # Forensics: one bad column must not poison the others' hashes)
     cols = {names[i]: {"md5": md5("\n".join(sorted(lp(r[j]) for r in grid)))}
@@ -96,7 +98,7 @@ def main():
         if only and name not in only:
             continue
         try:
-            spark = json.load(open(f"{outdir}/_forensics/{name}.json"))
+            spark = json.load(open(f"{outdir.rstrip(chr(47))}_forensics/{name}.json"))
         except FileNotFoundError:
             print(f"SKIP {name}: no spark forensics file")
             continue
