@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -27,8 +27,14 @@ object Tables {
     // one table, so this guarantees graft_* functions resolve everywhere.
     graft.functions.GraftFunctions.register(spark)
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    if (name == "events") raw.schema("ts").dataType match {
+      // ns-precision parquet read as Long (nanosAsLong): truncate to µs
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // µs-precision parquet without UTC adjustment reads as TIMESTAMP_NTZ;
+      // session timezone is UTC everywhere, so the ltz cast is the
+      // identity instant — downstream code sees one type either way
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    } else raw
   }
 }

@@ -128,13 +128,20 @@ class SqlBatchViewSpec extends SparkSpec with TmpDirSupport {
       .orderBy(col("duration_ns").desc, col("span_id")).head()
     val victimId = victim.getString(victim.fieldIndex("span_id"))
     val cutNs = (victim.getLong(victim.fieldIndex("start_time_ns"))
-      + victim.getLong(victim.fieldIndex("end_time_ns"))) / 2 // ns, like raw ts
-    writeEvents(full.where(col("ts") < cutNs)) // late tail missing
+      + victim.getLong(victim.fieldIndex("end_time_ns"))) / 2 // ns
+    // raw ts is physical-type dependent (ns-as-Long vs µs timestamp);
+    // compare in epoch µs either way, writing rows back unchanged
+    val tsUs = full.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    writeEvents(full.where(tsUs < cutNs / 1000L)) // late tail missing
 
     Graft.registerViews(spark, lakeDir)
     // slice bounds from the FULL event range so every span — including
     // the late-assembled tail ones — lands inside the one slice
-    val fr = full.selectExpr("min(ts) div 1000000", "max(ts) div 1000000").head()
+    val fr = full.select(min(tsUs).as("a"), max(tsUs).as("b"))
+      .selectExpr("a div 1000", "b div 1000").head()
     val (lo, hi) = (fr.getLong(0), fr.getLong(1) + 1)
     val dir = tmpDir("otel-late-lake") + "/v"
     assert(SqlBatchView.updateSlice(spark, SqlBatchView.otelSpans, dir, lo, hi) > 0)
