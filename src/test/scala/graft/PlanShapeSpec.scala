@@ -142,4 +142,64 @@ class PlanShapeSpec extends SparkSpec {
     assert(countShuffles(df) <= 2)
     assert(countBroadcasts(df) >= 1)
   }
+
+  private def countWindows(df: DataFrame): Int =
+    count(plan(df), _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+
+  test("m_downsample: single HashAggregate does OHLC — no window, no second pass") {
+    val df = SparkEntry.queries("m_downsample")(spark, sfDir)
+    // the load-bearing claim: first/last election rides struct min/max
+    // inside the ONE grouping aggregate (the oracle needs two window
+    // row_numbers; the Spark plan must not decay to that shape)
+    assert(countWindows(df) == 0, "OHLC election fell back to a window")
+    assert(countShuffles(df) <= 2, "agg exchange + output sort only")
+  }
+
+  test("m_concurrency: ordered cum-sum window is fed by the minute-grid aggregate") {
+    // spans collapse to per-minute deltas BEFORE the global cum-sum
+    // window: an aggregate must sit below the unpartitioned window, so
+    // the single-partition stage sees minutes, not span endpoints
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val p = plan(SparkEntry.queries("m_concurrency")(spark, sfDir))
+    // collect every WindowExec with NO partitionSpec (the cum-sum one;
+    // span-assembly windows are per-process)
+    def collect[T](n: SparkPlan, f: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val kids: Seq[SparkPlan] = n match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case o => o.children
+      }
+      (if (f.isDefinedAt(n)) Seq(f(n)) else Nil) ++ kids.flatMap(collect(_, f))
+    }
+    val global = collect(p, { case w: WindowExec if w.partitionSpec.isEmpty => w })
+    assert(global.nonEmpty, "expected the global cum-sum window")
+    assert(global.forall(w =>
+        collect[SparkPlan](w.child, { case a: BaseAggregateExec => a }).nonEmpty),
+      "cum-sum window is not fed by the minute-grid aggregate")
+  }
+
+  test("l_vocab_curve: thresholds and total broadcast; rank window over types only") {
+    val df = SparkEntry.queries("l_vocab_curve")(spark, sfDir)
+    assert(countBroadcasts(df) >= 2, "thresholds/total tables must broadcast")
+  }
+
+  test("l_temperature_mixture: totals broadcast, corpus reduced before arithmetic") {
+    val df = SparkEntry.queries("l_temperature_mixture")(spark, sfDir)
+    assert(countBroadcasts(df) >= 1, "totals scalar must broadcast")
+    assert(countShuffles(df) <= 4)
+  }
+
+  test("round-6 pair queries: no cartesian products") {
+    // every pair-generating query must go through a keyed join (bands,
+    // posting lists, fingerprints) — an unkeyed all-pairs plan is the
+    // scale failure these operators exist to avoid. (Scalar 1-row
+    // broadcasts plan as BroadcastNestedLoopJoin and are fine.)
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    for (q <- Seq("l_containment", "l_minhash_calib", "l_dedup_incremental", "m_heatmap")) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(count(p, _.isInstanceOf[CartesianProductExec]) == 0, s"$q: cartesian product")
+    }
+  }
 }
