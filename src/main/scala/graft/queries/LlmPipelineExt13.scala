@@ -234,7 +234,7 @@ object LlmPipelineExt13 {
       LEFT JOIN oldh ON oldh.h = n.h
       LEFT JOIN near ON near.doc_id = n.doc_id
       WHERE NOT n.old
-      ORDER BY n.doc_id""")),
+      ORDER BY n.doc_id"""), headline = true),
 
     GraftQuery("l_quality_drift", (s, dir) => {
       val q10k = round(TextAnalysis.qualityScore(col("text")) * lit(10000.0), 0).cast("long")

@@ -86,7 +86,7 @@ object ObservabilityExt16 {
         MIN(CASE WHEN rn_a = 1 THEN value END) AS v_open,
         MIN(CASE WHEN rn_d = 1 THEN value END) AS v_close,
         MIN(value) AS v_min, MAX(value) AS v_max
-      FROM w GROUP BY 1, 2 ORDER BY event_type, bin_ms""")),
+      FROM w GROUP BY 1, 2 ORDER BY event_type, bin_ms"""), headline = true),
 
     GraftQuery("m_concurrency", (s, dir) => {
       // sweep-line on the minute grid: +1 at the begin minute, −1 at
@@ -121,7 +121,7 @@ object ObservabilityExt16 {
         FROM sweep GROUP BY 1)
       SELECT minute_ms, n_opened, n_closed,
         CAST(SUM(net) OVER (ORDER BY minute_ms ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_at_end
-      FROM pm ORDER BY minute_ms""")),
+      FROM pm ORDER BY minute_ms"""), headline = true),
 
     GraftQuery("m_heatmap", (s, dir) => {
       // duration bucket = floor(log2(duration_ms)) via binary-digit
