@@ -227,12 +227,17 @@ object LlmPipelineExt12 {
         .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("s"))
       val ex = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
       val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-      val posting = ex.withColumn("df",
-          count(lit(1)).over(Window.partitionBy("shingle")))
-        // df=1 shingles (the vast majority) can never form a pair —
-        // pruning them BEFORE the self-join is the dominant cost cut
-        // (measured 6.1s → see PLANS.md); df>cap is boilerplate
+      // df via partial-agg groupBy + join, not a window: the window
+      // formulation sort-shuffles the ENTIRE exploded posting table;
+      // the groupBy gets map-side combine and its join key (shingle)
+      // is the same key the self-join below shuffles on, so the
+      // exchange is reused (measured: see PLANS.md r7 delta row).
+      // df=1 shingles (the vast majority) can never form a pair —
+      // pruning them BEFORE the self-join is the dominant cost cut
+      // (measured 6.1s → see PLANS.md); df>cap is boilerplate
+      val dfTab = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
         .where(col("df") >= 2L && col("df") <= dfCap)
+      val posting = ex.join(dfTab, "shingle")
       val shared = posting.select(col("doc_id").as("a"), col("shingle"))
         .join(posting.select(col("doc_id").as("b"), col("shingle")), "shingle")
         .where(col("a") =!= col("b"))

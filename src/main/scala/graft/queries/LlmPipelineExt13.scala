@@ -87,11 +87,13 @@ object LlmPipelineExt13 {
           .otherwise(lit(0L)).as("padded"),
         when(col("toks") >= W, expr(s"(toks + $W - 1) div $W")).otherwise(lit(0L)).as("big_w"),
         col("toks"))
+      // coalesce: empty input sums to null, not 0 — the scalar read
+      // below must not NPE on an empty documents table
       val agg = per.agg(
-        sum("naive_w").as("naive_windows"),
-        sum("padded").as("padded_tokens"),
-        sum("big_w").as("big_windows"),
-        sum("toks").as("total_tokens")).head()
+        coalesce(sum("naive_w"), lit(0L)).as("naive_windows"),
+        coalesce(sum("padded"), lit(0L)).as("padded_tokens"),
+        coalesce(sum("big_w"), lit(0L)).as("big_windows"),
+        coalesce(sum("toks"), lit(0L)).as("total_tokens")).head()
       val (naiveW, paddedT, bigW, totalT) =
         (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
       val bucketW = (paddedT + W - 1) / W + bigW

@@ -222,6 +222,70 @@ class MaterializeSpec extends SparkSpec {
     intercept[IllegalArgumentException](Materialize.sweepExpired(spark, root, "Jan 10"))
   }
 
+  test("out-of-order block arrival: event-time partitions stay pure and non-overlapping " +
+      "(reference #1429 jit_partitions analog)") {
+    // The reference cuts JIT partitions from a block LIST, so when the
+    // list is event-time-sorted it must enforce insert-safe cut points
+    // to keep each partition's insert-time range non-overlapping
+    // (rust/analytics/src/lakehouse/jit_partitions.rs,
+    // group_blocks_into_partitions, BlockOrder::EventTime). The Spark
+    // layout is immune to that bug class BY CONSTRUCTION: a row's
+    // partition is derived from its EVENT TIME value
+    // (date = to_date(time_bin_ms)), not from arrival order, so no
+    // arrival permutation can put one event-time range in two
+    // partitions. What out-of-order arrival CAN do here is land a row
+    // in a day the incremental update already closed — that is the
+    // analog of the reference's overlap-retirement case
+    // (RetireMatch::Overlap), and its documented repair is
+    // regenerateDay. This test pins all three semantics.
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-ooo").toString + "/view"
+    val d1 = 1704067200000L // 2024-01-01T00:00Z
+    val day = 86400000L
+    def row(dayOff: Long, msOff: Long, k: String) = (d1 + dayOff * day + msOff, k, 1L)
+
+    // arrival 1: days D1 and D2 — lake opens with D2 as the open day
+    val batch1 = Seq(row(0, 1000, "a"), row(0, 2000, "b"), row(1, 500, "c"))
+      .toDF("time_bin_ms", "k", "cnt")
+    Materialize.updateByDay(spark, batch1, out)
+
+    // arrival 2 is event-time OUT OF ORDER vs arrival 1: new rows land
+    // in the open day D2 (earlier event time than the existing D2 row),
+    // in a new day D3, and in the CLOSED day D1
+    val late = Seq(row(1, 100, "late-open"), row(2, 300, "d"), row(0, 1500, "late-closed"))
+    val full = (Seq(row(0, 1000, "a"), row(0, 2000, "b"), row(1, 500, "c")) ++ late)
+      .toDF("time_bin_ms", "k", "cnt")
+    Materialize.updateByDay(spark, full, out)
+
+    // partition purity: every file in date=D holds ONLY rows whose
+    // event-time date is D — event-time ranges across partitions are
+    // disjoint by construction, the exclusion-constraint analog
+    val days = Materialize.listPartitions(spark, out).collect().map(_.getString(0)).sorted
+    assert(days.sameElements(Seq("2024-01-01", "2024-01-02", "2024-01-03")))
+    days.foreach { d =>
+      val part = spark.read.parquet(s"$out/date=$d")
+      val bad = part.where(to_date(timestamp_millis(col("time_bin_ms"))) =!= to_date(lit(d)))
+      assert(bad.isEmpty, s"partition date=$d holds rows of another event-time day")
+    }
+
+    // open-day-and-later absorbed exactly: D2/D3 equal from-scratch,
+    // including the late-but-within-open-day row
+    val lake = spark.read.parquet(out).select("time_bin_ms", "k", "cnt")
+    val absorbed = lake.where(col("time_bin_ms") >= d1 + day)
+    val expected2 = full.where(col("time_bin_ms") >= d1 + day).select("time_bin_ms", "k", "cnt")
+    assert(absorbed.exceptAll(expected2).isEmpty && expected2.exceptAll(absorbed).isEmpty)
+
+    // the closed-day late row is NOT silently absorbed (closed days are
+    // never rewritten — the invariant that makes updates O(new data));
+    // it is exactly what the repair path exists for
+    assert(lake.where(col("k") === "late-closed").isEmpty)
+    Materialize.regenerateDay(spark, full, out, "2024-01-01")
+    val repaired = spark.read.parquet(out).select("time_bin_ms", "k", "cnt")
+    val fullSel = full.select("time_bin_ms", "k", "cnt")
+    assert(repaired.exceptAll(fullSel).isEmpty && fullSel.exceptAll(repaired).isEmpty,
+      "regenerateDay did not converge the lake to the full out-of-order source")
+  }
+
   test("schema evolution: incompatible partitions listed exactly, retired exactly") {
     val out = java.nio.file.Files.createTempDirectory("graft-schev").toString + "/view"
     val full = statsSource
