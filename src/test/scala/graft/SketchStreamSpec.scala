@@ -11,6 +11,8 @@ import org.apache.spark.sql.functions._
   * same window, and the burn emission must match the batch integer
   * ratio arithmetic.
   */
+case class SpanRow(end_ts: Timestamp, name: String, duration_ms: Long)
+
 class SketchStreamSpec extends SparkSpec {
   import spark.implicits._
 
@@ -73,6 +75,52 @@ class SketchStreamSpec extends SparkSpec {
       // exactly one verdict per completed trace
       assert(spark.table("tail_verdicts").groupBy("key").count()
         .where(col("count") > 1).count() === 0L)
+    } finally q.stop()
+  }
+
+  test("streaming duration buckets merge to the batch sketch; windowed KS flags the shifted name") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SpanRow]
+    val q = SketchStream.durationBuckets(mem.toDF(), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("dur_buckets").outputMode("update").start()
+    try {
+      // hour 10, name "api": durations in buckets 3 (8-15ms) and 6 (64-127ms);
+      // name "db": all bucket 3. Split across micro-batches so sum-merge
+      // is exercised.
+      mem.addData(SpanRow(ts(10, 1), "api", 10L), SpanRow(ts(10, 2), "api", 100L),
+        SpanRow(ts(10, 3), "db", 9L))
+      q.processAllAvailable()
+      mem.addData(SpanRow(ts(10, 4), "api", 12L), SpanRow(ts(10, 5), "db", 11L))
+      // hour 11: "api" shifts wholly into bucket 6 (KS = max CDF gap);
+      // "db" keeps its hour-10 shape (KS = 0)
+      mem.addData(SpanRow(ts(11, 1), "api", 80L), SpanRow(ts(11, 2), "api", 90L),
+        SpanRow(ts(11, 3), "db", 8L), SpanRow(ts(11, 4), "db", 13L))
+      q.processAllAvailable()
+
+      // update mode re-emits growing cells: final value = max per cell
+      val streamed = spark.table("dur_buckets")
+        .groupBy("win_start", "name", "bucket").agg(max("n").as("n"))
+      val batchInput = Seq(
+        (ts(10, 1), "api", 10L), (ts(10, 2), "api", 100L), (ts(10, 3), "db", 9L),
+        (ts(10, 4), "api", 12L), (ts(10, 5), "db", 11L),
+        (ts(11, 1), "api", 80L), (ts(11, 2), "api", 90L),
+        (ts(11, 3), "db", 8L), (ts(11, 4), "db", 13L))
+        .toDF("end_ts", "name", "duration_ms")
+      val batch = batchInput
+        .groupBy(window(col("end_ts"), "1 hour"), col("name"),
+          (length(bin(col("duration_ms"))).cast("long") - 1L).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("name"), col("bucket"), col("n"))
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streamed bucket sketch must equal the batch build")
+
+      // downstream KS on the emitted (closed-window) sketch
+      val ks = SketchStream.ksBetweenWindows(streamed)
+        .collect().map(r => r.getAs[String]("name") -> r.getAs[Long]("ks_e4")).toMap
+      // api hour 10: CDF at bucket 3 = 2/3 (6666 e4); hour 11: 0 until
+      // bucket 6 → max gap 6666. db: identical 100%-bucket-3 shape → 0.
+      assert(ks("api") === 6666L, s"expected api KS 6666 e4, got ${ks("api")}")
+      assert(ks("db") === 0L, s"expected db KS 0, got ${ks("db")}")
     } finally q.stop()
   }
 
