@@ -42,7 +42,7 @@ object LlmPipelineExt4 {
     * has no zip_with, so integer L2 comes from the dot identity
     * |a-b|^2 = a.a - 2 a.b + b.b (all three dots are exact integers).
     */
-  private val assignSql = """
+  private[queries] val assignSql = """
       e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
           GREATEST(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0,
