@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GraftQuery, Tables}
 import graft.operators.TextAnalysis
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -172,6 +172,107 @@ object LlmPipelineExt15 {
       SELECT cluster, n, n * 10000 // tot.total AS share_e4,
         sum_idist // n AS avg_idist, max_idist
       FROM per CROSS JOIN tot
-      ORDER BY cluster"""))
+      ORDER BY cluster""")),
+
+    GraftQuery("l_quality_len_corr", (s, dir) => {
+      // Pearson correlation of token count vs quality score e4, per
+      // source — "is the quality gate just a length gate" (if |corr|
+      // is high, the expensive scorer is re-deriving length). Exact
+      // integer arithmetic end-to-end: num = n·Σxy − Σx·Σy and both
+      // variance terms are exact i64 (per-source n bounds the
+      // products: n ≤ 1e6 docs/source · x ≤ 1e4 tokens · y ≤ 1e4
+      // keeps n·Σxy·1e4 under i64); the denominator uses the exact
+      // ±1-corrected isqrt (L63's trick) on EACH variance term, so
+      // the product of roots — not the root of the (overflowing)
+      // product — is the shared cross-engine contract.
+      def isqrt(x: Column): Column = {
+        val s0 = floor(sqrt(x.cast("double"))).cast("long")
+        s0 + when((s0 + 1) * (s0 + 1) <= x, 1L).otherwise(0L) -
+          when(s0 * s0 > x, 1L).otherwise(0L)
+      }
+      val q10k = round(TextAnalysis.qualityScore(col("text")) * lit(10000.0), 0).cast("long")
+      val d = docs(s, dir).select(col("source"),
+        TextAnalysis.tokenCount(col("text")).as("x"), q10k.as("y"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"))
+        .withColumn("num", expr("n * sxy - sx * sy"))
+        .withColumn("denx", expr("n * sxx - sx * sx"))
+        .withColumn("deny", expr("n * syy - sy * sy"))
+        .withColumn("rxy", isqrt(col("denx")) * isqrt(col("deny")))
+        .withColumn("corr_e4",
+          when(col("denx") > 0L && col("deny") > 0L,
+            expr("num * 10000 div greatest(1, rxy)"))
+            .otherwise(lit(0L)))
+        .select("source", "n", "num", "denx", "deny", "corr_e4")
+        .orderBy("source")
+    }, Some(s"""
+      WITH f AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t,
+          CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+            / GREATEST(length(text), 1) AS punct_ratio,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+              x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+            / GREATEST(len(string_split_regex(trim(text), '\\s+')), 1) AS stop_ratio
+        FROM documents),
+      d AS (
+        SELECT source, CAST(len(t) AS BIGINT) AS x,
+          CAST(round(round(0.5 * stop_ratio + 0.3 * (1.0 - punct_ratio)
+                + 0.2 * LEAST(CAST(len(t) AS DOUBLE) / 200.0, 1.0), 4)
+               * 10000.0, 0) AS BIGINT) AS y
+        FROM f),
+      agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          CAST(SUM(x * y) AS BIGINT) AS sxy,
+          CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM d GROUP BY 1),
+      t2 AS (
+        SELECT source, n, n * sxy - sx * sy AS num,
+          n * sxx - sx * sx AS denx, n * syy - sy * sy AS deny
+        FROM agg),
+      r AS (
+        SELECT *,
+          CAST(floor(sqrt(CAST(denx AS DOUBLE))) AS BIGINT) AS rx0,
+          CAST(floor(sqrt(CAST(deny AS DOUBLE))) AS BIGINT) AS ry0
+        FROM t2),
+      rr AS (
+        SELECT *,
+          rx0 + CASE WHEN (rx0 + 1) * (rx0 + 1) <= denx THEN 1 ELSE 0 END
+              - CASE WHEN rx0 * rx0 > denx THEN 1 ELSE 0 END AS rx,
+          ry0 + CASE WHEN (ry0 + 1) * (ry0 + 1) <= deny THEN 1 ELSE 0 END
+              - CASE WHEN ry0 * ry0 > deny THEN 1 ELSE 0 END AS ry
+        FROM r)
+      SELECT source, n, num, denx, deny,
+        CASE WHEN denx > 0 AND deny > 0
+             THEN num * 10000 // GREATEST(1, rx * ry) ELSE 0 END AS corr_e4
+      FROM rr ORDER BY source""")),
+
+    GraftQuery("l_dup_size_histogram", (s, dir) => {
+      // duplicate-family size distribution: exact normalization-
+      // fingerprint groups (L57's scrub) rolled into power-of-two
+      // size buckets — "is duplication a long tail of pairs or a few
+      // giant families", which decides whether canonical election
+      // (L47) or family-level drops pay for themselves.
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+      docs(s, dir).select(md5(norm).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("sz"))
+        .withColumn("size_bucket", length(bin(col("sz"))).cast("long") - 1L)
+        .groupBy("size_bucket")
+        .agg(count(lit(1)).as("n_groups"), sum("sz").as("n_docs"))
+        .orderBy("size_bucket")
+    }, Some("""
+      WITH d AS (
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                       '\s+', ' ', 'g'))) AS h
+        FROM documents),
+      g AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS sz FROM d GROUP BY 1)
+      SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS size_bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(SUM(sz) AS BIGINT) AS n_docs
+      FROM g GROUP BY 1 ORDER BY size_bucket"""))
   )
 }
