@@ -202,4 +202,34 @@ class PlanShapeSpec extends SparkSpec {
       assert(count(p, _.isInstanceOf[CartesianProductExec]) == 0, s"$q: cartesian product")
     }
   }
+
+  test("round-7 tranche: exchange budgets hold, no cartesian anywhere") {
+    // measured shapes (sf0.001, AQE final plans) with one unit of
+    // headroom where AQE could legitimately re-split; the assert is
+    // the SHAPE class — keyed partial aggs + bounded-grid windows +
+    // broadcast dims — not the exact exchange count.
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val budgets = Seq(
+      // (query, max shuffles, min broadcasts)
+      ("m_apdex", 5, 1),             // span-assembly windows + ONE apdex agg + sort
+      ("m_alert_flapping", 3, 0),    // (series, day) lag window + sort
+      ("m_series_novelty", 6, 1),    // series-grain min election + day grid
+      ("m_thread_utilization", 4, 1),// root filter below one partial agg
+      ("m_latency_trend", 6, 1),     // daily medians + 5-row per-name regression
+      ("m_error_budget", 3, 0),      // day-grid agg + cumulative window
+      ("l_intradoc_rep", 3, 0),      // per-row arithmetic; shuffles are repartition artifact + sort
+      ("l_zipf_curve", 8, 1),        // rank buckets; vocab-bounded window
+      ("l_dedup_impact", 6, 1),      // before/after partial aggs
+      ("l_cluster_health", 7, 3),    // centroids broadcast to the assignment join
+      ("l_quality_len_corr", 4, 0),  // one moment-sum agg per source
+      ("l_dup_size_histogram", 4, 0),// two keyed partial aggs + sort
+      ("l_split_bias", 4, 5),        // per-split grids; share scalars broadcast
+      ("l_novelty_curve", 7, 3))     // first-day election + per-day distinct
+    for ((q, maxSh, minBc) <- budgets) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(count(p, _.isInstanceOf[ShuffleExchangeLike]) <= maxSh, s"$q: shuffle budget")
+      assert(count(p, _.isInstanceOf[BroadcastExchangeLike]) >= minBc, s"$q: expected broadcasts")
+      assert(count(p, _.isInstanceOf[CartesianProductExec]) == 0, s"$q: cartesian product")
+    }
+  }
 }
