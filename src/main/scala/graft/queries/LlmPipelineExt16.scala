@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-7 third tranche: tokenizer-health + boilerplate symmetry.
+  *
+  *  - `l_fertility`: tokenizer fertility per (lang, source) — subword
+  *    tokens per whitespace word, e4 fixed-point (fertility is THE
+  *    standard tokenizer-suitability metric per language: a tokenizer
+  *    that explodes one language into 3× the subwords of another buys
+  *    that language less context and more compute per sentence). Here
+  *    the BPE-ish regex tokenizer (L10's) plays the subword encoder;
+  *    corpus reduces to one partial-agg pass, ratios on the
+  *    (lang × source) grid.
+  *  - `l_suffix_families`: shared-SUFFIX boilerplate families — docs
+  *    keyed by their last-10-token hash: the footer/disclaimer/
+  *    signature counterpart of L52's prefix families (headers).
+  *    Same one-HashAggregate shape; families of ≥2 docs with a
+  *    deterministic keeper election.
+  */
+object LlmPipelineExt16 {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.df(s, dir, "documents")
+
+  // 3 on the synthetic corpus: its duplicate mass is prefix-heavy and
+  // tails diverge fast, so 3 tokens is where sign-off phrases repeat;
+  // real footers/disclaimers are longer — the knob widens with them
+  private val suffixTokens = 3
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("l_fertility", (s, dir) => {
+      val txt = col("text")
+      docs(s, dir).select(col("lang"), col("source"),
+          TextAnalysis.tokenCount(txt).as("words"),
+          TextAnalysis.bpeishTokenCount(txt).as("subwords"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("words").as("total_words"),
+          sum("subwords").as("total_subwords"))
+        .withColumn("fertility_e4",
+          expr("total_subwords * 10000 div total_words"))
+        .orderBy("lang", "source")
+    }, Some("""
+      WITH t AS (
+        SELECT lang, source,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS words,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS subwords
+        FROM documents)
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(words) AS BIGINT) AS total_words,
+        CAST(sum(subwords) AS BIGINT) AS total_subwords,
+        CAST(sum(subwords) AS BIGINT) * 10000 // CAST(sum(words) AS BIGINT) AS fertility_e4
+      FROM t GROUP BY 1, 2
+      ORDER BY lang, source""")),
+
+    GraftQuery("l_suffix_families", (s, dir) => {
+      // last `suffixTokens` tokens via a clamped POSITIVE start index:
+      // negative-start slice semantics on short arrays differ between
+      // engines, greatest(1, n-9) is exact in both
+      val toks = split(trim(col("text")), "\\s+")
+      val p = docs(s, dir).select(col("doc_id"), col("source"),
+        md5(concat_ws(" ",
+          slice(toks, greatest(lit(1), size(toks) - lit(suffixTokens - 1)),
+            lit(suffixTokens)))).as("suffix_hash"))
+      p.groupBy("suffix_hash")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sources"),
+          min("doc_id").as("keeper"))
+        .where(col("n_docs") >= 2)
+        .orderBy("suffix_hash")
+    }, Some(s"""
+      WITH p AS (
+        SELECT doc_id, source,
+          md5(array_to_string(
+            (string_split_regex(trim(text), '\\s+'))[greatest(1, len(string_split_regex(trim(text), '\\s+')) - ${suffixTokens - 1}):],
+            ' ')) AS suffix_hash
+        FROM documents)
+      SELECT suffix_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        MIN(doc_id) AS keeper
+      FROM p GROUP BY 1 HAVING COUNT(*) >= 2
+      ORDER BY suffix_hash""")))
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.operators.SpanAssembly
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 third tranche: lakehouse maintenance planning + trace-shape
+  * triage.
+  *
+  *  - `m_compaction_plan`: the small-file compaction planner — per
+  *    stream, ingestion blocks (minute granularity, the blocks
+  *    metadata view) are assigned left-to-right into merge groups by
+  *    running payload size against a target group size: group_id =
+  *    (exclusive running sum) div target. The reference compacts JIT
+  *    partitions by `max_nb_objects` segments over the SAME ordered
+  *    block list (rust/analytics/src/lakehouse/jit_partitions.rs:
+  *    group_blocks_into_partitions); at 100 TB the target is the
+  *    config knob and the plan is what a maintenance daemon executes
+  *    per stream-partition. Metadata-only: the planner never touches
+  *    payload rows, and the window runs per (process, stream) — the
+  *    natural compaction domain — never globally.
+  *  - `m_depth_profile`: per-process call-stack depth profile over
+  *    assembled thread spans: span count, total and max duration per
+  *    (process, depth). The "is this process's latency in leaf calls
+  *    or in orchestration layers" triage table; the output grid is
+  *    processes × max stack depth (instrumentation-bounded), reduced
+  *    by ONE partial agg after span assembly.
+  */
+object ObservabilityExt21 {
+
+  private def events(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "events")
+
+  private def spans(s: SparkSession, dir: String): DataFrame =
+    SpanAssembly.beginEndSpans(events(s, dir), "user_id", epochMs(col("ts")), "event_id",
+      "event_type", col("event_type").isin("signup", "view"))
+
+  /** Target merge-group payload size. Test-data blocks average ~9
+    * bytes (props-length playback), so 64 exercises multi-group
+    * plans at every SF; a real deployment sets this to its partition
+    * size target (e.g. 256 MiB).
+    */
+  private val targetBytes = 64L
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("m_compaction_plan", (s, dir) => {
+      val blocks = new graft.Lakehouse(s, dir).blocks
+      val w = Window.partitionBy("process_id", "stream_tag")
+        .orderBy("block_start_ms")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      blocks
+        .withColumn("prior_bytes",
+          coalesce(sum("payload_bytes").over(w), lit(0L)))
+        .withColumn("group_id", expr(s"prior_bytes div $targetBytes"))
+        .groupBy("process_id", "stream_tag", "group_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum("payload_bytes").as("group_bytes"),
+          sum("nb_objects").as("group_objects"),
+          min("block_start_ms").as("first_block_ms"),
+          max("block_start_ms").as("last_block_ms"))
+        .orderBy("process_id", "stream_tag", "group_id")
+    }, Some(s"""
+      WITH b AS (
+        SELECT CAST(user_id AS VARCHAR) AS process_id, event_type AS stream_tag,
+          epoch_ms(ts) - epoch_ms(ts) % 60000 AS block_start_ms,
+          CAST(count(*) AS BIGINT) AS nb_objects,
+          CAST(sum(length(props)) AS BIGINT) AS payload_bytes
+        FROM events GROUP BY 1, 2, 3),
+      g AS (
+        SELECT *, COALESCE(SUM(payload_bytes) OVER (
+            PARTITION BY process_id, stream_tag ORDER BY block_start_ms
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS prior_bytes
+        FROM b)
+      SELECT process_id, stream_tag,
+        CAST(prior_bytes // $targetBytes AS BIGINT) AS group_id,
+        CAST(count(*) AS BIGINT) AS n_blocks,
+        CAST(sum(payload_bytes) AS BIGINT) AS group_bytes,
+        CAST(sum(nb_objects) AS BIGINT) AS group_objects,
+        min(block_start_ms) AS first_block_ms,
+        max(block_start_ms) AS last_block_ms
+      FROM g GROUP BY 1, 2, 3
+      ORDER BY process_id, stream_tag, group_id""")),
+
+    GraftQuery("m_depth_profile", (s, dir) => {
+      spans(s, dir)
+        .groupBy(col("user_id"), col("depth"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum("duration_ms").as("total_duration_ms"),
+          max("duration_ms").as("max_duration_ms"))
+        .orderBy("user_id", "depth")
+    }, Some(s"""${ObservabilityExt2.oracleSpansCte("")}
+      SELECT user_id, depth, CAST(count(*) AS BIGINT) AS n_spans,
+        CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms,
+        max(duration_ms) AS max_duration_ms
+      FROM spans GROUP BY 1, 2
+      ORDER BY user_id, depth""")))
+}
