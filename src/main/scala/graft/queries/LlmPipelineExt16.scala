@@ -3,6 +3,7 @@ package graft.queries
 import graft.GraftQuery
 import graft.operators.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-7 third tranche: tokenizer-health + boilerplate symmetry.
@@ -57,6 +58,56 @@ object LlmPipelineExt16 {
         CAST(sum(subwords) AS BIGINT) * 10000 // CAST(sum(words) AS BIGINT) AS fertility_e4
       FROM t GROUP BY 1, 2
       ORDER BY lang, source""")),
+
+    GraftQuery("l_mixture_epochs", (s, dir) => {
+      // data-constrained epoch accounting (Muennighoff et al. 2023
+      // "Scaling Data-Constrained Language Models" lineage): under a
+      // training budget of 2× the corpus, each source's UNIFORM share
+      // implies an epoch count over its available tokens —
+      // epochs_e4 = share·1e4 div available — plus the repeated-token
+      // mass and the >4-epochs flag (the point where repetition's
+      // value decays in the paper's fits). The planning table that
+      // says WHICH sources the mixture will be forced to repeat.
+      // Exact integers end-to-end; the budget/share scalars ride a
+      // 1-row broadcast; the remainder election ranks sources by name
+      // (deterministic, sources ≪ corpus).
+      val toks = docs(s, dir)
+        .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("t"))
+        .groupBy("source").agg(sum("t").as("n_tokens"))
+      val tot = toks.agg(sum("n_tokens").as("tot"),
+        count(lit(1)).as("n_sources"))
+      val w = Window.orderBy("source")
+      toks.crossJoin(broadcast(tot))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        // budget = 2·tot, split evenly; first (budget % n_sources)
+        // sources by name absorb the remainder so shares sum EXACTLY
+        .withColumn("share",
+          expr("(2 * tot) div n_sources + if(rk <= (2 * tot) % n_sources, 1, 0)"))
+        .withColumn("epochs_e4", expr("share * 10000 div n_tokens"))
+        .withColumn("repeated_tokens", greatest(col("share") - col("n_tokens"), lit(0L)))
+        .withColumn("over_4_epochs", (col("epochs_e4") > 40000L).cast("boolean"))
+        .select("source", "n_tokens", "share", "epochs_e4", "repeated_tokens",
+          "over_4_epochs")
+        .orderBy("source")
+    }, Some("""
+      WITH toks AS (
+        SELECT source,
+          SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS n_tokens
+        FROM documents GROUP BY 1),
+      tot AS (SELECT SUM(n_tokens) AS tot, CAST(COUNT(*) AS BIGINT) AS n_sources FROM toks),
+      rk AS (
+        SELECT toks.*, tot.*, ROW_NUMBER() OVER (ORDER BY source) AS rk
+        FROM toks CROSS JOIN tot),
+      sh AS (
+        SELECT *, (2 * tot) // n_sources
+            + CASE WHEN rk <= (2 * tot) % n_sources THEN 1 ELSE 0 END AS share
+        FROM rk)
+      SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(share AS BIGINT) AS share,
+        CAST(share * 10000 // n_tokens AS BIGINT) AS epochs_e4,
+        CAST(greatest(share - n_tokens, 0) AS BIGINT) AS repeated_tokens,
+        share * 10000 // n_tokens > 40000 AS over_4_epochs
+      FROM sh ORDER BY source""")),
 
     GraftQuery("l_suffix_families", (s, dir) => {
       // last `suffixTokens` tokens via a clamped POSITIVE start index:

@@ -21,6 +21,10 @@ import org.apache.spark.sql.functions._
   *    per stream-partition. Metadata-only: the planner never touches
   *    payload rows, and the window runs per (process, stream) — the
   *    natural compaction domain — never globally.
+  *  - `m_seasonal_baseline`: hour-of-day seasonal deviation — counts
+  *    scored against their type's same-hour-of-day mean across days
+  *    (diurnal-aware, unlike M60's flat daily baseline), exact e4
+  *    integers, windows keyed per (name, hour-of-day).
   *  - `m_depth_profile`: per-process call-stack depth profile over
   *    assembled thread spans: span count, total and max duration per
   *    (process, depth). The "is this process's latency in leaf calls
@@ -83,6 +87,53 @@ object ObservabilityExt21 {
         max(block_start_ms) AS last_block_ms
       FROM g GROUP BY 1, 2, 3
       ORDER BY process_id, stream_tag, group_id""")),
+
+    GraftQuery("m_seasonal_baseline", (s, dir) => {
+      // hour-of-day seasonal anomaly detection: each (event type, day,
+      // hour-of-day) count scored against that type's SAME-hour-of-day
+      // mean across all days — the diurnal-pattern-aware deviation M60's
+      // flat per-day baseline can't express (9am traffic is not 3am
+      // traffic). Exact integers: deviation_e4 = (cnt·nDays − total)·1e4
+      // div total ≡ (cnt − mean)/mean without materializing the mean.
+      // Shapes: one partial agg to the (name × day × hod) grid, a
+      // window keyed per (name, hod) — 24 cells per name per day-count,
+      // never global — and the day-count scalar broadcast. Only cells
+      // deviating ≥ ±50% from their seasonal norm surface.
+      val e = events(s, dir)
+      val ms = epochMs(col("ts"))
+      val cells = e.groupBy(col("event_type").as("name"),
+          epochMs(date_trunc("day", col("ts"))).as("day_ms"),
+          ((ms % lit(86400000L)) / lit(3600000L)).cast("long").as("hod"))
+        .agg(count(lit(1)).as("cnt"))
+      val nDays = e.select(
+        countDistinct(date_trunc("day", col("ts"))).as("n_days"))
+      val w = Window.partitionBy("name", "hod")
+      cells.withColumn("hod_total", sum("cnt").over(w))
+        .crossJoin(broadcast(nDays))
+        .withColumn("deviation_e4",
+          expr("(cnt * n_days - hod_total) * 10000 div hod_total"))
+        .where(abs(col("deviation_e4")) >= 5000)
+        .select("name", "day_ms", "hod", "cnt", "hod_total", "n_days", "deviation_e4")
+        .orderBy("name", "day_ms", "hod")
+    }, Some("""
+      WITH cells AS (
+        SELECT event_type AS name,
+          epoch_ms(ts) - epoch_ms(ts) % 86400000 AS day_ms,
+          (epoch_ms(ts) % 86400000) // 3600000 AS hod,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2, 3),
+      nd AS (
+        SELECT CAST(count(DISTINCT epoch_ms(ts) - epoch_ms(ts) % 86400000) AS BIGINT)
+          AS n_days FROM events),
+      t AS (
+        SELECT *, SUM(cnt) OVER (PARTITION BY name, hod) AS hod_total
+        FROM cells)
+      SELECT name, day_ms, CAST(hod AS BIGINT) AS hod, cnt,
+        CAST(hod_total AS BIGINT) AS hod_total, n_days,
+        CAST((cnt * n_days - hod_total) * 10000 // hod_total AS BIGINT) AS deviation_e4
+      FROM t CROSS JOIN nd
+      WHERE abs((cnt * n_days - hod_total) * 10000 // hod_total) >= 5000
+      ORDER BY name, day_ms, hod""")),
 
     GraftQuery("m_depth_profile", (s, dir) => {
       spans(s, dir)
