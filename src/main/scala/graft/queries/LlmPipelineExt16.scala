@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *    corpus reduces to one partial-agg pass, ratios on the
   *    (lang × source) grid.
   *  - `l_suffix_families`: shared-SUFFIX boilerplate families — docs
-  *    keyed by their last-10-token hash: the footer/disclaimer/
+  *    keyed by their last-k-token hash: the footer/disclaimer/
   *    signature counterpart of L52's prefix families (headers).
   *    Same one-HashAggregate shape; families of ≥2 docs with a
   *    deterministic keeper election.
@@ -57,7 +57,7 @@ object LlmPipelineExt16 {
         CAST(sum(subwords) AS BIGINT) AS total_subwords,
         CAST(sum(subwords) AS BIGINT) * 10000 // CAST(sum(words) AS BIGINT) AS fertility_e4
       FROM t GROUP BY 1, 2
-      ORDER BY lang, source""")),
+      ORDER BY lang, source"""), headline = true),
 
     GraftQuery("l_mixture_epochs", (s, dir) => {
       // data-constrained epoch accounting (Muennighoff et al. 2023

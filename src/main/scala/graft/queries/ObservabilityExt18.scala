@@ -103,6 +103,6 @@ object ObservabilityExt18 {
         CAST(MAX(abs(cdf_before - cdf_after)) AS BIGINT) AS ks_e4,
         CAST(CASE WHEN MAX(abs(cdf_before - cdf_after)) >= 2000 THEN 1 ELSE 0 END AS BIGINT)
           AS shifted
-      FROM wide GROUP BY 1 ORDER BY name"""))
+      FROM wide GROUP BY 1 ORDER BY name"""), headline = true)
   )
 }

@@ -86,7 +86,7 @@ object ObservabilityExt21 {
         min(block_start_ms) AS first_block_ms,
         max(block_start_ms) AS last_block_ms
       FROM g GROUP BY 1, 2, 3
-      ORDER BY process_id, stream_tag, group_id""")),
+      ORDER BY process_id, stream_tag, group_id"""), headline = true),
 
     GraftQuery("m_seasonal_baseline", (s, dir) => {
       // hour-of-day seasonal anomaly detection: each (event type, day,
