@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Mechanical scale audit over EVERY registered query — the two
+  * plan-shape failure classes the per-round reviews hunt by hand,
+  * automated so a refactor can't sneak one in:
+  *
+  *  1. `CartesianProductExec` anywhere (subqueries included): an
+  *     unkeyed all-pairs join is never acceptable — every
+  *     pair-generating operator must go through a keyed join (LSH
+  *     bands, posting lists, fingerprints, buckets). Scalar 1-row
+  *     broadcasts plan as BroadcastNestedLoopJoin and don't trip this.
+  *  2. Unpartitioned `WindowExec` (empty PARTITION BY): moves the
+  *     whole input through one task. Allowed ONLY where the window's
+  *     input is provably bounded by something other than data volume
+  *     (a wall-clock grid, the source list, the vocabulary) — those
+  *     queries are whitelisted WITH their bound, and the whitelist
+  *     self-expires: an entry whose query no longer plans a global
+  *     window fails the spec, so stale justifications can't linger.
+  *
+  * Plans are built (and AQE finalized by the builders' own eager
+  * steps where present) at sf0.001 — the SHAPE is SF-invariant; the
+  * budget probes in PLANS.md cover the magnitudes.
+  */
+class ScaleInvariantSpec extends SparkSpec {
+
+  /** query → why its global window's input is bounded (the documented
+    * exception class from PLANS.md / SURVEY §4).
+    */
+  private val globalWindowBounds: Map[String, String] = Map(
+    "m_trace_events" -> "per-trace event rows of ONE process (JIT instance)",
+    "m_perfetto_packets" -> "packet sequencing over per-process chunk rows",
+    "m_props_dict" -> "distinct property SETS (dictionary, ≪ rows)",
+    "m_funnel" -> "per-user step grid after per-user reduction",
+    "m_error_bursts" -> "minute grid (wall-clock bounded)",
+    "m_concurrency" -> "minute grid (wall-clock bounded, aggregate-below-window pinned)",
+    "m_series_novelty" -> "day grid after series-grain election",
+    "m_error_budget" -> "day grid",
+    "l_bigram_lm" -> "continuation-type rows (vocabulary-bounded)",
+    "l_token_apportion" -> "source list",
+    "l_vocab_curve" -> "vocabulary types (PLANS.md documents the bound)",
+    "l_novelty_curve" -> "day grid of first-appearance counts",
+    "l_mixture_epochs" -> "source list")
+
+  private def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+    f(p)
+    val kids: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case o => o.children
+    }
+    p.subqueries.foreach(walk(_)(f))
+    kids.foreach(walk(_)(f))
+  }
+
+  test("no cartesian products; global windows only where input is grid/vocab-bounded") {
+    val violations = Seq.newBuilder[String]
+    val sawGlobal = Set.newBuilder[String]
+    SparkEntry.allQueries.foreach { q =>
+      val plan = q.fn(spark, sfDir).queryExecution.executedPlan
+      var cart = 0; var gw = 0
+      walk(plan) {
+        case _: CartesianProductExec => cart += 1
+        case w: WindowExec if w.partitionSpec.isEmpty => gw += 1
+        case _ => ()
+      }
+      if (cart > 0) violations += s"${q.name}: $cart CartesianProductExec"
+      if (gw > 0) {
+        sawGlobal += q.name
+        if (!globalWindowBounds.contains(q.name))
+          violations += s"${q.name}: $gw unpartitioned WindowExec (not whitelisted)"
+      }
+    }
+    val stale = globalWindowBounds.keySet -- sawGlobal.result()
+    assert(stale.isEmpty, s"whitelist entries with no global window anymore: $stale")
+    assert(violations.result().isEmpty,
+      "scale invariants violated:\n" + violations.result().mkString("\n"))
+  }
+}
