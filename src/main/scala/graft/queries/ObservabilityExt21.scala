@@ -135,6 +135,68 @@ object ObservabilityExt21 {
       WHERE abs((cnt * n_days - hod_total) * 10000 // hod_total) >= 5000
       ORDER BY name, day_ms, hod""")),
 
+    GraftQuery("m_hll_daily_merge", (s, dir) => {
+      // distinct-users-over-any-range from DAILY sketches — the reason
+      // mergeable sketches exist in a lakehouse: the daily register
+      // table is what a materializer persists per day partition
+      // (16 rows per (type, day)); answering a two-week question then
+      // touches sketch rows, never raw events. Spark takes the
+      // daily-merge route (registers per (type, day) → max-merge over
+      // the queried days); the ORACLE builds registers directly over
+      // the range — the hash match proves max-merge associativity
+      // cross-engine. Exact count joined alongside for honesty, as in
+      // q_hll_sketch.
+      val from = 1704672000000L // 2024-01-08T00:00Z
+      val until = 1705881600000L // 2024-01-22T00:00Z (exclusive)
+      val e = events(s, dir)
+      val daily = graft.operators.Hll.registers(
+        e.withColumn("day_ms", epochMs(date_trunc("day", col("ts")))),
+        Seq("event_type", "day_ms"), col("user_id"))
+      val merged = daily
+        .where(col("day_ms") >= from && col("day_ms") < until)
+        .groupBy("event_type", "idx").agg(max("mrho").as("mrho"))
+      val sk = graft.operators.Hll.estimate(merged, Seq("event_type"))
+      val ex = e.where(epochMs(col("ts")) >= from && epochMs(col("ts")) < until)
+        .groupBy("event_type").agg(countDistinct("user_id").as("exact_users"))
+      sk.join(broadcast(ex), "event_type")
+        .select(col("event_type"), col("n_reg"), col("n_zero"),
+          round(col("hll_estimate"), 2).as("hll_estimate"), col("exact_users"))
+        .orderBy("event_type")
+    }, Some("""
+      WITH x AS (
+        SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+        WHERE epoch_ms(ts) >= 1704672000000 AND epoch_ms(ts) < 1705881600000),
+      p AS (
+        SELECT event_type,
+          CAST(('0x' || substr(h, 1, 1)) AS INTEGER) AS idx,
+          ltrim(substr(h, 2, 12), '0') AS r
+        FROM x),
+      rr AS (
+        SELECT event_type, idx,
+          CASE WHEN length(r) = 0 THEN 49
+               ELSE (12 - length(r)) * 4 +
+                 CASE WHEN substr(r,1,1) = '1' THEN 3
+                      WHEN substr(r,1,1) IN ('2','3') THEN 2
+                      WHEN substr(r,1,1) IN ('4','5','6','7') THEN 1
+                      ELSE 0 END + 1 END AS rho
+        FROM p),
+      regs AS (SELECT event_type, idx, max(rho) AS mrho FROM rr GROUP BY 1, 2),
+      sk AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_reg,
+          CAST(sum(CAST(power(2.0, 49 - mrho) AS BIGINT)) AS BIGINT) +
+            (16 - CAST(count(*) AS BIGINT)) * 562949953421312 AS den
+        FROM regs GROUP BY 1),
+      ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+             FROM events
+             WHERE epoch_ms(ts) >= 1704672000000 AND epoch_ms(ts) < 1705881600000
+             GROUP BY 1)
+      SELECT sk.event_type, n_reg, 16 - n_reg AS n_zero,
+        round(CAST(0.673 AS DOUBLE) * CAST(256.0 AS DOUBLE) * CAST(562949953421312.0 AS DOUBLE)
+              / CAST(den AS DOUBLE), 2) AS hll_estimate,
+        exact_users
+      FROM sk JOIN ex USING (event_type)
+      ORDER BY event_type""")),
+
     GraftQuery("m_depth_profile", (s, dir) => {
       spans(s, dir)
         .groupBy(col("user_id"), col("depth"))
