@@ -275,6 +275,11 @@ object QueryAudit {
       spark.createDataFrame(snap)
     }
 
+    /** Raw snapshot for driver-side consumers (the Verify resource
+      * profile) that shouldn't pay a Spark job per read.
+      */
+    def recordsRaw(): Seq[Record] = buf.asScala.toSeq
+
     /** Listener-bus dispatch is async; tests and read-your-writes
       * clients wait until at least `n` records have landed.
       */

@@ -27,6 +27,12 @@ object Verify {
       import scala.jdk.CollectionConverters._
       Files.walk(stale).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
+    // per-query resource profile (reference #1406's audit applied to
+    // the gate itself): peak memory / spill / wall duration from the
+    // executed plans' Tungsten metrics, written next to the forensics
+    val audit = QueryAudit.attach(spark, maxRecords = 16)
+    val profile = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Double)]()
+    var lastAuditId = 0L
     SparkEntry.queries.filter(kv => only.isEmpty || only(kv._1)).foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -45,6 +51,16 @@ object Verify {
               Forensics.report(written))
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name forensics skipped: ${e.getMessage}")
+        }
+        // listener delivery is async: give this query's records a
+        // moment to land, then attribute everything newer than the
+        // previous query's high-water id to this query
+        try audit.awaitQuiesce(lastAuditId + 1, 5000) catch { case _: Throwable => () }
+        val recs = audit.recordsRaw().filter(_.query_id > lastAuditId)
+        if (recs.nonEmpty) {
+          lastAuditId = recs.map(_.query_id).max
+          profile(name) = (recs.map(_.peak_memory_bytes).max,
+            recs.map(_.spilled_bytes).sum, recs.map(_.duration_ms).sum)
         }
       }
       catch { case e: Throwable =>
@@ -75,6 +91,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val prof = profile.map { case (n, (peak, spill, ms)) =>
+      s"${q(n)}: {\"peak_memory_bytes\": $peak, \"spilled_bytes\": $spill, " +
+        s"\"duration_ms\": ${"%.1f".format(ms)}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$fDir/_resource_profile.json"), prof)
     spark.stop()
   }
 }
