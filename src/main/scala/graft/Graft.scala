@@ -270,6 +270,60 @@ object Graft {
         s"ORDER BY begin_ms, event_id LIMIT $limit",
       beginMicros, endMicros)
 
+  /** bulk_ingest analog (python/micromegas/micromegas/flightsql/
+    * client.py:533): append client-provided rows to a lake table. The
+    * reference validates the record batches against the replication
+    * table's schema server-side and appends; here the schema gate is
+    * exact StructType equality against the existing table (names,
+    * types, order — a silently-coerced append would corrupt every
+    * downstream oracle), the write is a parquet append, and the
+    * session's registered views are refreshed so the new rows are
+    * queryable immediately. Returns rows ingested.
+    */
+  def bulkIngest(spark: SparkSession, dir: String, tableName: String,
+      rows: org.apache.spark.sql.DataFrame): Long = {
+    require(tableName.matches("[A-Za-z0-9_]+"), s"invalid table name: $tableName")
+    val path = s"$dir/$tableName.parquet"
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(target)) {
+      require(fs.getFileStatus(target).isDirectory,
+        s"$path is a single-file table (read-only source data); bulk ingest " +
+          "targets directory-backed lake tables")
+      val existing = spark.read.parquet(path).schema
+      // names, types and ORDER must match; nullability deliberately
+      // excluded — parquet round-trips every column nullable, so a
+      // fresh batch's non-null primitives would never append otherwise
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.toSeq.map(f => (f.name, f.dataType))
+      require(shape(existing) == shape(rows.schema),
+        s"schema mismatch for $tableName: table has $existing, batch has ${rows.schema}")
+    }
+    val n = rows.count()
+    rows.write.mode("append").parquet(path)
+    refreshViews(spark)
+    n
+  }
+
+  /** Admin RPC analogs, 1:1 with the Python client surface
+    * (client.py:607 retire_partitions, :660 materialize_partitions,
+    * :716 regenerate_partitions) — thin client-side names over the
+    * engine's Materialize operator, which owns the semantics
+    * (closed-day immutability, atomic open-day swap, directory-level
+    * retirement).
+    */
+  def retirePartitions(spark: SparkSession, outDir: String, beforeDate: String)
+      : operators.Materialize.RetireStats =
+    operators.Materialize.retireByDay(spark, outDir, beforeDate)
+
+  def materializePartitions(spark: SparkSession, stats: DataFrame, outDir: String)
+      : operators.Materialize.UpdateStats =
+    operators.Materialize.updateByDay(spark, stats, outDir)
+
+  def regeneratePartitions(spark: SparkSession, stats: DataFrame, outDir: String,
+      day: String): Long =
+    operators.Materialize.regenerateDay(spark, stats, outDir, day)
+
   /** write_process_trace analog (python/micromegas/micromegas/
     * perfetto.py): generate one process's Perfetto trace chunks and
     * concatenate them into a local .perfetto-trace file — the
