@@ -38,6 +38,12 @@ object Bench {
     // carries reps plus per-query MEDIANS next to the bests so a noisy
     // outlier round is identifiable from the artifact alone.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "9").toInt.max(1)
+    // per-query peak execution memory rides along (QueryAudit sums the
+    // executed plans' Tungsten peakMemory metrics): the throughput
+    // number alone can hide a plan that got faster by ballooning its
+    // hash tables — at cluster scale that trade matters
+    val audit = QueryAudit.attach(spark, maxRecords = reps * 4)
+    var lastAuditId = 0L
     val results = SparkEntry.headlineQueries.map { q =>
       // a failed query reports -1 per query and poisons the total to
       // null below — a failure must never improve the headline number
@@ -50,13 +56,19 @@ object Bench {
       val ok = !times.exists(_ < 0)
       val sorted = times.sorted
       val median = sorted(reps / 2)
-      (q.name, if (ok) times.min else -1.0, if (ok) median else -1.0)
+      try audit.awaitQuiesce(lastAuditId + 1, 2000) catch { case _: Throwable => () }
+      val recs = audit.recordsRaw().filter(_.query_id > lastAuditId)
+      val peakMb = if (recs.isEmpty) -1L
+        else recs.map(_.peak_memory_bytes).max >> 20
+      if (recs.nonEmpty) lastAuditId = recs.map(_.query_id).max
+      (q.name, if (ok) times.min else -1.0, if (ok) median else -1.0, peakMb)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val meds = results.map { case (k, _, m) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val meds = results.map { case (k, _, m, _) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
+    val peaks = results.map { case (k, _, _, p) => "\"" + k + "\":" + p }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = if (failed > 0) "null" else results.map(_._2).sum.toString
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failed,"queries":$qs,"medians":$meds,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failed,"queries":$qs,"medians":$meds,"peak_mem_mb":$peaks,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
