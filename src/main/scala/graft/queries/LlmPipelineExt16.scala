@@ -59,6 +59,90 @@ object LlmPipelineExt16 {
       FROM t GROUP BY 1, 2
       ORDER BY lang, source"""), headline = true),
 
+    GraftQuery("l_gopher_rules", (s, dir) => {
+      // the full Gopher rule battery (Rae et al. 2021 §A1.1.1), the
+      // OTHER named heuristic gate next to L33's C4 rules — every
+      // comparison integer-exact (cross-multiplied, no ratios):
+      //   word count in [50, 100000]
+      //   mean word length in [3, 10]        ⇔ 3w ≤ chars ≤ 10w
+      //   symbol-to-word ratio ('#'/'...') ≤ 0.1 ⇔ 10·sym ≤ w
+      //   bullet-start lines ≤ 10%           ⇔ 10·bullet ≤ lines
+      //   ellipsis-end lines ≤ 30%           ⇔ 10·ell ≤ 3·lines
+      //   words with an alphabetic char ≥ 80% ⇔ 5·alpha ≥ 4·w
+      //   ≥ 2 of the 8 Gopher stopwords present
+      // Per-row string arithmetic only — the gate rides the scan with
+      // NO shuffle; one output sort. (L17 covers the top-word-fraction
+      // repetition rule of the same paper.)
+      val words = split(trim(col("text")), "\\s+")
+      val lines = split(col("text"), "\n")
+      val sw = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val d = docs(s, dir).select(col("doc_id"),
+        size(words).cast("long").as("w"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("chars"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
+          (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+          .cast("long").as("sym"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => ltrim(l).startsWith("-") || ltrim(l).startsWith("*")))
+          .cast("long").as("bullet_lines"),
+        size(filter(lines, l => rtrim(l).endsWith("..."))).cast("long").as("ellipsis_lines"),
+        size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long").as("alpha_words"),
+        sw.map(t => array_contains(words, t).cast("long")).reduce(_ + _).as("stopword_hits"))
+      d.select(col("doc_id"), col("w").as("n_words"), col("stopword_hits"),
+          (col("w") >= 50L && col("w") <= 100000L).as("r_word_count"),
+          (col("chars") >= lit(3L) * col("w") && col("chars") <= lit(10L) * col("w"))
+            .as("r_mean_word_len"),
+          (lit(10L) * col("sym") <= col("w")).as("r_symbol_ratio"),
+          (lit(10L) * col("bullet_lines") <= col("n_lines")).as("r_bullets"),
+          (lit(10L) * col("ellipsis_lines") <= lit(3L) * col("n_lines")).as("r_ellipsis"),
+          (lit(5L) * col("alpha_words") >= lit(4L) * col("w")).as("r_alpha_words"),
+          (col("stopword_hits") >= 2L).as("r_stopwords"))
+        .withColumn("passes_all",
+          col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+            col("r_bullets") && col("r_ellipsis") && col("r_alpha_words") && col("r_stopwords"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words,
+          string_split(text, chr(10)) AS lines,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
+          CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS chars,
+          CAST((length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS sym
+        FROM documents),
+      m AS (
+        SELECT doc_id, w, chars, sym,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(list_filter(lines, x -> starts_with(ltrim(x), '-')
+            OR starts_with(ltrim(x), '*'))) AS BIGINT) AS bullet_lines,
+          CAST(len(list_filter(lines, x -> ends_with(rtrim(x), '...'))) AS BIGINT)
+            AS ellipsis_lines,
+          CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+            AS alpha_words,
+          CAST(CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END AS BIGINT)
+            AS stopword_hits
+        FROM t)
+      SELECT doc_id, w AS n_words, stopword_hits,
+        w >= 50 AND w <= 100000 AS r_word_count,
+        chars >= 3*w AND chars <= 10*w AS r_mean_word_len,
+        10*sym <= w AS r_symbol_ratio,
+        10*bullet_lines <= n_lines AS r_bullets,
+        10*ellipsis_lines <= 3*n_lines AS r_ellipsis,
+        5*alpha_words >= 4*w AS r_alpha_words,
+        stopword_hits >= 2 AS r_stopwords,
+        (w >= 50 AND w <= 100000) AND (chars >= 3*w AND chars <= 10*w)
+          AND 10*sym <= w AND 10*bullet_lines <= n_lines
+          AND 10*ellipsis_lines <= 3*n_lines AND 5*alpha_words >= 4*w
+          AND stopword_hits >= 2 AS passes_all
+      FROM m ORDER BY doc_id""")),
+
     GraftQuery("l_mixture_epochs", (s, dir) => {
       // data-constrained epoch accounting (Muennighoff et al. 2023
       // "Scaling Data-Constrained Language Models" lineage): under a
