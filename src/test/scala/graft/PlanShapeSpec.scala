@@ -224,7 +224,15 @@ class PlanShapeSpec extends SparkSpec {
       ("l_quality_len_corr", 4, 0),  // one moment-sum agg per source
       ("l_dup_size_histogram", 4, 0),// two keyed partial aggs + sort
       ("l_split_bias", 4, 5),        // per-split grids; share scalars broadcast
-      ("l_novelty_curve", 7, 3))     // first-day election + per-day distinct
+      ("l_novelty_curve", 7, 3),     // first-day election + per-day distinct
+      ("m_compaction_plan", 4, 0),   // per-stream prefix-sum window + group agg + sort
+      ("m_depth_profile", 4, 1),     // span assembly + one partial agg
+      ("m_seasonal_baseline", 6, 1), // (name,day,hod) agg + keyed window; day-count broadcast
+      ("m_hll_daily_merge", 7, 1),   // daily registers → merge → estimate; exact companion broadcast
+      ("l_fertility", 3, 0),         // one conditional-agg pass
+      ("l_suffix_families", 4, 0),   // one HashAggregate on the suffix hash
+      ("l_mixture_epochs", 5, 1),    // per-source agg; scalars broadcast; source-rank window
+      ("l_gopher_rules", 2, 0))      // rides the scan; output sort only
     for ((q, maxSh, minBc) <- budgets) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
       assert(count(p, _.isInstanceOf[ShuffleExchangeLike]) <= maxSh, s"$q: shuffle budget")
