@@ -135,6 +135,54 @@ object ObservabilityExt21 {
       WHERE abs((cnt * n_days - hod_total) * 10000 // hod_total) >= 5000
       ORDER BY name, day_ms, hod""")),
 
+    GraftQuery("m_histo_calib", (s, dir) => {
+      // sketch-accuracy gate for the histogram family — the
+      // calibration discipline l_pq_recall (ANN) and l_minhash_calib
+      // (MinHash) already apply, closed over the third sketch: per
+      // event type, p95 from the 50-bin histogram vs the EXACT
+      // interpolated p95, plus the signed error. Both derivations in
+      // ONE partial-agg pass (the sketch UDAF and the exact percentile
+      // share a groupBy); at 100 TB the exact column is the audit you
+      // run on a sample to size the sketch's bin budget, the sketch is
+      // what dashboards serve.
+      graft.functions.GraftFunctions.register(s)
+      val h = events(s, dir).groupBy("event_type").agg(
+        graft.functions.Histograms.makeHistogram(0.0, 500.0, 50, col("value")).as("h"),
+        percentile(col("value"), lit(0.95)).as("p95e"))
+      h.select(col("event_type"),
+          round(graft.functions.Histograms.quantileFromHistogram(col("h"), 0.95), 4)
+            .as("p95_hist"),
+          round(col("p95e"), 4).as("p95_exact"),
+          round(graft.functions.Histograms.quantileFromHistogram(col("h"), 0.95)
+            - col("p95e"), 4).as("err"))
+        .orderBy("event_type")
+    }, Some("""
+      WITH c AS (
+        SELECT event_type,
+          LEAST(GREATEST(CAST(FLOOR(value/10.0) AS BIGINT), 0), 49) AS bin_idx,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      cum AS (
+        SELECT event_type, bin_idx, CAST(cnt AS DOUBLE) AS cnt,
+          CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin_idx) AS DOUBLE) AS cum,
+          CAST(SUM(cnt) OVER (PARTITION BY event_type) AS DOUBLE) AS total
+        FROM c),
+      est AS (
+        SELECT event_type,
+          min_by(
+            (1.0 - ((total*0.95 - (cum-cnt))/cnt)) * (0.0 + bin_idx*10.0)
+            + ((total*0.95 - (cum-cnt))/cnt) * (0.0 + (bin_idx+1)*10.0),
+            bin_idx) FILTER (WHERE cum >= total*0.95 AND cnt > 0) AS q
+        FROM cum GROUP BY event_type),
+      ex AS (
+        SELECT event_type, quantile_cont(value, 0.95) AS p95e
+        FROM events GROUP BY 1)
+      SELECT est.event_type, round(COALESCE(q, 500.0), 4) AS p95_hist,
+        round(p95e, 4) AS p95_exact,
+        round(COALESCE(q, 500.0) - p95e, 4) AS err
+      FROM est JOIN ex USING (event_type)
+      ORDER BY event_type""")),
+
     GraftQuery("m_hll_daily_merge", (s, dir) => {
       // distinct-users-over-any-range from DAILY sketches — the reason
       // mergeable sketches exist in a lakehouse: the daily register
