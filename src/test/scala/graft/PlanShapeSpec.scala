@@ -232,7 +232,8 @@ class PlanShapeSpec extends SparkSpec {
       ("l_fertility", 3, 0),         // one conditional-agg pass
       ("l_suffix_families", 4, 0),   // one HashAggregate on the suffix hash
       ("l_mixture_epochs", 5, 1),    // per-source agg; scalars broadcast; source-rank window
-      ("l_gopher_rules", 2, 0))      // rides the scan; output sort only
+      ("l_gopher_rules", 2, 0),      // rides the scan; output sort only
+      ("m_histo_calib", 3, 0))       // one shared groupBy; 5-row tail
     for ((q, maxSh, minBc) <- budgets) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
       assert(count(p, _.isInstanceOf[ShuffleExchangeLike]) <= maxSh, s"$q: shuffle budget")
