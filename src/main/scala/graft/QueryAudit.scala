@@ -190,6 +190,10 @@ object QueryAudit {
     private val idGen = new AtomicLong(0L)
     private val buf = new ConcurrentLinkedQueue[Record]()
     private val size = new AtomicLong(0L)
+    // highest query_id PUSHED (monotonic, survives ring eviction) —
+    // the quiesce signal; the ring size cannot serve that role, it is
+    // capped at maxRecords while ids grow without bound
+    private val highWaterId = new AtomicLong(0L)
 
     /** #1435 counter split: internal-only failures... */
     val queryFailed = new AtomicLong(0L)
@@ -204,6 +208,10 @@ object QueryAudit {
 
     private def push(r: Record): Unit = {
       buf.add(r)
+      var hw = highWaterId.get()
+      while (r.query_id > hw && !highWaterId.compareAndSet(hw, r.query_id)) {
+        hw = highWaterId.get()
+      }
       // bounded ring: the audit can outlive millions of queries on a
       // long-lived session without growing the driver heap
       if (size.incrementAndGet() > maxRecords) { buf.poll(); size.decrementAndGet() }
@@ -281,12 +289,15 @@ object QueryAudit {
     def recordsRaw(): Seq[Record] = buf.asScala.toSeq
 
     /** Listener-bus dispatch is async; tests and read-your-writes
-      * clients wait until at least `n` records have landed.
+      * clients wait until a record with query_id ≥ `n` has landed
+      * (ids are monotonic and survive ring eviction, so this works
+      * regardless of maxRecords).
       */
     def awaitQuiesce(n: Long, timeoutMs: Long = 30000): Unit = {
       val deadline = System.nanoTime() + timeoutMs * 1000000L
-      while (size.get() < n && System.nanoTime() < deadline) Thread.sleep(10)
-      require(size.get() >= n, s"audit quiesce timeout: ${size.get()} < $n records")
+      while (highWaterId.get() < n && System.nanoTime() < deadline) Thread.sleep(10)
+      require(highWaterId.get() >= n,
+        s"audit quiesce timeout: high-water id ${highWaterId.get()} < $n")
     }
 
     def recordCount: Long = size.get()
