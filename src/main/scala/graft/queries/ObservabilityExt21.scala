@@ -135,6 +135,88 @@ object ObservabilityExt21 {
       WHERE abs((cnt * n_days - hod_total) * 10000 // hod_total) >= 5000
       ORDER BY name, day_ms, hod""")),
 
+    GraftQuery("m_incident_context", (s, dir) => {
+      // cross-signal incident correlation — "what else fired around
+      // this burst": every error BURST (M70's maximal consecutive
+      // error minutes, ≥2 long) annotated with the metric threshold
+      // CROSSINGS (M36's upward-crossing alerts) inside the burst's
+      // ±5-minute context window. The triage join dashboards do by
+      // eye, as one query. Scale shape: bursts are wall-clock-minute
+      // bounded (tiny at any volume) and BROADCAST into the range
+      // join — the crossing stream never shuffles for it; the
+      // burstless-burst rows come back via a keyed left join against
+      // the aggregated hits.
+      val minuteMs = 60000L
+      val padMs = 300000L
+      val lim = 300.0
+      val e = events(s, dir)
+      val em = e.where(col("event_type") === "error")
+        .select(epochMs(col("ts")).as("t_ms"))
+        .select(expr(s"(t_ms div $minuteMs) * $minuteMs").as("minute_ms"))
+        .groupBy("minute_ms").agg(count(lit(1)).as("n_errors"))
+      val wI = Window.orderBy("minute_ms") // minute grid: bounded input
+      val bursts = em.withColumn("island",
+          col("minute_ms") - row_number().over(wI).cast("long") * minuteMs)
+        .groupBy("island")
+        .agg(min("minute_ms").as("burst_start_ms"), max("minute_ms").as("burst_end_ms"),
+          count(lit(1)).as("n_minutes"))
+        .where(col("n_minutes") >= 2)
+        .select("burst_start_ms", "burst_end_ms")
+      val wS = Window.partitionBy("user_id").orderBy(col("t_ms"), col("event_id"))
+      val crossings = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), epochMs(col("ts")).as("t_ms"), col("event_id"), col("value"))
+        .withColumn("prev", lag("value", 1).over(wS))
+        .where(col("value") > lim && col("prev").isNotNull && col("prev") <= lim)
+        .select("user_id", "t_ms")
+      val hits = crossings.join(broadcast(bursts),
+          col("t_ms") >= col("burst_start_ms") - padMs &&
+            col("t_ms") < col("burst_end_ms") + minuteMs + padMs)
+        .groupBy("burst_start_ms", "burst_end_ms")
+        .agg(count(lit(1)).as("n_crossings"),
+          countDistinct("user_id").as("n_series"),
+          min("t_ms").as("first_crossing_ms"))
+      bursts.join(hits, Seq("burst_start_ms", "burst_end_ms"), "left")
+        .select(col("burst_start_ms"), col("burst_end_ms"),
+          coalesce(col("n_crossings"), lit(0L)).as("n_crossings"),
+          coalesce(col("n_series"), lit(0L)).as("n_series"),
+          coalesce(col("first_crossing_ms"), lit(-1L)).as("first_crossing_ms"))
+        .orderBy("burst_start_ms")
+    }, Some("""
+      WITH em AS (
+        SELECT (epoch_ms(ts) // 60000) * 60000 AS minute_ms, COUNT(*) AS n
+        FROM events WHERE event_type = 'error' GROUP BY 1),
+      isl AS (
+        SELECT minute_ms,
+          minute_ms - ROW_NUMBER() OVER (ORDER BY minute_ms) * 60000 AS island
+        FROM em),
+      b AS (
+        SELECT MIN(minute_ms) AS burst_start_ms, MAX(minute_ms) AS burst_end_ms,
+          COUNT(*) AS n_minutes
+        FROM isl GROUP BY island),
+      bursts AS (
+        SELECT burst_start_ms, burst_end_ms FROM b WHERE n_minutes >= 2),
+      x AS (
+        SELECT user_id, epoch_ms(ts) AS t_ms, value,
+          LAG(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev
+        FROM events WHERE event_type = 'purchase'),
+      crossings AS (
+        SELECT user_id, t_ms FROM x
+        WHERE value > 300.0 AND prev IS NOT NULL AND prev <= 300.0),
+      hits AS (
+        SELECT burst_start_ms, burst_end_ms,
+          CAST(COUNT(*) AS BIGINT) AS n_crossings,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_series,
+          MIN(t_ms) AS first_crossing_ms
+        FROM crossings JOIN bursts
+          ON t_ms >= burst_start_ms - 300000 AND t_ms < burst_end_ms + 60000 + 300000
+        GROUP BY 1, 2)
+      SELECT b2.burst_start_ms, b2.burst_end_ms,
+        COALESCE(n_crossings, 0) AS n_crossings,
+        COALESCE(n_series, 0) AS n_series,
+        COALESCE(first_crossing_ms, -1) AS first_crossing_ms
+      FROM bursts b2 LEFT JOIN hits USING (burst_start_ms, burst_end_ms)
+      ORDER BY burst_start_ms""")),
+
     GraftQuery("m_histo_calib", (s, dir) => {
       // sketch-accuracy gate for the histogram family — the
       // calibration discipline l_pq_recall (ANN) and l_minhash_calib
