@@ -38,6 +38,7 @@ class ScaleInvariantSpec extends SparkSpec {
     "m_props_dict" -> "distinct property SETS (dictionary, ≪ rows)",
     "m_funnel" -> "per-user step grid after per-user reduction",
     "m_error_bursts" -> "minute grid (wall-clock bounded)",
+    "m_incident_context" -> "burst islands over the minute grid (wall-clock bounded)",
     "m_concurrency" -> "minute grid (wall-clock bounded, aggregate-below-window pinned)",
     "m_series_novelty" -> "day grid after series-grain election",
     "m_error_budget" -> "day grid",
