@@ -191,8 +191,16 @@ object LlmPipelineExt12 {
         .select(explode(split(trim(col("text")), "\\s+")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt")) // partial-agg: corpus → vocab
         .localCheckpoint() // ranked + totaled below; cut once
+      // only the global top-16000 (the largest curve point) can appear in
+      // the output, and any global top-K row is in its partition's top-K:
+      // per-partition pre-prune caps the global rank window's input at
+      // K × partitions rows even if the vocabulary grows with the corpus
+      val maxV = 500L << 5
+      val pre = types.withColumn("prk", row_number().over(
+          Window.partitionBy(spark_partition_id()).orderBy(col("cnt").desc, col("w"))))
+        .where(col("prk") <= maxV).drop("prk")
       val wr = Window.orderBy(col("cnt").desc, col("w"))
-      val ranked = types.withColumn("rk", row_number().over(wr).cast("long"))
+      val ranked = pre.withColumn("rk", row_number().over(wr).cast("long"))
       val total = types.agg(sum("cnt").as("total"))
       val thresholds = (0 to 5).map(i => 500L << i) // 500..16000
       val vs = s.createDataFrame(thresholds.map(Tuple1(_))).toDF("vocab_size")

@@ -45,6 +45,8 @@ class ScaleInvariantSpec extends SparkSpec {
     "l_bigram_lm" -> "continuation-type rows (vocabulary-bounded)",
     "l_token_apportion" -> "source list",
     "l_vocab_curve" -> "vocabulary types (PLANS.md documents the bound)",
+    "m_top_talkers" -> "process grid (fleet-bounded, counts pre-aggregated map-side)",
+    "l_keyword_topk" -> "term election over the type table (vocabulary-bounded) + rank over the top-20 rows",
     "l_novelty_curve" -> "day grid of first-appearance counts",
     "l_mixture_epochs" -> "source list")
 
