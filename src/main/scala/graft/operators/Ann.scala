@@ -149,6 +149,44 @@ object Ann {
       .where(col("rk") <= k)
   }
 
+  /** Recall-sweep over several probe depths from ONE index build: the
+    * corpus is assigned to its nearest centroid once (that assignment
+    * IS the inverted-list build — at scale it's materialized, not
+    * recomputed per operating point), queries are probed once at
+    * max(probes), and every smaller depth is evaluated from the same
+    * candidate set — a list probed at rank r is probed by every
+    * nprobe ≥ r. Each candidate's cosine is computed once, shared by
+    * all depths. Returns (nprobe, query_id, neighbor_id, cos, rk ≤ k).
+    */
+  def ivfTopKSweep(corpus: DataFrame, queries: DataFrame, nCentroids: Int,
+      probes: Seq[Int], k: Int): DataFrame = {
+    val cents = prepVecs(corpus.where(col("vec_id") < nCentroids))
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"), col("nrm").as("cnrm"))
+    def nearestCents(df: DataFrame, n: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("e"), col("nrm"), col("cent_id"),
+          (dot(col("e"), col("ce")) / (col("nrm") * col("cnrm"))).as("csim"))
+      val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+      scored.withColumn("crk", row_number().over(w)).where(col("crk") <= n)
+        .drop("csim")
+    }
+    val assigned = nearestCents(prepVecs(corpus), 1)
+      .select(col("cent_id"), col("vec_id").as("c_id"), col("e").as("c_e"), col("nrm").as("c_nrm"))
+    val probed = nearestCents(prepVecs(queries), probes.max) // keeps crk
+    val grid = corpus.sparkSession
+      .createDataFrame(probes.map(p => Tuple1(p.toLong))).toDF("nprobe")
+    val cand = assigned.join(broadcast(probed), Seq("cent_id"))
+      .where(col("vec_id") =!= col("c_id"))
+      .select(col("vec_id").as("query_id"), col("crk"),
+        col("c_id").as("neighbor_id"),
+        (dot(col("e"), col("c_e")) / (col("nrm") * col("c_nrm"))).as("cos"))
+    cand.crossJoin(broadcast(grid)).where(col("crk") <= col("nprobe"))
+      .groupBy("nprobe", "query_id", "neighbor_id").agg(max("cos").as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("nprobe", "query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rk") <= k)
+  }
+
   /** IVF-flat ANN with deterministic sample centroids (vec_id <
     * nCentroids) — the oracle-checkable configuration; see
     * [[ivfTopKWith]] / [[kmeansRefine]] for the trained-centroid path.

@@ -133,12 +133,12 @@ object LlmPipelineExt17 {
       val q = e.where(col("vec_id") < 5)
       val exact = Ann.bruteForceTopK(e, q, k = 5)
         .select("query_id", "neighbor_id")
-        .localCheckpoint() // 25 rows; the three probe variants each join it
       val probes = Seq(1, 2, 4)
-      val ivf = probes.map { np =>
-        Ann.ivfTopK(e, q, nCentroids = 16, nProbe = np, k = 5)
-          .select(lit(np.toLong).as("nprobe"), col("query_id"), col("neighbor_id"))
-      }.reduce(_ union _)
+      // one inverted-list build + one probe pass serves all three
+      // operating points (a list probed at rank r is probed by every
+      // nprobe ≥ r) — not three independent index scans
+      val ivf = Ann.ivfTopKSweep(e, q, nCentroids = 16, probes, k = 5)
+        .select("nprobe", "query_id", "neighbor_id")
       val hits = ivf.join(exact, Seq("query_id", "neighbor_id"))
         .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
       val grid = s.createDataFrame(probes.map(p => Tuple1(p.toLong))).toDF("nprobe")

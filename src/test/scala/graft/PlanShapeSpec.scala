@@ -241,4 +241,30 @@ class PlanShapeSpec extends SparkSpec {
       assert(count(p, _.isInstanceOf[CartesianProductExec]) == 0, s"$q: cartesian product")
     }
   }
+
+  test("round-8 tranche: exchange budgets hold, no cartesian anywhere") {
+    // measured shapes (sf0.001, AQE final plans, PlanCount) + one unit
+    // of headroom; min-broadcast only where the broadcast is structural
+    // (threshold/grid/term/scalar tables), not an AQE size decision.
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val budgets = Seq(
+      ("m_block_gaps", 4, 0),          // blocks agg + per-stream lag window + group agg
+      ("m_tail_attribution", 5, 0),    // span assembly + per-name rank; thresholds broadcast —
+                                       // but at sf0.001 the tail is empty and AQE collapses the
+                                       // tree to EmptyRelation, so no exchange survives to count
+      ("m_log_anomaly_mad", 6, 2),     // hourly agg (checkpointed) + 2 rank windows; med/mad broadcast
+      ("m_top_talkers", 5, 1),         // process agg + fleet-bounded rank/cum window; total broadcast
+      ("m_scrape_gaps", 4, 0),         // per-series lag + rank windows + final agg
+      ("l_dedup_threshold_curve", 5, 1), // banded candidates (checkpointed) + joins; 5-row grid broadcast
+      ("l_ann_nprobe_curve", 15, 3),   // ONE index build + probe sweep; cents/probes/grid broadcast
+      ("l_embed_norms", 4, 0),         // per-row array math + one partial agg
+      ("l_keyword_topk", 3, 1),        // posting lists (checkpointed); term set broadcast; TakeOrdered
+      ("l_gate_agreement", 3, 1))      // one conditional-agg pass; kappa scalars broadcast
+    for ((q, maxSh, minBc) <- budgets) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(count(p, _.isInstanceOf[ShuffleExchangeLike]) <= maxSh, s"$q: shuffle budget")
+      assert(count(p, _.isInstanceOf[BroadcastExchangeLike]) >= minBc, s"$q: expected broadcasts")
+      assert(count(p, _.isInstanceOf[CartesianProductExec]) == 0, s"$q: cartesian product")
+    }
+  }
 }
