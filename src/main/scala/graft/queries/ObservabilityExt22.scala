@@ -155,38 +155,16 @@ object ObservabilityExt22 {
       val e = events(s, dir)
       val ms = epochMs(col("ts"))
       // one events scan: grid bounds and the name set both come off the
-      // pre-aggregated hourly table, cut once
+      // pre-aggregated hourly table, cut once. Baseline math shared
+      // with the streaming leg (RobustStream) via operators.Robust.
       val hourly = e.groupBy(col("event_type").as("name"),
           (ms - pmod(ms, lit(3600000L))).as("hour_ms"))
         .agg(count(lit(1)).as("cnt"))
         .localCheckpoint()
-      // dense hour grid: absent hours are zero-count cells, or a burst
-      // next to a dead hour scores against a fantasy baseline
-      val bounds = hourly.agg(min("hour_ms").as("lo"), max("hour_ms").as("hi"))
-      val grid = bounds
-        .select(explode(sequence(col("lo"), col("hi"), lit(3600000L))).as("hour_ms"))
-        .crossJoin(hourly.select("name").distinct())
-      val dense = grid.join(hourly, Seq("name", "hour_ms"), "left")
-        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-        .localCheckpoint()
-      val wN = Window.partitionBy("name")
-      // 2·median (integer-exact sum of the two middle order statistics)
-      val r1 = dense.withColumn("rk", row_number().over(wN.orderBy(col("cnt"), col("hour_ms"))))
-        .withColumn("n", count(lit(1)).over(wN))
-      val med = r1.groupBy("name").agg(
-          sum(when(col("rk") === expr("(n + 1) div 2"), col("cnt")).otherwise(0L)).as("lo"),
-          sum(when(col("rk") === expr("(n + 2) div 2"), col("cnt")).otherwise(0L)).as("hi"))
-        .withColumn("med2", col("lo") + col("hi")).select("name", "med2")
-      val dev = dense.join(broadcast(med), "name")
-        .withColumn("dev2", abs(col("cnt") * 2 - col("med2")))
-      val r2 = dev.withColumn("rk", row_number().over(wN.orderBy(col("dev2"), col("hour_ms"))))
-        .withColumn("n", count(lit(1)).over(wN))
-      val mad = r2.groupBy("name").agg(
-          sum(when(col("rk") === expr("(n + 1) div 2"), col("dev2")).otherwise(0L)).as("lo2"),
-          sum(when(col("rk") === expr("(n + 2) div 2"), col("dev2")).otherwise(0L)).as("hi2"))
-        .withColumn("mad4", col("lo2") + col("hi2")).select("name", "mad4")
-      dev.join(broadcast(mad), "name")
-        .withColumn("score_e4", expr("dev2 * 2 * 10000 div greatest(mad4, 1)"))
+      val dense = graft.operators.Robust.denseHourly(hourly).localCheckpoint()
+      val baseline = graft.operators.Robust.madBaseline(dense)
+      dense.join(broadcast(baseline), "name")
+        .withColumn("score_e4", expr(graft.operators.Robust.scoreE4Sql))
         .groupBy("name")
         .agg(count(lit(1)).as("n_hours"),
           max("med2").as("med2"), max("mad4").as("mad4"),

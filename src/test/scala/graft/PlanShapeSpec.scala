@@ -259,7 +259,11 @@ class PlanShapeSpec extends SparkSpec {
       ("l_ann_nprobe_curve", 15, 3),   // ONE index build + probe sweep; cents/probes/grid broadcast
       ("l_embed_norms", 4, 0),         // per-row array math + one partial agg
       ("l_keyword_topk", 3, 1),        // posting lists (checkpointed); term set broadcast; TakeOrdered
-      ("l_gate_agreement", 3, 1))      // one conditional-agg pass; kappa scalars broadcast
+      ("l_gate_agreement", 3, 1),      // one conditional-agg pass; kappa scalars broadcast
+      ("m_transition_matrix", 5, 0),   // per-user lag window + 25-cell matrix agg
+      ("m_correlated_bursts", 4, 0),   // two keyed partial aggs: process-hour → hour
+      ("l_quality_threshold_curve", 6, 2), // scored scan × broadcast grid; total broadcast
+      ("l_dup_family_sources", 5, 0))  // two keyed HashAggregates, no pair join
     for ((q, maxSh, minBc) <- budgets) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
       assert(count(p, _.isInstanceOf[ShuffleExchangeLike]) <= maxSh, s"$q: shuffle budget")
