@@ -126,7 +126,7 @@ object LlmPipelineExt17 {
       exd AS (SELECT threshold_e2, unnest([a, b]) AS doc FROM q)
       SELECT threshold_e2, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
         CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
-      FROM exd GROUP BY 1 ORDER BY threshold_e2""")),
+      FROM exd GROUP BY 1 ORDER BY threshold_e2"""), headline = true),
 
     GraftQuery("l_ann_nprobe_curve", (s, dir) => {
       val e = embs(s, dir)

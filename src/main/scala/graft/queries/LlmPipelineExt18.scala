@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.operators.TextAnalysis
+import graft.operators.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,10 +25,18 @@ import org.apache.spark.sql.functions._
   *    sources are syndicated content — removing them changes the
   *    SOURCE MIX, which L31/L63's mixture planning must know about.
   *
+  *  - `l_dedup_ladder`: marginal yield of each dedup rung applied in
+  *    production order (exact → normalization → MinHash-LSH near-dup),
+  *    each rung over the previous rung's survivors — the read that
+  *    decides whether the expensive near-dup pass still pays once the
+  *    cheap rungs have run.
+  *
   * Scale shape: the threshold curve is one scored scan cross-joined
   * with a 10-row broadcast grid and reduced by a partial agg; the
   * family table is two keyed HashAggregates (fingerprint×source →
-  * fingerprint), never a pair join.
+  * fingerprint), never a pair join; the ladder's rungs are keyed
+  * hash-aggregates plus the banded LSH candidate join (never
+  * all-pairs), with survivor sets carried as doc_id anti-joins.
   */
 object LlmPipelineExt18 {
 
@@ -37,6 +45,11 @@ object LlmPipelineExt18 {
     Tables.df(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
   }
+
+  private val oracleTokens = "string_split_regex(trim(text), '\\s+')"
+
+  private val oracleShingles3 =
+    "list_distinct(list_transform(range(1, GREATEST(len(t) - 2, 1) + 1), i -> array_to_string(t[i:i+2], ' ')))"
 
   /** The shared q10k scorer as DuckDB CTEs (lock-step with
     * TextAnalysis.qualityScore·10⁴ — the l_curation_pipeline scorer,
@@ -121,6 +134,93 @@ object LlmPipelineExt18 {
         top_src_n * 10000 // n_docs AS majority_share_e4,
         CAST(CASE WHEN n_sources >= 2 THEN 1 ELSE 0 END AS BIGINT) AS cross_source
       FROM fam WHERE n_docs >= 2
-      ORDER BY norm_h"""))
+      ORDER BY norm_h""")),
+
+    GraftQuery("l_dedup_ladder", (s, dir) => {
+      // marginal yield of each dedup rung, applied in production order:
+      // exact (byte hash) → normalization fingerprint → MinHash-LSH
+      // near-dup (jaccard ≥ 0.5, smaller doc_id of a qualifying pair
+      // is kept). Each rung only sees the previous rung's SURVIVORS —
+      // the ladder read that decides whether the expensive near-dup
+      // pass still pays after the cheap rungs have run.
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+      // ONE text pass computes every rung's fingerprint (byte hash,
+      // normalization hash, shingle set), cut once — each rung then
+      // works off the checkpoint instead of re-scanning and
+      // re-shuffling the text table (measured 5.5s → see PLANS.md)
+      val d = docs(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("raw_h"), md5(norm).as("norm_h"),
+          Dedup.wordShingles(col("text"), 3).as("shingles"))
+        .localCheckpoint()
+      // rung 1: exact
+      val s1 = d.groupBy("raw_h").agg(min("doc_id").as("doc_id")).select("doc_id")
+      // rung 2: normalization fingerprint over rung-1 survivors
+      val s2 = d.join(s1, "doc_id")
+        .groupBy("norm_h").agg(min("doc_id").as("doc_id")).select("doc_id")
+      // rung 3: LSH near-dup over rung-2 survivors
+      val sh2 = d.join(s2, "doc_id").select("doc_id", "shingles")
+      val sig = Dedup.minhashSignatureExploded(sh2, "doc_id", "shingles", numHashes = 8)
+      // materialized: the candidate self-join reads bands twice (same
+      // reason l_dedup_minhash cuts here)
+      val bands = Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2)
+        .localCheckpoint()
+      val cand = Dedup.candidatePairs(bands, "doc_id")
+      val removed3 = cand
+        .join(sh2.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
+        .join(sh2.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+        .where(size(array_intersect(col("sa"), col("sb"))) * 2
+          >= size(array_union(col("sa"), col("sb")))) // jac ≥ 0.5, integer
+        .select(col("b").as("doc_id")).distinct()
+      val s3 = s2.join(removed3, Seq("doc_id"), "left_anti")
+      val stages = Seq(("0_input", d.select("doc_id")), ("1_exact", s1),
+        ("2_norm", s2), ("3_neardup", s3))
+      stages.map { case (name, df) =>
+        df.agg(count(lit(1)).as("survivors")).select(lit(name).as("stage"), col("survivors"))
+      }.reduce(_ union _)
+        .withColumn("removed_here",
+          coalesce(lag("survivors", 1).over(
+            org.apache.spark.sql.expressions.Window.orderBy("stage")) - col("survivors"), lit(0L)))
+        .orderBy("stage")
+    }, Some(s"""
+      WITH raw AS (SELECT doc_id, md5(text) AS raw_h FROM documents),
+      s1 AS (SELECT min(doc_id) AS doc_id FROM raw GROUP BY raw_h),
+      n2 AS (
+        SELECT d.doc_id,
+          md5(trim(regexp_replace(regexp_replace(lower(d.text), '[^a-z0-9\\s]', '', 'g'),
+                                  '\\s+', ' ', 'g'))) AS norm_h
+        FROM documents d JOIN s1 USING (doc_id)),
+      s2 AS (SELECT min(doc_id) AS doc_id FROM n2 GROUP BY norm_h),
+      tok2 AS (SELECT d.doc_id, $oracleTokens AS t FROM documents d JOIN s2 USING (doc_id)),
+      sh2 AS (SELECT doc_id, $oracleShingles3 AS s FROM tok2),
+      ex2 AS (SELECT doc_id, unnest(s) AS shingle FROM sh2),
+      dg AS (SELECT doc_id, md5(shingle) AS d0, md5('x|' || shingle) AS d1 FROM ex2),
+      mh AS (
+        SELECT doc_id, seed.seed,
+          min(substring(CASE WHEN seed.seed < 4 THEN d0 ELSE d1 END,
+                        1 + 8 * (seed.seed % 4), 8)) AS mh
+        FROM dg CROSS JOIN (SELECT CAST(range AS INTEGER) AS seed FROM range(0, 8)) seed
+        GROUP BY doc_id, seed.seed),
+      sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, b.b AS band, md5(sig[2*b.b + 1] || '|' || sig[2*b.b + 2]) AS key
+        FROM sig CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(0, 4)) b),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+      rem AS (
+        SELECT DISTINCT c.b AS doc_id
+        FROM cand c JOIN sh2 sa ON sa.doc_id = c.a JOIN sh2 sb ON sb.doc_id = c.b
+        WHERE len(list_intersect(sa.s, sb.s)) * 2 >= len(list_distinct(sa.s || sb.s))),
+      s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM rem)),
+      st AS (
+        SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS survivors FROM documents
+        UNION ALL SELECT '1_exact', CAST(count(*) AS BIGINT) FROM s1
+        UNION ALL SELECT '2_norm', CAST(count(*) AS BIGINT) FROM s2
+        UNION ALL SELECT '3_neardup', CAST(count(*) AS BIGINT) FROM s3)
+      SELECT stage, survivors,
+        CAST(COALESCE(lag(survivors) OVER (ORDER BY stage) - survivors, 0) AS BIGINT)
+          AS removed_here
+      FROM st ORDER BY stage"""))
   )
 }

@@ -213,7 +213,7 @@ object ObservabilityExt22 {
         max(med2) AS med2, max(mad4) AS mad4,
         CAST(SUM(CASE WHEN score_e4 >= 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
         CAST(max(score_e4) AS BIGINT) AS max_score_e4
-      FROM sc GROUP BY 1 ORDER BY name""")),
+      FROM sc GROUP BY 1 ORDER BY name"""), headline = true),
 
     GraftQuery("m_top_talkers", (s, dir) => {
       val per = events(s, dir)

@@ -263,7 +263,9 @@ class PlanShapeSpec extends SparkSpec {
       ("m_transition_matrix", 5, 0),   // per-user lag window + 25-cell matrix agg
       ("m_correlated_bursts", 4, 0),   // two keyed partial aggs: process-hour → hour
       ("l_quality_threshold_curve", 6, 2), // scored scan × broadcast grid; total broadcast
-      ("l_dup_family_sources", 5, 0))  // two keyed HashAggregates, no pair join
+      ("l_dup_family_sources", 5, 0),  // two keyed HashAggregates, no pair join
+      ("m_rate_resets", 3, 0),         // per-series lag window + one partial agg
+      ("l_dedup_ladder", 23, 0))       // 3 rungs + LSH chain + 4 stage counts (one text pass, checkpointed)
     for ((q, maxSh, minBc) <- budgets) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
       assert(count(p, _.isInstanceOf[ShuffleExchangeLike]) <= maxSh, s"$q: shuffle budget")

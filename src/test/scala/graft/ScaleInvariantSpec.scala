@@ -48,6 +48,7 @@ class ScaleInvariantSpec extends SparkSpec {
     "m_top_talkers" -> "process grid (fleet-bounded, counts pre-aggregated map-side)",
     "l_keyword_topk" -> "term election over the type table (vocabulary-bounded) + rank over the top-20 rows",
     "l_novelty_curve" -> "day grid of first-appearance counts",
+    "l_dedup_ladder" -> "the 4-row rung-summary table (lag over stage labels)",
     "l_mixture_epochs" -> "source list")
 
   private def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
