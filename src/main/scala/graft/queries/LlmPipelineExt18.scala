@@ -221,6 +221,56 @@ object LlmPipelineExt18 {
       SELECT stage, survivors,
         CAST(COALESCE(lag(survivors) OVER (ORDER BY stage) - survivors, 0) AS BIGINT)
           AS removed_here
-      FROM st ORDER BY stage"""))
+      FROM st ORDER BY stage""")),
+
+    GraftQuery("l_decontam_report", (s, dir) => {
+      // decontamination ACCOUNTING (the GPT-3-appendix step after L18's
+      // per-doc scan): apply the removal rule — ≥ 20% of a doc's
+      // distinct 3-gram shingles hit the benchmark set (integer
+      // cross-mult: hits·5 ≥ shingles) — and report what each source
+      // loses. The benchmark set ('src0' plays the held-out eval) is
+      // distinct + broadcast; candidates never shuffle for the probe.
+      val sh = docs(s, dir).select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"),
+        explode(Dedup.wordShingles(col("text"), 3)).as("sh"))
+      val bench = sh.where(col("source") === "src0")
+        .select("sh").distinct().withColumn("hit", lit(1L))
+      val perDoc = sh.where(col("source") =!= "src0")
+        .join(broadcast(bench), Seq("sh"), "left_outer")
+        .groupBy("doc_id", "source")
+        .agg(max("toks").as("toks"), count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("removed", when(col("n_hits") * 5 >= col("n_shingles"), 1L).otherwise(0L))
+      perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("removed").as("docs_removed"),
+          sum("toks").as("tokens"),
+          sum(when(col("removed") === 1, col("toks")).otherwise(0L)).as("tokens_removed"))
+        .withColumn("token_loss_e4", expr("tokens_removed * 10000 div tokens"))
+        .select("source", "n_docs", "docs_removed", "tokens", "tokens_removed", "token_loss_e4")
+        .orderBy("source")
+    }, Some(s"""
+      WITH tok AS (SELECT doc_id, source, $oracleTokens AS t FROM documents),
+      shl AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS toks,
+                unnest($oracleShingles3) AS sh
+              FROM tok),
+      bench AS (SELECT DISTINCT sh FROM shl WHERE source = 'src0'),
+      pd AS (
+        SELECT s.doc_id, s.source, max(s.toks) AS toks,
+          CAST(count(*) AS BIGINT) AS n_shingles,
+          CAST(SUM(CASE WHEN b.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits
+        FROM shl s LEFT JOIN bench b ON s.sh = b.sh
+        WHERE s.source <> 'src0'
+        GROUP BY 1, 2),
+      r AS (
+        SELECT *, CASE WHEN n_hits * 5 >= n_shingles THEN 1 ELSE 0 END AS removed
+        FROM pd)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(removed) AS BIGINT) AS docs_removed,
+        CAST(SUM(toks) AS BIGINT) AS tokens,
+        CAST(SUM(CASE WHEN removed = 1 THEN toks ELSE 0 END) AS BIGINT) AS tokens_removed,
+        CAST(SUM(CASE WHEN removed = 1 THEN toks ELSE 0 END) AS BIGINT) * 10000
+          // CAST(SUM(toks) AS BIGINT) AS token_loss_e4
+      FROM r GROUP BY 1 ORDER BY source"""))
   )
 }

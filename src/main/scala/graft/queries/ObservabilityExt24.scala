@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.operators.SpanAssembly
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 third observability tranche: alert hygiene and trace
+  * integrity.
+  *
+  *  - `m_alert_dedup`: notification-grouping accounting over M36's
+  *    threshold crossings — Alertmanager-style grouping (all crossings
+  *    of the same alert rule inside one window collapse into ONE
+  *    page): per day, crossings fired, series involved, and the pages
+  *    grouping saves. The alert-fatigue measure next to M81's
+  *    flapping audit: flapping says "this series needs hysteresis",
+  *    this says "this rule needs grouping, and here is the page
+  *    volume it would save". One keyed lag window (samples →
+  *    crossings) + a day-grid partial agg.
+  *  - `m_orphan_spans`: call-tree integrity — non-root spans whose
+  *    enclosing parent cannot be found (the linkage M22 materializes
+  *    comes back empty). M72 audits the EVENT stream (begin/end
+  *    imbalance); this audits the ASSEMBLED tree one level up:
+  *    orphans mean dropped blocks or cross-block chains the assembly
+  *    couldn't bridge — the reference's #1429 fix exists precisely
+  *    because orphaned chains fragmented its call trees. Parent
+  *    linkage is the bounded keyed band join m_call_tree uses; the
+  *    rate is one partial agg per process.
+  */
+object ObservabilityExt24 {
+
+  private def events(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "events")
+
+  private def spans(s: SparkSession, dir: String): DataFrame =
+    SpanAssembly.beginEndSpans(events(s, dir), "user_id", epochMs(col("ts")), "event_id",
+      "event_type", col("event_type").isin("signup", "view"))
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("m_alert_dedup", (s, dir) => {
+      val lim = 300.0
+      val m = events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"), epochMs(col("ts")).as("t_ms"), col("event_id"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("t_ms"), col("event_id"))
+      val crossings = m.withColumn("prev", lag("value", 1).over(w))
+        .where(col("value") > lim && col("prev").isNotNull && col("prev") <= lim)
+        .select(col("user_id"), col("t_ms"))
+      crossings
+        .groupBy(expr("t_ms - t_ms % 86400000").as("day_ms"))
+        .agg(count(lit(1)).as("n_crossings"),
+          countDistinct("user_id").as("n_series"))
+        .withColumn("pages_saved", col("n_crossings") - 1)
+        .withColumn("saved_e4", expr("(n_crossings - 1) * 10000 div n_crossings"))
+        .select("day_ms", "n_crossings", "n_series", "pages_saved", "saved_e4")
+        .orderBy("day_ms")
+    }, Some("""
+      WITH m AS (
+        SELECT user_id, epoch_ms(ts) AS t_ms, event_id, value,
+          LAG(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev
+        FROM events WHERE event_type = 'purchase'),
+      cr AS (
+        SELECT user_id, t_ms
+        FROM m WHERE value > 300.0 AND prev IS NOT NULL AND prev <= 300.0)
+      SELECT t_ms - t_ms % 86400000 AS day_ms,
+        CAST(count(*) AS BIGINT) AS n_crossings,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_series,
+        CAST(count(*) - 1 AS BIGINT) AS pages_saved,
+        CAST(count(*) - 1 AS BIGINT) * 10000 // CAST(count(*) AS BIGINT) AS saved_e4
+      FROM cr GROUP BY 1 ORDER BY day_ms""")),
+
+    GraftQuery("m_orphan_spans", (s, dir) => {
+      val linked = SpanAssembly.withParents(spans(s, dir), "user_id")
+      linked.groupBy("user_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("depth") > 0, 1L).otherwise(0L)).as("n_nonroot"),
+          sum(when(col("depth") > 0 && col("parent_id") === -1L, 1L).otherwise(0L))
+            .as("n_orphans"))
+        .withColumn("orphan_rate_e4",
+          expr("n_orphans * 10000 div greatest(n_nonroot, 1)"))
+        .select("user_id", "n_spans", "n_nonroot", "n_orphans", "orphan_rate_e4")
+        .orderBy("user_id")
+    }, Some(s"""${ObservabilityExt9.oracleLinked}
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
+        CAST(SUM(CASE WHEN depth > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonroot,
+        CAST(SUM(CASE WHEN depth > 0 AND parent_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_orphans,
+        CAST(SUM(CASE WHEN depth > 0 AND parent_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          * 10000 // GREATEST(CAST(SUM(CASE WHEN depth > 0 THEN 1 ELSE 0 END) AS BIGINT), 1)
+          AS orphan_rate_e4
+      FROM fl GROUP BY 1 ORDER BY user_id"""))
+  )
+}

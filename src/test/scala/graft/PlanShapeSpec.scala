@@ -265,7 +265,10 @@ class PlanShapeSpec extends SparkSpec {
       ("l_quality_threshold_curve", 6, 2), // scored scan × broadcast grid; total broadcast
       ("l_dup_family_sources", 5, 0),  // two keyed HashAggregates, no pair join
       ("m_rate_resets", 3, 0),         // per-series lag window + one partial agg
-      ("l_dedup_ladder", 23, 0))       // 3 rungs + LSH chain + 4 stage counts (one text pass, checkpointed)
+      ("l_dedup_ladder", 23, 0),       // 3 rungs + LSH chain + 4 stage counts (one text pass, checkpointed)
+      ("m_alert_dedup", 4, 0),         // per-series lag → crossings → day-grid agg
+      ("m_orphan_spans", 10, 1),       // span assembly + parent band join + one partial agg
+      ("l_decontam_report", 6, 1))     // benchmark set broadcast; per-doc then per-source partial aggs
     for ((q, maxSh, minBc) <- budgets) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
       assert(count(p, _.isInstanceOf[ShuffleExchangeLike]) <= maxSh, s"$q: shuffle budget")
