@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   *    because orphaned chains fragmented its call trees. Parent
   *    linkage is the bounded keyed band join m_call_tree uses; the
   *    rate is one partial agg per process.
+  *  - `m_stream_staleness`: who has STOPPED reporting — per stream,
+  *    minutes since its last block vs the lake's newest block, worst
+  *    first. The current-freshness angle next to M94 (holes in the
+  *    past) and M98 (cadence); metadata-only.
   */
 object ObservabilityExt24 {
 
@@ -88,6 +92,41 @@ object ObservabilityExt24 {
         CAST(SUM(CASE WHEN depth > 0 AND parent_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
           * 10000 // GREATEST(CAST(SUM(CASE WHEN depth > 0 THEN 1 ELSE 0 END) AS BIGINT), 1)
           AS orphan_rate_e4
-      FROM fl GROUP BY 1 ORDER BY user_id"""))
+      FROM fl GROUP BY 1 ORDER BY user_id""")),
+
+    GraftQuery("m_stream_staleness", (s, dir) => {
+      // the CURRENT-freshness angle of the completeness family: M94
+      // audits holes in the past, M98 audits cadence, this ranks who
+      // has STOPPED — per stream, minutes since its last block vs the
+      // lake's newest block ("now" for a bounded dataset), flagged
+      // stale past 120 min. Metadata-only; the lake max is a broadcast
+      // scalar; output ordered worst-first.
+      val blocks = new graft.Lakehouse(s, dir).blocks
+        .groupBy("process_id", "stream_tag")
+        .agg(max("block_start_ms").as("last_block_ms"),
+          count(lit(1)).as("n_blocks"))
+      val lakeMax = blocks.agg(max("last_block_ms").as("lake_max_ms"))
+      blocks.crossJoin(broadcast(lakeMax))
+        .withColumn("stale_min", expr("(lake_max_ms - last_block_ms) div 60000"))
+        .withColumn("is_stale", when(col("stale_min") >= 120, 1L).otherwise(0L))
+        .select("process_id", "stream_tag", "n_blocks", "last_block_ms",
+          "stale_min", "is_stale")
+        .orderBy(desc("stale_min"), col("process_id"), col("stream_tag"))
+    }, Some("""
+      WITH b AS (
+        SELECT CAST(user_id AS VARCHAR) AS process_id, event_type AS stream_tag,
+          epoch_ms(ts) - epoch_ms(ts) % 60000 AS block_start_ms
+        FROM events),
+      st AS (
+        SELECT process_id, stream_tag, max(block_start_ms) AS last_block_ms,
+          CAST(count(DISTINCT block_start_ms) AS BIGINT) AS n_blocks
+        FROM b GROUP BY 1, 2),
+      mx AS (SELECT max(last_block_ms) AS lake_max_ms FROM st)
+      SELECT process_id, stream_tag, n_blocks, last_block_ms,
+        (mx.lake_max_ms - last_block_ms) // 60000 AS stale_min,
+        CAST(CASE WHEN (mx.lake_max_ms - last_block_ms) // 60000 >= 120
+             THEN 1 ELSE 0 END AS BIGINT) AS is_stale
+      FROM st CROSS JOIN mx
+      ORDER BY stale_min DESC, process_id, stream_tag"""))
   )
 }

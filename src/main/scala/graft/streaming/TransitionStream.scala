@@ -18,6 +18,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * row. Downstream, a plain windowed groupBy over the emitted steps
   * yields the live transition-count matrix — steps are append-mode
   * facts, so counting them needs no extra stateful operator.
+  *
+  * Late-filter caveat (measured, pinned by TransitionPropSpec): Spark's
+  * stateful late filter drops an input row whose event time is AT the
+  * current watermark, not only behind it — so with a 0-delay watermark
+  * an event sharing its timestamp with the previous batch's maximum is
+  * silently dropped. Size the watermark delay above the source's
+  * timestamp granularity.
   */
 object TransitionStream {
 
