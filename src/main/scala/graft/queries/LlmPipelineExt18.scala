@@ -271,6 +271,115 @@ object LlmPipelineExt18 {
         CAST(SUM(CASE WHEN removed = 1 THEN toks ELSE 0 END) AS BIGINT) AS tokens_removed,
         CAST(SUM(CASE WHEN removed = 1 THEN toks ELSE 0 END) AS BIGINT) * 10000
           // CAST(SUM(toks) AS BIGINT) AS token_loss_e4
-      FROM r GROUP BY 1 ORDER BY source"""))
+      FROM r GROUP BY 1 ORDER BY source""")),
+
+    GraftQuery("l_lsh_param_planner", (s, dir) => {
+      // LSH (bands, rows) selection table (datasketch optimal_param
+      // lineage), made CORPUS-AWARE: the S-curve
+      // P(candidate | s) = 1 − (1 − s^r)^b for each way of splitting 8
+      // minhashes, evaluated at the design points s = 0.5/0.8 AND
+      // against the corpus's OBSERVED candidate-pair similarity
+      // histogram (current-config candidates — the observable sample;
+      // documented bias) to price expected candidate volume per
+      // config. All probability arithmetic is truncating e4
+      // fixed-point (identical multiply-div schedules both engines) —
+      // no float pow, so the table is cross-engine exact.
+      val sh = docs(s, dir)
+        .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
+        .localCheckpoint()
+      val sig = Dedup.minhashSignatureExploded(sh, "doc_id", "shingles", numHashes = 8)
+      val bands = Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2)
+        .localCheckpoint()
+      val hist = Dedup.candidatePairs(bands, "doc_id")
+        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+        .select(size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+          size(array_union(col("sa"), col("sb"))).cast("long").as("uni"))
+        .select(least(expr("(inter * 10000 div uni) div 1000"), lit(9L)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      val grid = s.createDataFrame(Seq((1L, 8L), (2L, 4L), (4L, 2L)))
+        .toDF("rows_per_band", "n_bands")
+      // truncating fixed-point s^r then 1-(1-s^r)^b, r ∈ {1,2,4}, b ∈ {8,4,2}
+      def powE4(sE4: String, r: String): String =
+        s"""CASE $r WHEN 1 THEN $sE4
+            WHEN 2 THEN $sE4 * $sE4 div 10000
+            ELSE (($sE4 * $sE4 div 10000) * ($sE4 * $sE4 div 10000)) div 10000 END"""
+      def pCand(sE4: String): String = {
+        val q = s"(10000 - ${powE4(sE4, "rows_per_band")})"
+        // q^b for b ∈ {8,4,2} by squaring: q2, q4, q8
+        val q2 = s"($q * $q div 10000)"
+        val q4 = s"($q2 * $q2 div 10000)"
+        val q8 = s"($q4 * $q4 div 10000)"
+        s"(10000 - CASE n_bands WHEN 2 THEN $q2 WHEN 4 THEN $q4 ELSE $q8 END)"
+      }
+      grid.crossJoin(broadcast(hist)) // 3 × ≤10 rows
+        .withColumn("p_cand_e4", expr(pCand("(bucket * 1000 + 500)")))
+        .groupBy("rows_per_band", "n_bands")
+        .agg(sum(expr("n_pairs * p_cand_e4 div 10000")).as("expected_candidates"),
+          sum("n_pairs").as("observed_pairs"))
+        .withColumn("p50_e4", expr(pCand("5000")))
+        .withColumn("p80_e4", expr(pCand("8000")))
+        .select("rows_per_band", "n_bands", "p50_e4", "p80_e4",
+          "expected_candidates", "observed_pairs")
+        .orderBy("rows_per_band")
+    }, Some(s"""$oracleCandidatesCte,
+      j AS (
+        SELECT CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) * 10000
+               // CAST(len(list_distinct(sa.s || sb.s)) AS BIGINT) AS jac_e4
+        FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+      hist AS (
+        SELECT LEAST(jac_e4 // 1000, 9) AS bucket, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM j GROUP BY 1),
+      grid AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(8 AS BIGINT)),
+                                     (CAST(2 AS BIGINT), CAST(4 AS BIGINT)),
+                                     (CAST(4 AS BIGINT), CAST(2 AS BIGINT)))
+               g(rows_per_band, n_bands)),
+      scored AS (
+        SELECT g.rows_per_band, g.n_bands, h.n_pairs,
+          ${oraclePCand("(h.bucket * 1000 + 500)")} AS p_cand_e4
+        FROM grid g CROSS JOIN hist h)
+      SELECT rows_per_band, n_bands,
+        ${oraclePCand("5000")} AS p50_e4,
+        ${oraclePCand("8000")} AS p80_e4,
+        CAST(SUM(n_pairs * p_cand_e4 // 10000) AS BIGINT) AS expected_candidates,
+        CAST(SUM(n_pairs) AS BIGINT) AS observed_pairs
+      FROM scored GROUP BY 1, 2 ORDER BY rows_per_band"""))
   )
+
+  /** 1 − (1 − s^r)^b in truncating e4 fixed point, as DuckDB SQL over
+    * columns rows_per_band / n_bands — the EXACT multiply-div schedule
+    * the Spark side runs (squaring chain q→q²→q⁴→q⁸).
+    */
+  private def oraclePCand(sE4: String): String = {
+    val p = s"""CASE rows_per_band WHEN 1 THEN $sE4
+            WHEN 2 THEN $sE4 * $sE4 // 10000
+            ELSE ((($sE4 * $sE4 // 10000) * ($sE4 * $sE4 // 10000)) // 10000) END"""
+    val q = s"(10000 - ($p))"
+    val q2 = s"($q * $q // 10000)"
+    val q4 = s"($q2 * $q2 // 10000)"
+    val q8 = s"($q4 * $q4 // 10000)"
+    s"(10000 - CASE n_bands WHEN 2 THEN $q2 WHEN 4 THEN $q4 ELSE $q8 END)"
+  }
+
+  /** The L2 candidate chain (same as LlmPipelineExt17's) — local copy
+    * so the planner's oracle stays self-contained.
+    */
+  private def oracleCandidatesCte: String = s"""
+      WITH tok AS (SELECT doc_id, $oracleTokens AS t FROM documents),
+      sh AS (SELECT doc_id, $oracleShingles3 AS s FROM tok),
+      ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      dg AS (SELECT doc_id, md5(shingle) AS d0, md5('x|' || shingle) AS d1 FROM ex),
+      mh AS (
+        SELECT doc_id, seed.seed,
+          min(substring(CASE WHEN seed.seed < 4 THEN d0 ELSE d1 END,
+                        1 + 8 * (seed.seed % 4), 8)) AS mh
+        FROM dg CROSS JOIN (SELECT CAST(range AS INTEGER) AS seed FROM range(0, 8)) seed
+        GROUP BY doc_id, seed.seed),
+      sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, b.b AS band, md5(sig[2*b.b + 1] || '|' || sig[2*b.b + 2]) AS key
+        FROM sig CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(0, 4)) b),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)"""
 }
