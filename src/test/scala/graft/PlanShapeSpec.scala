@@ -38,6 +38,16 @@ class PlanShapeSpec extends SparkSpec {
   private def countBroadcasts(df: DataFrame): Int =
     count(plan(df), _.isInstanceOf[BroadcastExchangeLike])
 
+  test("l_containment: Catalyst reuses the posting exchange across the self-join") {
+    // the premise behind PLANS.md's reverted-checkpoint adjudication: an
+    // eager cut isn't needed because the self-join sides already share
+    // their exchange — if a refactor breaks reuse, the lineage replays
+    // and the checkpoint question reopens
+    val p = plan(SparkEntry.queries("l_containment")(spark, sfDir))
+    assert(count(p, _.isInstanceOf[ReusedExchangeExec]) >= 1,
+      "expected ReusedExchangeExec in the containment self-join (measured 5)")
+  }
+
   test("l_bloom_dedup: broadcast probes, groupBy reuses the doc_id partitioning") {
     val df = SparkEntry.queries("l_bloom_dedup")(spark, sfDir)
     // measured shape: 3× repartition(doc_id) (one per branch read of
