@@ -127,6 +127,79 @@ object ObservabilityExt24 {
         CAST(CASE WHEN (mx.lake_max_ms - last_block_ms) // 60000 >= 120
              THEN 1 ELSE 0 END AS BIGINT) AS is_stale
       FROM st CROSS JOIN mx
-      ORDER BY stale_min DESC, process_id, stream_tag"""))
+      ORDER BY stale_min DESC, process_id, stream_tag""")),
+
+    GraftQuery("m_hysteresis_alerts", (s, dir) => {
+      // the hysteresis (Schmitt-trigger) alert M81's flapping audit
+      // prescribes: fire when the series crosses HI (100), clear only
+      // below LO (50) — values oscillating inside the band produce
+      // ONE page where the single-threshold rule (M36) pages on every
+      // re-cross. State machine as a carry-forward window: tag samples
+      // +1 above HI / 0 below LO / null in the band; the state at any
+      // sample is the last non-null tag at-or-before it, and an alert
+      // is a 0→1 (or first-sample) rising edge. Per series: raw
+      // single-threshold crossings vs hysteresis alerts and the pages
+      // the band saves. Keyed windows per series only.
+      val hi = 100.0
+      val lo = 50.0
+      val m = events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"), epochMs(col("ts")).as("t_ms"), col("event_id"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("t_ms"), col("event_id"))
+      val st = m
+        .withColumn("tag",
+          when(col("value") > hi, 1L).when(col("value") < lo, 0L).otherwise(lit(null)))
+        .withColumn("state", coalesce(
+          last("tag", ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          lit(0L)))
+        .withColumn("prev_state", coalesce(lag("state", 1).over(w), lit(0L)))
+        .withColumn("hyst_fire",
+          when(col("state") === 1 && col("prev_state") === 0, 1L).otherwise(0L))
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .withColumn("raw_fire", // first evaluation above HI also pages
+          when(col("value") > hi &&
+            (col("prev_value").isNull || col("prev_value") <= hi), 1L).otherwise(0L))
+      st.groupBy("user_id")
+        .agg(sum("raw_fire").as("n_raw_crossings"),
+          sum("hyst_fire").as("n_hyst_alerts"))
+        .where(col("n_raw_crossings") > 0 || col("n_hyst_alerts") > 0)
+        .withColumn("pages_saved", col("n_raw_crossings") - col("n_hyst_alerts"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH m AS (
+        SELECT user_id, epoch_ms(ts) AS t_ms, event_id, value
+        FROM events WHERE event_type = 'purchase'),
+      t AS (
+        SELECT *, CASE WHEN value > 100.0 THEN 1
+                       WHEN value < 50.0 THEN 0 END AS tag,
+          LAG(value) OVER (PARTITION BY user_id ORDER BY t_ms, event_id) AS prev_value
+        FROM m),
+      st AS (
+        SELECT *, COALESCE(last_value(tag IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY t_ms, event_id
+            ROWS UNBOUNDED PRECEDING), 0) AS state
+        FROM t),
+      e AS (
+        SELECT *, COALESCE(LAG(state) OVER (
+            PARTITION BY user_id ORDER BY t_ms, event_id), 0) AS prev_state
+        FROM st)
+      SELECT user_id,
+        CAST(SUM(CASE WHEN value > 100.0
+                       AND (prev_value IS NULL OR prev_value <= 100.0)
+                  THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_raw_crossings,
+        CAST(SUM(CASE WHEN state = 1 AND prev_state = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hyst_alerts,
+        CAST(SUM(CASE WHEN value > 100.0
+                       AND (prev_value IS NULL OR prev_value <= 100.0)
+                  THEN 1 ELSE 0 END)
+           - SUM(CASE WHEN state = 1 AND prev_state = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS pages_saved
+      FROM e GROUP BY 1
+      HAVING SUM(CASE WHEN value > 100.0
+                       AND (prev_value IS NULL OR prev_value <= 100.0)
+                  THEN 1 ELSE 0 END) > 0
+          OR SUM(CASE WHEN state = 1 AND prev_state = 0 THEN 1 ELSE 0 END) > 0
+      ORDER BY user_id"""))
   )
 }

@@ -280,7 +280,8 @@ class PlanShapeSpec extends SparkSpec {
       ("m_orphan_spans", 10, 1),       // span assembly + parent band join + one partial agg
       ("l_decontam_report", 6, 1),     // benchmark set broadcast; per-doc then per-source partial aggs
       ("m_stream_staleness", 6, 1),    // blocks metadata aggs; lake max broadcast
-      ("l_lsh_param_planner", 5, 2))   // the L2 candidate chain + 3×10 broadcast grid arithmetic
+      ("l_lsh_param_planner", 5, 2),   // the L2 candidate chain + 3×10 broadcast grid arithmetic
+      ("m_hysteresis_alerts", 3, 0))   // one keyed window chain (state machine) + partial agg
     for ((q, maxSh, minBc) <- budgets) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
       assert(count(p, _.isInstanceOf[ShuffleExchangeLike]) <= maxSh, s"$q: shuffle budget")
