@@ -98,4 +98,54 @@ class BandStreamSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("randomized: streaming band join == native batch exec on random sets") {
+    // the randomized leg of the cross-check above: random error/purchase
+    // sets (2 keys, 0..59-minute grid) must produce EXACTLY the native
+    // batch exec's pairs — pins both the stream's range-condition
+    // construction (inclusive bounds, key equality) and the exec's
+    // sliding-deque merge against each other
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    implicit val sc = spark.sqlContext
+    val errsGen = Gen.listOfN(8, for {
+      k <- Gen.chooseNum(1L, 2L); m <- Gen.chooseNum(0, 59)
+    } yield (k, m))
+    val pursGen = Gen.listOfN(10, for {
+      k <- Gen.chooseNum(1L, 2L); m <- Gen.chooseNum(0, 59)
+    } yield (k, m))
+    var trial = 0
+    val prop = Prop.forAll(errsGen, pursGen) { (es, ps) =>
+      trial += 1
+      val errRows = es.zipWithIndex.map { case ((k, m), i) => ErrEv(t(m), k, 100L + i) }
+      val purRows = ps.zipWithIndex.map { case ((k, m), i) => PurEv(t(m), k, 900L + i) }
+      val errs = MemoryStream[ErrEv]
+      val purs = MemoryStream[PurEv]
+      val q = BandStream.bandJoin(
+          errs.toDF(), "ts", "uid", purs.toDF(), "pts", "puid",
+          width = "10 minutes", watermark = "5 minutes")
+        .select("err_id", "pur_id")
+        .writeStream.format("memory").queryName(s"band_prop_$trial")
+        .outputMode("append").start()
+      try {
+        errs.addData(errRows: _*); purs.addData(purRows: _*)
+        q.processAllAvailable()
+        // close both watermarks so every in-band pair has emitted
+        errs.addData(ErrEv(Timestamp.valueOf("2024-01-02 10:00:00"), 99L, 9998L))
+        purs.addData(PurEv(Timestamp.valueOf("2024-01-02 10:00:00"), 99L, 9999L))
+        q.processAllAvailable()
+        val streamed = spark.table(s"band_prop_$trial")
+          .where(col("err_id") =!= 9998L && col("pur_id") =!= 9999L)
+          .as[(Long, Long)].collect().toSet
+        val batch = graft.plans.BandJoinNative.join(
+            errRows.toDF().withColumn("t_ms", unix_millis(col("ts"))),
+            purRows.toDF().withColumnRenamed("puid", "uid")
+              .withColumn("pt_ms", unix_millis(col("pts"))),
+            Seq("uid"), "t_ms", "pt_ms", width = 600000L)
+          .select("err_id", "pur_id").as[(Long, Long)].collect().toSet
+        streamed == batch
+      } finally q.stop()
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(result.passed, s"scalacheck: ${result.status}")
+  }
 }
