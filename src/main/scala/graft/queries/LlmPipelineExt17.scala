@@ -141,10 +141,17 @@ object LlmPipelineExt17 {
         .select("nprobe", "query_id", "neighbor_id")
       val hits = ivf.join(exact, Seq("query_id", "neighbor_id"))
         .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+      // recall denominator derived from the exact result itself, NOT a
+      // hard-coded 5×5=25: with ≤5 corpus vectors the exact top-5 holds
+      // fewer than 5 neighbors per query (self excluded) and a literal
+      // 25 would silently understate full recall (ADVICE r8)
+      val den = exact.agg(count(lit(1)).as("den"))
       val grid = s.createDataFrame(probes.map(p => Tuple1(p.toLong))).toDF("nprobe")
       grid.join(hits, Seq("nprobe"), "left")
         .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
-        .withColumn("recall_e4", expr("n_hits * 10000 div 25")) // 5 queries × top-5
+        .crossJoin(broadcast(den))
+        .withColumn("recall_e4", expr("n_hits * 10000 div den"))
+        .select("nprobe", "n_hits", "recall_e4")
         .orderBy("nprobe")
     }, Some("""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -187,7 +194,7 @@ object LlmPipelineExt17 {
         FROM ivf5 JOIN ex5 USING (query_id, neighbor_id)
         GROUP BY 1)
       SELECT np.nprobe, COALESCE(h.n_hits, 0) AS n_hits,
-        COALESCE(h.n_hits, 0) * 10000 // 25 AS recall_e4
+        COALESCE(h.n_hits, 0) * 10000 // (SELECT count(*) FROM ex5) AS recall_e4
       FROM np LEFT JOIN h USING (nprobe) ORDER BY nprobe""")),
 
     GraftQuery("l_embed_norms", (s, dir) => {
@@ -302,9 +309,19 @@ object LlmPipelineExt17 {
         sum(when(col("gopher_keep") === 1, col("n_docs")).otherwise(0L)).as("g_yes"))
       cm.crossJoin(broadcast(k))
         .withColumn("po_e4", expr("agree * 10000 div n"))
+        // marginal e4 shares FIRST (numerators linear in n): the earlier
+        // (c4_yes·g_yes + …)·10⁴ form is O(n²)·10⁴ and overflows Long at
+        // n ≈ 1e8 docs (ADVICE r8) — at odds with corpus-scale framing.
+        // Truncation schedule (div n, then div 10⁴) mirrored in the oracle.
+        .withColumn("c4y_e4", expr("c4_yes * 10000 div n"))
+        .withColumn("gy_e4", expr("g_yes * 10000 div n"))
         .withColumn("pe_e4",
-          expr("(c4_yes * g_yes + (n - c4_yes) * (n - g_yes)) * 10000 div (n * n)"))
-        .withColumn("kappa_e4", expr("(po_e4 - pe_e4) * 10000 div (10000 - pe_e4)"))
+          expr("(c4y_e4 * gy_e4 + (10000 - c4y_e4) * (10000 - gy_e4)) div 10000"))
+        // pe_e4 = 10000 when the gates agree everywhere (possible on a
+        // homogeneous corpus): Spark's non-ANSI div yields NULL, DuckDB
+        // raises — guard the denominator on BOTH sides (ADVICE r8)
+        .withColumn("kappa_e4",
+          expr("(po_e4 - pe_e4) * 10000 div greatest(10000 - pe_e4, 1)"))
         .select("c4_keep", "gopher_keep", "n_docs", "po_e4", "pe_e4", "kappa_e4")
         .orderBy("c4_keep", "gopher_keep")
     }, Some(s"""
@@ -332,17 +349,19 @@ object LlmPipelineExt17 {
           CAST(SUM(CASE WHEN c4_keep = gopher_keep THEN n_docs ELSE 0 END) AS BIGINT) AS agree,
           CAST(SUM(CASE WHEN c4_keep = 1 THEN n_docs ELSE 0 END) AS BIGINT) AS c4_yes,
           CAST(SUM(CASE WHEN gopher_keep = 1 THEN n_docs ELSE 0 END) AS BIGINT) AS g_yes
-        FROM cm)
-      SELECT cm.c4_keep, cm.gopher_keep, cm.n_docs,
-        k.agree * 10000 // k.n AS po_e4,
-        (k.c4_yes * k.g_yes + (k.n - k.c4_yes) * (k.n - k.g_yes)) * 10000
-          // (k.n * k.n) AS pe_e4,
-        (k.agree * 10000 // k.n
-          - (k.c4_yes * k.g_yes + (k.n - k.c4_yes) * (k.n - k.g_yes)) * 10000 // (k.n * k.n))
-          * 10000
-          // (10000 - (k.c4_yes * k.g_yes + (k.n - k.c4_yes) * (k.n - k.g_yes)) * 10000 // (k.n * k.n))
-          AS kappa_e4
-      FROM cm CROSS JOIN k
+        FROM cm),
+      k2 AS (
+        SELECT agree * 10000 // n AS po_e4,
+          c4_yes * 10000 // n AS c4y_e4,
+          g_yes * 10000 // n AS gy_e4
+        FROM k),
+      k3 AS (
+        SELECT po_e4,
+          (c4y_e4 * gy_e4 + (10000 - c4y_e4) * (10000 - gy_e4)) // 10000 AS pe_e4
+        FROM k2)
+      SELECT cm.c4_keep, cm.gopher_keep, cm.n_docs, k3.po_e4, k3.pe_e4,
+        (k3.po_e4 - k3.pe_e4) * 10000 // GREATEST(10000 - k3.pe_e4, 1) AS kappa_e4
+      FROM cm CROSS JOIN k3
       ORDER BY c4_keep, gopher_keep"""))
   )
 }

@@ -16,7 +16,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * State per series is O(pending-within-watermark + 1): the event-time
   * buffer (same discipline as [[TransitionStream]]) plus one carried
-  * last value.
+  * last value. The carried value is retained forever once a series is
+  * seen (stable-fleet design: dropping it would turn the next sample
+  * into a spurious restart) — for churning/ephemeral key spaces add an
+  * idle TTL as [[HysteresisStream.edges]] does (ADVICE r8).
   */
 object RateStream {
 

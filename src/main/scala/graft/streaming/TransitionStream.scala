@@ -25,6 +25,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * an event sharing its timestamp with the previous batch's maximum is
   * silently dropped. Size the watermark delay above the source's
   * timestamp granularity.
+  *
+  * The carried last-state row is retained forever once a user is seen
+  * (dropping it would fabricate a session-start on the next event);
+  * for unbounded/churning user spaces add an idle TTL as
+  * [[HysteresisStream.edges]] does (ADVICE r8).
   */
 object TransitionStream {
 

@@ -57,6 +57,46 @@ class HysteresisStreamSpec extends SparkSpec {
     assert(out === Seq((1L, ts(2).getTime, true)))
   }
 
+  private def tsh(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+
+  /** Fire at 10:00, go quiet past a 5-min idle TTL, re-appear above HI
+    * at 11:30. Ticks on key 999 advance the watermark between.
+    */
+  private def driveQuietGap(ttl: Option[Long]): Seq[(Long, Long, Boolean)] = {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Sample]
+    val name = s"hyst_ttl_${System.nanoTime()}"
+    val q = HysteresisStream.edges(
+        mem.toDS().withWatermark("ts", "1 minute").as[Sample],
+        hi = 100.0, lo = 50.0, idleTtlMs = ttl)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val batches = Seq(
+        Sample(tsh(10, 0), 1L, 150.0, 1L),   // page (once drained)
+        Sample(tsh(10, 30), 999L, 0.0, 2L),
+        Sample(tsh(10, 40), 999L, 0.0, 3L),  // drains key 1 → TTL armed
+        Sample(tsh(11, 0), 999L, 0.0, 4L),   // idle timeout fires → drop
+        Sample(tsh(11, 30), 1L, 120.0, 5L),  // re-appearance above HI
+        Sample(tsh(12, 0), 999L, 0.0, 6L),
+        Sample(tsh(12, 30), 999L, 0.0, 7L))  // drains the re-appearance
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      spark.table(name).where(col("key") =!= 999L)
+        .orderBy("key", "tMs")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSeq
+    } finally q.stop()
+  }
+
+  test("idle TTL drops a quiet series: re-appearance re-pages from alert=false") {
+    assert(driveQuietGap(Some(5 * 60 * 1000L)) ===
+      Seq((1L, tsh(10, 0).getTime, true), (1L, tsh(11, 30).getTime, true)))
+  }
+
+  test("without idle TTL the alert bit is retained across the same quiet gap") {
+    // identical timeline: the 11:30 sample is band-silent (already firing)
+    assert(driveQuietGap(None) === Seq((1L, tsh(10, 0).getTime, true)))
+  }
+
   test("alert bit survives quiet periods; per-key isolation") {
     val out = drive(Seq(
       Seq(Sample(ts(0), 1L, 150.0, 1L), Sample(ts(0), 2L, 20.0, 2L)),
