@@ -44,31 +44,61 @@ object Bench {
     // hash tables — at cluster scale that trade matters
     val audit = QueryAudit.attach(spark, maxRecords = reps * 4)
     var lastAuditId = 0L
-    val results = SparkEntry.headlineQueries.map { q =>
-      // a failed query reports -1 per query and poisons the total to
-      // null below — a failure must never improve the headline number
-      val times = (1 to reps).map { _ =>
+    val headliners = SparkEntry.headlineQueries
+    val times = collection.mutable.Map.empty[String, List[Double]]
+    val peakByQuery = collection.mutable.Map.empty[String, Long]
+    // rep-major with a per-rep SHUFFLED order (fixed seed = rep, so runs
+    // are reproducible): with 36 headliners a fixed order gives every
+    // query the same heavy neighbor on all reps, and page-cache /GC
+    // interference reads as a fake 2x regression of the victim (round-8
+    // verdict adjudicated four of those). Shuffling decorrelates the
+    // neighbor noise so the median converges to the isolated time.
+    for (rep <- 1 to reps) {
+      val order = new scala.util.Random(rep).shuffle(headliners)
+      order.foreach { q =>
         val t0 = System.nanoTime()
-        try { q.fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); -1.0 }
+        // a failed query reports -1 and poisons the total to null below —
+        // a failure must never improve the headline number
+        val t =
+          try { q.fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); -1.0 }
+        times(q.name) = t :: times.getOrElse(q.name, Nil)
+        try audit.awaitQuiesce(lastAuditId + 1, 2000) catch { case _: Throwable => () }
+        val recs = audit.recordsRaw().filter(_.query_id > lastAuditId)
+        if (recs.nonEmpty) {
+          lastAuditId = recs.map(_.query_id).max
+          val p = recs.map(_.peak_memory_bytes).max
+          peakByQuery(q.name) = math.max(peakByQuery.getOrElse(q.name, -1L), p)
+        }
       }
-      val ok = !times.exists(_ < 0)
-      val sorted = times.sorted
+    }
+    val results = headliners.map { q =>
+      val ts = times(q.name)
+      val ok = !ts.exists(_ < 0)
+      val sorted = ts.sorted
       val median = sorted(reps / 2)
-      try audit.awaitQuiesce(lastAuditId + 1, 2000) catch { case _: Throwable => () }
-      val recs = audit.recordsRaw().filter(_.query_id > lastAuditId)
-      val peakMb = if (recs.isEmpty) -1L
-        else recs.map(_.peak_memory_bytes).max >> 20
-      if (recs.nonEmpty) lastAuditId = recs.map(_.query_id).max
-      (q.name, if (ok) times.min else -1.0, if (ok) median else -1.0, peakMb)
+      (q.name, if (ok) ts.min else -1.0, if (ok) median else -1.0,
+        peakByQuery.getOrElse(q.name, -1L) match { case -1L => -1L; case p => p >> 20 })
     }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val meds = results.map { case (k, _, m, _) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
     val peaks = results.map { case (k, _, _, p) => "\"" + k + "\":" + p }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = if (failed > 0) "null" else results.map(_._2).sum.toString
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failed,"queries":$qs,"medians":$meds,"peak_mem_mb":$peaks,"sf":"$sfDir"}""")
+    val report = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failed,"queries":$qs,"medians":$meds,"peak_mem_mb":$peaks,"sf":"$sfDir"}"""
+    println(report)
+    // ALSO persist the report: the driver keeps only the tail of stdout,
+    // which truncated BENCH_r08 into an unparseable artifact (round-8
+    // verdict item 1) — a file on disk survives regardless and the round
+    // can commit it as the auditable bench record
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_report.json"))
+    try {
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out, (report + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }
