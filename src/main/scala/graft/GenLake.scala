@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up lake generator: synthesizes an sfN lake from the driver's
+  * sf0.1 tables by replicating each table R times into DISJOINT
+  * sub-universes (every id column offset by replica × 10⁷, referential
+  * integrity preserved within a replica), so correctness can be
+  * re-checked against DuckDB one decade up and 10× growth ratios can be
+  * MEASURED instead of argued (round-8 verdict item 2: every 100 TB
+  * claim was design-level because /root/testdata tops out at 17 MB).
+  *
+  * Replication is NOT naive copying where it would distort the
+  * workload's asymptotics:
+  *   - `documents.text` is perturbed per replica (every third word gets
+  *     a replica tag) so no word-3-gram shingle survives across
+  *     replicas: near-dup candidate generation (MinHash bands, posting
+  *     lists, containment) grows LINEARLY in replicas, as a real
+  *     corpus would, instead of quadratically as verbatim copies would
+  *     (every doc would gain 9 exact twins). Within-replica duplicate
+  *     structure is preserved exactly. `n_chars` is recomputed.
+  *   - `embeddings.embedding` is cyclically rotated by the replica
+  *     index (norm-preserving, decorrelating) so cross-replica vectors
+  *     are not cosine near-dups and ANN candidate lists stay bounded.
+  *   - `region`/`nation` stay fixed (dimension tables don't grow with
+  *     scale factor, same as TPC-H).
+  *   - timestamps are untouched: per-hour event density and fleet size
+  *     grow 10×, the 30-day span stays — which is what data growth
+  *     looks like to the day-partitioned lakehouse layout.
+  *
+  * Each table lands as a SINGLE parquet file named `<table>.parquet`
+  * (driver layout; DuckDB's parquet_scan takes the same path), written
+  * with Spark parallelism then concatenated by a final single-task
+  * write of the already-shuffled rows.
+  *
+  * Usage: runMain graft.GenLake [baseDir] [outDir] [replicas]
+  */
+object GenLake {
+
+  /** Per-replica id offset: far above every base key space (max base
+    * key is o_orderkey = 149,999 at sf0.1) and small enough that
+    * replica 9999 still fits a Long with room for arithmetic.
+    */
+  val Off = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "target/sf1"
+    val reps = if (args.length > 2) args(2).toInt else 10
+    require(reps >= 1 && reps <= 1000, s"replicas out of range: $reps")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(out))
+
+    def src(t: String): DataFrame = spark.read.parquet(s"$base/$t.parquet")
+
+    /** Offset the named int64 id columns by r·Off; leave the rest. */
+    def shift(df: DataFrame, r: Int, ids: String*): DataFrame =
+      ids.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(r * Off)))
+
+    def replicate(t: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      val b = src(t)
+      val u = (0 until reps).map(r => f(b, r)).reduce(_ unionAll _)
+      writeOne(u, Paths.get(out, s"$t.parquet"))
+      println(s"[genlake] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
+    }
+
+    // dimensions: fixed regardless of scale factor
+    replicate("region", (b, r) => if (r == 0) b else b.limit(0))
+    replicate("nation", (b, r) => if (r == 0) b else b.limit(0))
+
+    replicate("customer", (b, r) => shift(b, r, "c_custkey"))
+    replicate("supplier", (b, r) => shift(b, r, "s_suppkey"))
+    replicate("part", (b, r) => shift(b, r, "p_partkey"))
+    replicate("orders", (b, r) => shift(b, r, "o_orderkey", "o_custkey"))
+    replicate("lineitem", (b, r) => shift(b, r, "l_orderkey", "l_partkey", "l_suppkey"))
+    replicate("events", (b, r) => shift(b, r, "event_id", "user_id"))
+
+    replicate("documents", (b, r) => {
+      val s = shift(b, r, "doc_id")
+      if (r == 0) s
+      else s
+        // tag every third word: each 3-word window holds ≥1 tagged
+        // position, so no word-3-gram shingle matches across replicas
+        .withColumn("text", expr(
+          s"array_join(transform(split(text, ' '), (w, i) -> IF(i % 3 = 2, concat(w, 'x$r'), w)), ' ')"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    })
+
+    replicate("embeddings", (b, r) => {
+      val s = shift(b, r, "vec_id")
+      val d = r % 64 // dim = 64; rotation by 0 would copy verbatim
+      if (d == 0) s
+      else s.withColumn("embedding", expr(
+        s"concat(slice(embedding, ${d + 1}, size(embedding) - $d), slice(embedding, 1, $d))"))
+    })
+
+    spark.stop()
+    println(s"[genlake] done: $out (${reps}x $base)")
+  }
+
+  /** Write `df` as a single parquet FILE at `dest` (driver layout).
+    * The compute runs at full parallelism; only the final file concat
+    * is single-task (repartition(1) after the transforms are done).
+    */
+  private def writeOne(df: DataFrame, dest: Path): Unit = {
+    val tmp = dest.resolveSibling(dest.getFileName.toString + "_tmp")
+    df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    // clean the tmp dir (SUCCESS markers, crc files)
+    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+}
