@@ -149,7 +149,7 @@ object QueryAudit {
     * plain TreeNode traversal never sees any stage's operators) — and
     * descends into subquery plans.
     */
-  private def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = p match {
+  private[graft] def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = p match {
     case a: AdaptiveSparkPlanExec => walk(a.executedPlan)(f)
     case q: QueryStageExec => walk(q.plan)(f)
     case node =>

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Expression, GreaterThanOrEqual, LessThan, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Expression, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
@@ -73,6 +73,8 @@ case class TimeRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       else "micros"
     }
 
+    val dateColName = conf.getOption("spark.graft.queryRange.dateColumn").getOrElse("date")
+
     def condFor(attr: Attribute): Expression = {
       def lit(micros: Long) = attr.dataType match {
         case LongType => longUnit match {
@@ -89,13 +91,44 @@ case class TimeRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       conds.reduce(And)
     }
 
+    // Derived PARTITION predicate: when the scan also exposes a
+    // DateType day column (materialized views are written
+    // partitionBy("date"), Materialize.updateByDay), the time range
+    // implies a date range — and only a predicate on the PARTITION
+    // column prunes whole directories before any IO; the ts predicate
+    // alone reaches row-group stats but still lists and opens every
+    // day's files. Day boundaries are UTC (every session here pins
+    // spark.sql.session.timeZone=UTC, and the materializers derive
+    // `date` with to_date under that zone). This is the 100 TB read
+    // path: range → date filter → partition pruning → row-group stats.
+    val MicrosPerDay = 86400000000L
+    def dateLit(micros: Long) =
+      Literal(Math.floorDiv(micros, MicrosPerDay).toInt,
+        org.apache.spark.sql.types.DateType)
+    def dateAttrOf(leaf: LeafNode): Option[Attribute] =
+      leaf.output.find(a => a.name == dateColName &&
+        a.dataType == org.apache.spark.sql.types.DateType)
+
+    /** Full injected range condition for a leaf: the ts conjuncts plus,
+      * when a day partition column is present, the implied date
+      * conjuncts (end is exclusive on ts, so its last included day is
+      * floor((end−1)/day)).
+      */
+    def rangeCond(leaf: LeafNode, attr: Attribute): Expression = {
+      val dateConds = dateAttrOf(leaf).toSeq.flatMap { da =>
+        begin.map(b => GreaterThanOrEqual(da, dateLit(b))).toSeq ++
+          end.map(e => LessThanOrEqual(da, dateLit(e - 1)))
+      }
+      (conjuncts(condFor(attr)) ++ dateConds).reduce(And)
+    }
+
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
 
-    def alreadyScoped(cond: Expression, attr: Attribute): Boolean = {
-      val want = conjuncts(condFor(attr))
+    def alreadyScoped(cond: Expression, leaf: LeafNode, attr: Attribute): Boolean = {
+      val want = conjuncts(rangeCond(leaf, attr))
       val have = conjuncts(cond)
       want.forall(w => have.exists(_.semanticEquals(w)))
     }
@@ -110,11 +143,11 @@ case class TimeRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // copies that drop tags.
       case f @ Filter(cond, leaf: LeafNode)
           if f.getTagValue(TimeRangeRewrite.InjectedTag).isDefined ||
-            (!explicitNoRange && timeAttr(leaf, colName).exists(a => alreadyScoped(cond, a))) => f
+            (!explicitNoRange && timeAttr(leaf, colName).exists(a => alreadyScoped(cond, leaf, a))) => f
       case leaf: LeafNode if timeAttr(leaf, colName).isDefined =>
         val fl =
           if (explicitNoRange) Filter(Literal.TrueLiteral, leaf)
-          else Filter(condFor(timeAttr(leaf, colName).get), leaf)
+          else Filter(rangeCond(leaf, timeAttr(leaf, colName).get), leaf)
         fl.setTagValue(TimeRangeRewrite.InjectedTag, true)
         fl
       case other => other.mapChildren(inject)
