@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.{round => round} // DuckDB-compatible rounding (see package.scala)
@@ -14,6 +14,22 @@ import graft.queries.{round => round} // DuckDB-compatible rounding (see package
 object CoreSql {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
+
+  /** Money-exact revenue aggregate: Σ extendedprice·(1−discount) in
+    * DECIMAL cents (TPC-H's money type), rounded at scale 2, surfaced
+    * as double. A double-precision sum is fold-order dependent, and at
+    * sf1 the parallel partial sums landed one ulp across a cent
+    * rounding boundary in one q5 group (….96 vs ….97 after round) —
+    * decimal sums are bit-exact at any scale and parallelism, and both
+    * engines convert the identical decimal to the identical double.
+    * Mirrored verbatim by [[moneyRevenueSql]].
+    */
+  private val moneyRevenue: Column =
+    expr("cast(round(sum(cast(l_extendedprice as decimal(18,2)) * " +
+      "(cast(1 as decimal(3,2)) - cast(l_discount as decimal(4,2)))), 2) as double)")
+  private val moneyRevenueSql: String =
+    "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)"
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -53,12 +69,12 @@ object CoreSql {
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), epochMs(col("o_orderdate")).as("order_date_ms"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .agg(moneyRevenue.as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
-    }, Some("""
+    }, Some(s"""
       SELECT l_orderkey, epoch_ms(o_orderdate) AS order_date_ms, o_orderpriority,
-        round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        $moneyRevenueSql AS revenue
       FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON o_orderkey = l_orderkey
@@ -85,12 +101,12 @@ object CoreSql {
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(su), col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("n_nationkey"))
         .groupBy("r_name", "n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        .agg(moneyRevenue.as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
-    }, Some("""
+    }, Some(s"""
       SELECT r_name, n_name,
-        round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        $moneyRevenueSql AS revenue,
         CAST(count(*) AS BIGINT) AS n_items
       FROM region
       JOIN nation ON r_regionkey = n_regionkey
