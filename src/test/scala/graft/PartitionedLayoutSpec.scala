@@ -42,7 +42,12 @@ class PartitionedLayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // lists/opens only the ranged days' files — not merely row-group
     // pruning inside every file of every day.
     val out = java.nio.file.Files.createTempDirectory("graft-rangeprune").toString
-    val lk = new Lakehouse(spark, sfDir)
+    // the assertion (2 of ~30 day dirs listed) is scale-invariant — day
+    // count doesn't grow with SF — so use the 10x generated lake when a
+    // local GenLake run has produced one, the driver testdata otherwise
+    val lake = if (new java.io.File("target/sf1/events.parquet").exists()) "target/sf1"
+      else sfDir
+    val lk = new Lakehouse(spark, lake)
     graft.operators.Materialize.updateByDay(spark, lk.logStats, out)
     spark.read.parquet(out).createOrReplaceTempView("log_stats_lake")
     val begin = java.time.Instant.parse("2024-01-05T00:00:00Z").toEpochMilli * 1000L
