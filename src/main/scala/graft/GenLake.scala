@@ -99,10 +99,18 @@ object GenLake {
 
     replicate("embeddings", (b, r) => {
       val s = shift(b, r, "vec_id")
-      val d = r % 64 // dim = 64; rotation by 0 would copy verbatim
-      if (d == 0) s
+      // rotation wraps at dim 64, so replicas 64.. would copy replica
+      // (r-64) verbatim — negate on each wrap instead: negation is
+      // norm-preserving, int8-quantization-exact, and cos(v, -rot(v))
+      // is strongly negative, never a near-dup
+      val d = r % 64
+      val neg = (r / 64) % 2 == 1
+      val rotated = if (d == 0) s
       else s.withColumn("embedding", expr(
         s"concat(slice(embedding, ${d + 1}, size(embedding) - $d), slice(embedding, 1, $d))"))
+      if (!neg) rotated
+      else rotated.withColumn("embedding",
+        expr("transform(embedding, x -> cast(-x as float))"))
     })
 
     spark.stop()
