@@ -15,21 +15,34 @@ object CoreSql {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.df(s, dir, n)
 
-  /** Money-exact revenue aggregate: Σ extendedprice·(1−discount) in
-    * DECIMAL cents (TPC-H's money type), rounded at scale 2, surfaced
-    * as double. A double-precision sum is fold-order dependent, and at
-    * sf1 the parallel partial sums landed one ulp across a cent
-    * rounding boundary in one q5 group (….96 vs ….97 after round) —
+  /** Decimal-money FRAGMENTS, written in the syntax subset valid in
+    * BOTH Spark `expr(...)` and DuckDB SQL — each site interpolates
+    * the SAME string into both sides, so the arithmetic cannot drift.
+    * Why decimal: a double-precision sum is fold-order dependent, and
+    * at sf1 the parallel partial sums landed one ulp across a cent
+    * rounding boundary in a q5 group (….96 vs ….97 after round) —
     * decimal sums are bit-exact at any scale and parallelism, and both
     * engines convert the identical decimal to the identical double.
-    * Mirrored verbatim by [[moneyRevenueSql]].
+    * Every money column in the testdata is an exact 2-decimal value
+    * (verified), so the decimal cast recovers exact cents. Ratios and
+    * averages of money sums stay double: their divergence is divided
+    * by group size and sits orders of magnitude inside any rounding
+    * boundary (analysis in PLANS.md round-9).
     */
-  private val moneyRevenue: Column =
-    expr("cast(round(sum(cast(l_extendedprice as decimal(18,2)) * " +
-      "(cast(1 as decimal(3,2)) - cast(l_discount as decimal(4,2)))), 2) as double)")
-  private val moneyRevenueSql: String =
-    "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
-      "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)"
+  private[queries] val decPrice = "cast(l_extendedprice as decimal(18,2))"
+  private[queries] val decDisc1 = "(cast(1 as decimal(3,2)) - cast(l_discount as decimal(4,2)))"
+  private[queries] val decTax1 = "(cast(1 as decimal(3,2)) + cast(l_tax as decimal(4,2)))"
+  private[queries] val decValue = "cast(value as decimal(18,2))"
+  private[queries] val decTotalPrice = "cast(o_totalprice as decimal(18,2))"
+  /** `cast(round(<decimal agg>, s) as double)` — the exact decimal
+    * result surfaced as the identical double on both engines.
+    */
+  private[queries] def money(aggExpr: String, scale: Int = 2): String =
+    s"cast(round($aggExpr, $scale) as double)"
+
+  private[queries] val moneyRevenueSql: String =
+    money(s"sum($decPrice * $decDisc1)")
+  private[queries] def moneyRevenue: Column = expr(moneyRevenueSql)
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -39,20 +52,20 @@ object CoreSql {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          expr(money(s"sum($decPrice)")).as("sum_base_price"),
+          expr(money(s"sum($decPrice * $decDisc1)")).as("sum_disc_price"),
+          expr(money(s"sum($decPrice * $decDisc1 * $decTax1)")).as("sum_charge"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_extendedprice"), 4).as("avg_price"),
           round(avg("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
-    }, Some("""
+    }, Some(s"""
       SELECT l_returnflag, l_linestatus,
         round(sum(l_quantity),2) AS sum_qty,
-        round(sum(l_extendedprice),2) AS sum_base_price,
-        round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
-        round(sum(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)),2) AS sum_charge,
+        ${money(s"sum($decPrice)")} AS sum_base_price,
+        ${money(s"sum($decPrice * $decDisc1)")} AS sum_disc_price,
+        ${money(s"sum($decPrice * $decDisc1 * $decTax1)")} AS sum_charge,
         round(avg(l_quantity),4) AS avg_qty,
         round(avg(l_extendedprice),4) AS avg_price,
         round(avg(l_discount),4) AS avg_disc,
@@ -158,14 +171,14 @@ object CoreSql {
       val e = t(s, dir, "events")
       e.groupBy(epochMs(date_trunc("hour", col("ts"))).as("bucket_ms"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum("value"), 2).as("sum_value"),
+          expr(money(s"sum($decValue)")).as("sum_value"),
           round(min("value"), 2).as("min_value"),
           round(max("value"), 2).as("max_value"))
         .orderBy("bucket_ms", "event_type")
-    }, Some("""
+    }, Some(s"""
       SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
         CAST(count(*) AS BIGINT) AS n,
-        round(sum(value),2) AS sum_value,
+        ${money(s"sum($decValue)")} AS sum_value,
         round(min(value),2) AS min_value,
         round(max(value),2) AS max_value
       FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type"""), headline = true),
@@ -188,11 +201,11 @@ object CoreSql {
       e.groupBy("event_type")
         .agg(countDistinct("user_id").as("n_users"),
           count(lit(1)).as("n_events"),
-          round(sum("value"), 2).as("sum_value"))
+          expr(money(s"sum($decValue)")).as("sum_value"))
         .orderBy("event_type")
-    }, Some("""
+    }, Some(s"""
       SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-        CAST(count(*) AS BIGINT) AS n_events, round(sum(value),2) AS sum_value
+        CAST(count(*) AS BIGINT) AS n_events, ${money(s"sum($decValue)")} AS sum_value
       FROM events GROUP BY event_type ORDER BY event_type""")),
 
     GraftQuery("q_approx_distinct", (s, dir) => {

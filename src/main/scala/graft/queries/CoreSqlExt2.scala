@@ -19,17 +19,18 @@ object CoreSqlExt2 {
     GraftQuery("q_cube", (s, dir) => {
       t(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          expr(CoreSql.money(s"sum(${CoreSql.decTotalPrice})")).as("total"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
           col("n"), col("total"))
         .orderBy("o_orderstatus", "o_orderpriority")
-    }, Some("""
+    }, Some(s"""
       SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
              COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
              CAST(count(*) AS BIGINT) AS n,
-             round(sum(o_totalprice),2) AS total
+             ${CoreSql.money(s"sum(${CoreSql.decTotalPrice})")} AS total
       FROM orders
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus, o_orderpriority""")),
@@ -51,13 +52,13 @@ object CoreSqlExt2 {
           col("cust_nation").isin("NATION_0", "NATION_1", "NATION_2"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate").cast("date")).as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        .agg(CoreSql.moneyRevenue.as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("supp_nation", "cust_nation", "l_year")
-    }, Some("""
+    }, Some(s"""
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         CAST(year(l_shipdate) AS INTEGER) AS l_year,
-        round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        ${CoreSql.moneyRevenueSql} AS revenue,
         CAST(count(*) AS BIGINT) AS n_items
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey

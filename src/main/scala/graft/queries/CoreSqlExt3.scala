@@ -50,13 +50,14 @@ object CoreSqlExt3 {
         .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"), year(col("l_shipdate").cast("date")).as("o_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-          - col("p_retailprice") * col("l_quantity") * lit(0.1)), 2).as("profit"),
+        .agg(expr(CoreSql.money(s"sum(${CoreSql.decPrice} * ${CoreSql.decDisc1} - " +
+            s"cast(p_retailprice as decimal(18,2)) * cast(l_quantity as decimal(18,2)) * cast(0.1 as decimal(2,1)))")).as("profit"),
           count(lit(1)).as("n_items"))
         .orderBy("nation", "o_year")
-    }, Some("""
+    }, Some(s"""
       SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS o_year,
-        round(sum(l_extendedprice*(1.0-l_discount) - p_retailprice*l_quantity*0.1),2) AS profit,
+        ${CoreSql.money(s"sum(${CoreSql.decPrice} * ${CoreSql.decDisc1} - " +
+          s"cast(p_retailprice as decimal(18,2)) * cast(l_quantity as decimal(18,2)) * cast(0.1 as decimal(2,1)))")} AS profit,
         CAST(count(*) AS BIGINT) AS n_items
       FROM lineitem
       JOIN part ON l_partkey = p_partkey
@@ -297,18 +298,18 @@ object CoreSqlExt3 {
         SELECT o_orderstatus, o_orderpriority,
           grouping_id(o_orderstatus, o_orderpriority) AS gid,
           CAST(count(*) AS BIGINT) AS n,
-          sum(o_totalprice) AS total
+          sum(cast(o_totalprice as decimal(18,2))) AS total
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
         ORDER BY gid, o_orderstatus, o_orderpriority""")
-        // DuckDB-exact rounding must happen OUTSIDE the SQL string —
-        // `round` inside spark.sql resolves to Spark's builtin
-        .withColumn("total", round(col("total"), 2))
-    }, Some("""
+        // the decimal sum is exact, so rounding it is engine-agnostic;
+        // surfaced as double to match the oracle's cast
+        .withColumn("total", expr("cast(round(total, 2) as double)"))
+    }, Some(s"""
       SELECT o_orderstatus, o_orderpriority,
         CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
         CAST(count(*) AS BIGINT) AS n,
-        round(sum(o_totalprice), 2) AS total
+        ${CoreSql.money(s"sum(${CoreSql.decTotalPrice})")} AS total
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
       ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
@@ -344,10 +345,10 @@ object CoreSqlExt3 {
       val l = t(s, dir, "lineitem")
       l.where(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        .agg(expr(CoreSql.money(s"sum(${CoreSql.decPrice} * cast(l_discount as decimal(4,2)))")).as("revenue"),
           count(lit(1)).as("n_items"))
-    }, Some("""
-      SELECT round(sum(l_extendedprice*l_discount),2) AS revenue,
+    }, Some(s"""
+      SELECT ${CoreSql.money(s"sum(${CoreSql.decPrice} * cast(l_discount as decimal(4,2)))")} AS revenue,
         CAST(count(*) AS BIGINT) AS n_items
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
@@ -380,12 +381,12 @@ object CoreSqlExt3 {
       l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .join(avgQ, col("l_partkey") === col("a_partkey"))
         .where(col("l_quantity") < col("avg_qty") * 0.5)
-        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        .agg(round(expr(s"cast(sum(${CoreSql.decPrice}) as double)") / lit(7.0), 2).as("avg_yearly"),
           count(lit(1)).as("n_items"))
-    }, Some("""
+    }, Some(s"""
       WITH a AS (SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
                  FROM lineitem GROUP BY 1)
-      SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+      SELECT round(cast(sum(${CoreSql.decPrice}) as double) / 7.0, 2) AS avg_yearly,
         CAST(count(*) AS BIGINT) AS n_items
       FROM lineitem
       JOIN part ON l_partkey = p_partkey
@@ -404,9 +405,9 @@ object CoreSqlExt3 {
         (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) && col("l_quantity").between(20, 30))
       l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .where(cond)
-        .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n_items"))
-    }, Some("""
-      SELECT round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        .agg(CoreSql.moneyRevenue.as("revenue"), count(lit(1)).as("n_items"))
+    }, Some(s"""
+      SELECT ${CoreSql.moneyRevenueSql} AS revenue,
         CAST(count(*) AS BIGINT) AS n_items
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -454,11 +455,11 @@ object CoreSqlExt3 {
       graft.operators.Skew
         .saltedJoin(l, o, "l_orderkey", col("l_partkey") * lit(7L) + col("l_linenumber"), 8)
         .groupBy("o_orderpriority")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        .agg(CoreSql.moneyRevenue.as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("o_orderpriority")
-    }, Some("""
-      SELECT o_orderpriority, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+    }, Some(s"""
+      SELECT o_orderpriority, ${CoreSql.moneyRevenueSql} AS revenue,
         CAST(count(*) AS BIGINT) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY o_orderpriority""")),

@@ -66,12 +66,12 @@ object Observability {
           round(min("value"), 2).as("min_value"),
           round(max("value"), 2).as("max_value"),
           round(avg("value"), 4).as("avg_value"),
-          round(sum("value"), 2).as("sum_value"))
+          expr(CoreSql.money(s"sum(${CoreSql.decValue})")).as("sum_value"))
         .orderBy("name")
-    }, Some("""
+    }, Some(s"""
       SELECT event_type AS name, CAST(count(*) AS BIGINT) AS n,
         round(min(value),2) AS min_value, round(max(value),2) AS max_value,
-        round(avg(value),4) AS avg_value, round(sum(value),2) AS sum_value
+        round(avg(value),4) AS avg_value, ${CoreSql.money(s"sum(${CoreSql.decValue})")} AS sum_value
       FROM events GROUP BY 1 ORDER BY name""")),
 
     GraftQuery("m_log_stats", (s, dir) => {
