@@ -151,10 +151,21 @@ object Dedup {
     * summed over shingles; simhash bit = 1 iff the vote is positive.
     * A hex STRING output (not BIGINT) sidesteps signed-64 overflow
     * differences between engines.
+    *
+    * Evaluation-cost note (found at the sf10 decade, round 9): the
+    * vote aggregate must be BOUND ONCE per row. Embedding its tree
+    * directly at every read site put 4 copies inside the hex-char
+    * lambda, and higher-order functions evaluate their body per
+    * element — 16 elements × 4 copies = 64 re-evaluations of the whole
+    * shingle fold per document, interpreted (HOFs are CodegenFallback).
+    * Invisible at 5k docs, ~30 min at 500k. Spark has no `let`, so the
+    * binding trick is a single-element transform: `transform(array(v),
+    * votes -> …)[0]` evaluates `v` exactly once and the lambda body
+    * reads the O(1) lambda variable.
     */
   def simhashHex(shingles: Column): Column = {
     val hexAlphabet = lit("0123456789abcdef")
-    val votes = aggregate(
+    val votesExpr = aggregate(
       transform(shingles, s => substring(md5(s), 1, 16)),
       array_repeat(lit(0L), 64),
       (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (a, b) => {
@@ -163,12 +174,13 @@ object Dedup {
           (lit(3) - b.bitwiseAND(lit(3))).cast("int")).bitwiseAND(lit(1L))
         a + when(bit === 1L, lit(1L)).otherwise(lit(-1L))
       }))
-    val hexChars = transform(sequence(lit(0), lit(15)), p => {
-      val digit = (0 until 4).map { r =>
-        when(element_at(votes, (p * 4 + r + 1).cast("int")) > 0, lit(8 >> r)).otherwise(lit(0))
-      }.reduce(_ + _)
-      substr(hexAlphabet, digit + 1, lit(1))
-    })
-    array_join(hexChars, "")
+    def hexFrom(votes: Column): Column = array_join(
+      transform(sequence(lit(0), lit(15)), p => {
+        val digit = (0 until 4).map { r =>
+          when(element_at(votes, (p * 4 + r + 1).cast("int")) > 0, lit(8 >> r)).otherwise(lit(0))
+        }.reduce(_ + _)
+        substr(hexAlphabet, digit + 1, lit(1))
+      }), "")
+    element_at(transform(array(votesExpr), hexFrom(_)), 1)
   }
 }
