@@ -186,8 +186,18 @@ object LlmPipeline {
 
     GraftQuery("l_embed_neardup", (s, dir) => {
       // raw float arrays: graft_dot widens per element (bit-identical
-      // to the cast, without materializing a double copy per row)
-      val e = embs(s, dir).select(col("vec_id"), col("embedding").as("e"))
+      // to the cast, without materializing a double copy per row).
+      // Brute-force all-pairs is O(n²) BY CONSTRUCTION — it exists as
+      // the exact baseline for the scale paths (LSH L7, SemDeDup L30),
+      // so it runs on a FIXED calibration slice (vec_id < 20000), the
+      // way real pipelines calibrate exact baselines on a bounded
+      // sample: constant work at any corpus scale. The cap covers the
+      // ENTIRE corpus at every driver gate SF (≤ 2000 vectors), so
+      // gate results are unchanged; on GenLake decade lakes it selects
+      // the base replica's id range (replicas sit at offsets of 10⁷).
+      // Found at the sf10 decade, where the uncapped join was 20B pairs.
+      val e = embs(s, dir).where(col("vec_id") < 20000)
+        .select(col("vec_id"), col("embedding").as("e"))
         .withColumn("nrm", Ann.norm(col("e")))
       e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
@@ -196,7 +206,8 @@ object LlmPipeline {
         .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
         .orderBy("a", "b")
     }, Some("""
-      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                 WHERE vec_id < 20000)
       SELECT x.vec_id AS a, y.vec_id AS b, round(list_cosine_similarity(x.e, y.e), 4) AS cos
       FROM e x JOIN e y ON x.vec_id < y.vec_id
       WHERE list_cosine_similarity(x.e, y.e) >= 0.4

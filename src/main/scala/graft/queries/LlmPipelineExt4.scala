@@ -38,11 +38,13 @@ object LlmPipelineExt4 {
   private def assignments(e: DataFrame): DataFrame =
     graft.operators.SemDeDup.assignments(e, 8)
 
-  /** Oracle-side CTEs matching SemDeDup.quantize + [[assignments]]: DuckDB
-    * has no zip_with, so integer L2 comes from the dot identity
+  /** Oracle-side CTEs matching SemDeDup.quantize + assignment at
+    * centroid count `kSql` (a SQL expression — a literal for the fixed
+    * gate K, a scalar subquery for the scale-derived K): DuckDB has no
+    * zip_with, so integer L2 comes from the dot identity
     * |a-b|^2 = a.a - 2 a.b + b.b (all three dots are exact integers).
     */
-  private[queries] val assignSql = """
+  private[queries] def assignSqlK(kSql: String) = s"""
       e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
           GREATEST(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0,
@@ -57,11 +59,28 @@ object LlmPipelineExt4 {
           CAST(list_dot_product(a.q, a.q) - 2 * list_dot_product(a.q, c.q)
                + list_dot_product(c.q, c.q) AS BIGINT) AS idist
         FROM z a CROSS JOIN z c
-        WHERE c.vec_id < 8),
+        WHERE c.vec_id < ($kSql)),
       asn AS (
         SELECT vec_id, sc, q, cid AS cluster, idist,
           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY idist, cid) AS rk
         FROM scored)"""
+
+  /** The fixed-K=8 CTE set (assignment demos whose cost is LINEAR in
+    * n×K — l_cluster_assign, l_index_health). The quadratic consumer
+    * (l_semantic_dedup) derives K from the corpus count instead.
+    */
+  private[queries] val assignSql = assignSqlK("8")
+
+  /** Scale-correct centroid count as a SQL scalar, integer-exact on
+    * both engines: K = greatest(8, ceil(n / 1250)). With balanced
+    * clusters the within-cluster pair term is n²/K ≈ 1250·n — LINEAR
+    * in corpus size, per SemDeDup's own doctrine (K ∝ n). Evaluates to
+    * 8 whenever n ≤ 10k — every driver gate SF has ≤ 2000 vectors, so
+    * gate results are bit-identical; the generated decade lakes get
+    * K = 16 (sf1, 20k vectors) and 160 (sf10, 200k).
+    */
+  private[queries] val scaleKSql =
+    "SELECT GREATEST(8, (count(*) + 1249) // 1250) FROM embeddings"
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -83,10 +102,19 @@ object LlmPipelineExt4 {
       // quadratic term to the cluster granularity (the reason SemDeDup
       // clusters first); at 100 TB the join shuffles on cluster id and
       // each cluster's pairs stay inside one task.
-      graft.operators.SemDeDup.dedup(assignments(embs(s, dir)), 0.4)
+      // Scale-correct K derived from the corpus count (one count()
+      // action — a scalar scale knob, same driver-side pattern as the
+      // BPE training rounds), mirrored exactly by the oracle's scalar
+      // subquery: K = 8 at every driver gate SF, grows as n/1250 so
+      // the pair term stays linear. Found at the sf10 decade: the
+      // fixed K=8 put 5B pairs in 8 skewed tasks.
+      val e = embs(s, dir)
+      val k = math.max(8L, (e.count() + 1249L) / 1250L).toInt
+      graft.operators.SemDeDup.dedup(
+        graft.operators.SemDeDup.assignments(e, k), 0.4)
         .orderBy("vec_id")
     }, Some(s"""
-      WITH $assignSql,
+      WITH ${assignSqlK(scaleKSql)},
       v AS (
         SELECT vec_id, cluster, q, CAST(list_dot_product(q, q) AS BIGINT) AS nrm
         FROM asn WHERE rk = 1),
