@@ -4,7 +4,7 @@ in DuckDB over the sf tables, load the Spark parquet result, sort columns
 by name + rows, and compare values exactly. Usage:
   python3 tools/compare_oracle.py <sfdir> <verify_outdir> [query ...]
 """
-import sys, json, glob, math
+import sys, os, json, glob, math
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
@@ -36,6 +36,16 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Decade-lake sweeps run DuckDB beside a large Spark JVM; unbounded
+    # DuckDB (default 80% of RAM) then dies with "bad allocation" on the
+    # pair-heavy oracles. Cap + spill keeps the compare robust.
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    thr = os.environ.get("GRAFT_DUCKDB_THREADS")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sfdir}/{t}.parquet')")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
