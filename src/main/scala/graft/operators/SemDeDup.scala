@@ -86,19 +86,41 @@ object SemDeDup {
     * threshold comparison is engine-deterministic. The cluster equi-join
     * bounds the quadratic term to the cluster granularity.
     */
-  def dedup(asn: DataFrame, threshold: Double): DataFrame = {
+  def dedup(asn: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
+    // Triangle-blocked within-cluster self-join (Suri & Vassilvitskii's
+    // 2-path partitioning, applied to the dedup pair scan): a plain
+    // equi-join on cluster id puts EVERY pair of a cluster into the one
+    // reducer owning that key — a 26k-member hot cluster (observed at
+    // the sf10 decade under sampled centroids) is then 345M pairs in a
+    // single task while 31 cores idle. Splitting each cluster into B
+    // deterministic hash-blocks decomposes its pairs into B same-block
+    // keys (orientation deduped by a_id < b_id) plus B(B-1)/2 cross-
+    // block keys (x from the lower block, y from the higher — each
+    // unordered pair lands in exactly one key), so the hottest key
+    // holds ~size²/B² pairs and skew flattens without changing a
+    // single emitted pair. Rows fan out ≤ B times on the shuffle wire
+    // — 64-int8 vectors make that cheap; results are join-strategy-
+    // invariant so the oracle is untouched.
     val withNrm = asn.withColumn("nrm", idot(col("q"), col("q")))
-    val a = withNrm.select(col("vec_id").as("a_id"), col("cluster"),
-      col("q").as("aq"), col("nrm").as("anrm"))
-    val b = withNrm.select(col("vec_id").as("b_id"), col("cluster"),
-      col("q").as("bq"), col("nrm").as("bnrm"))
-    val dropped = a.join(b, Seq("cluster"))
+      .withColumn("blk", pmod(hash(col("vec_id")), lit(blocks)))
+    val a = withNrm.select(col("vec_id").as("a_id"), col("cluster").as("a_cl"),
+      col("blk").as("ab"), col("q").as("aq"), col("nrm").as("anrm"))
+    val b = withNrm.select(col("vec_id").as("b_id"), col("cluster").as("b_cl"),
+      col("blk").as("bb"), col("q").as("bq"), col("nrm").as("bnrm"))
+    val cosq = (idot(col("aq"), col("bq")).cast("double") /
+      sqrt(col("anrm").cast("double") * col("bnrm").cast("double"))).as("cosq")
+    val allBlocks = sequence(lit(0), lit(blocks - 1))
+    val same = a.join(b, col("a_cl") === col("b_cl") && col("ab") === col("bb"))
       .where(col("a_id") < col("b_id"))
-      .select(col("b_id"),
-        (idot(col("aq"), col("bq")).cast("double") /
-          sqrt(col("anrm").cast("double") * col("bnrm").cast("double"))).as("cosq"))
+      .select(col("b_id").as("vec_id"), cosq)
+    val aX = a.withColumn("tb", explode(filter(allBlocks, t => t > col("ab"))))
+    val bX = b.withColumn("sb", explode(filter(allBlocks, t => t < col("bb"))))
+    val cross = aX.join(bX, col("a_cl") === col("b_cl") &&
+        col("ab") === col("sb") && col("tb") === col("bb"))
+      .select(greatest(col("a_id"), col("b_id")).as("vec_id"), cosq)
+    val dropped = same.unionAll(cross)
       .where(col("cosq") > threshold)
-      .select(col("b_id").as("vec_id")).distinct()
+      .select(col("vec_id")).distinct()
     withNrm.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster"))
   }
