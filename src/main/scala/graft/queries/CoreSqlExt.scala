@@ -108,19 +108,25 @@ object CoreSqlExt {
       FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""")),
 
     GraftQuery("q_conditional_agg", (s, dir) => {
+      // rev_bulk is a money sum → decimal-exact (the double fold-order
+      // lottery flipped its last cent at the sf10 decade; the shared
+      // fragment is valid in both engines' SQL, so the arithmetic
+      // cannot drift — PLANS.md round-9)
       val l = t(s, dir, "lineitem")
       l.groupBy("l_returnflag")
         .agg(
           sum(when(col("l_discount") > 0.05, lit(1)).otherwise(lit(0))).as("n_high_disc"),
-          sum(when(col("l_quantity") > 25, col("l_extendedprice"))).as("rev_bulk_raw"),
+          expr(CoreSql.money(
+            s"sum(case when l_quantity > 25 then ${CoreSql.decPrice} end)"))
+            .as("rev_bulk"),
           count(when(col("l_tax") === 0, lit(1))).as("n_no_tax"))
-        .select(col("l_returnflag"), col("n_high_disc"),
-          round(col("rev_bulk_raw"), 2).as("rev_bulk"), col("n_no_tax"))
+        .select(col("l_returnflag"), col("n_high_disc"), col("rev_bulk"),
+          col("n_no_tax"))
         .orderBy("l_returnflag")
-    }, Some("""
+    }, Some(s"""
       SELECT l_returnflag,
         CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,
-        round(SUM(CASE WHEN l_quantity > 25 THEN l_extendedprice END), 2) AS rev_bulk,
+        ${CoreSql.money(s"SUM(CASE WHEN l_quantity > 25 THEN ${CoreSql.decPrice} END)")} AS rev_bulk,
         CAST(COUNT(CASE WHEN l_tax = 0 THEN 1 END) AS BIGINT) AS n_no_tax
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )

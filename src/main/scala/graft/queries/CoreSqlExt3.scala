@@ -149,16 +149,17 @@ object CoreSqlExt3 {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
-      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n_items"))
+        // decimal-exact money sum (PLANS.md round-9): a last-cent flip
+        // here would also reorder the revenue-ranked top-20
+        .agg(CoreSql.moneyRevenue.as("revenue"), count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
-    }, Some("""
-      SELECT c_custkey, c_name, n_name, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+    }, Some(s"""
+      SELECT c_custkey, c_name, n_name, ${CoreSql.moneyRevenueSql} AS revenue,
         CAST(count(*) AS BIGINT) AS n_items
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
