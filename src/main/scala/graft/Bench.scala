@@ -99,6 +99,17 @@ object Bench {
       java.nio.file.Files.write(out, (report + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    // Compact bests-only line LAST (round-9 verdict item 4): the driver
+    // persists only the final ~2 KB of stdout, which truncates the full
+    // report above (BENCH_r09 parsed:null). This line is ~1.2 KB — small
+    // enough that the kept tail always contains it whole, so the driver
+    // artifact alone yields the complete per-query bests map. 4-decimal
+    // rounding keeps it compact; the full-precision record is the file.
+    def r4(v: Double) = math.rint(v * 1e4) / 1e4
+    val qs4 = results.map { case (k, v, _, _) => "\"" + k + "\":" + r4(v) }
+      .mkString("{", ",", "}")
+    val total4 = if (failed > 0) "null" else r4(results.map(_._2).sum).toString
+    println(s"""{"metric":"best_total","value":$total4,"unit":"sec","reps":$reps,"failed":$failed,"queries":$qs4,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

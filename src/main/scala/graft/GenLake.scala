@@ -68,25 +68,43 @@ object GenLake {
     def shift(df: DataFrame, r: Int, ids: String*): DataFrame =
       ids.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(r * Off)))
 
-    def replicate(t: String, f: (DataFrame, Int) => DataFrame): Unit = {
+    /** Replicate one table. `ids` are the columns `f` offsets by r·Off;
+      * the base values of each MUST sit below Off, or replica id
+      * universes collide — which is exactly what happens when an
+      * already-generated lake (target/sf1) is mistakenly fed back in as
+      * the base. Assert it up front with a clear message instead of
+      * silently breaking the documented disjointness.
+      */
+    def replicate(t: String, ids: Seq[String])(f: (DataFrame, Int) => DataFrame): Unit = {
       val b = src(t)
+      if (ids.nonEmpty) {
+        val maxes = b.agg(max(col(ids.head)), ids.tail.map(c => max(col(c))): _*).head()
+        ids.zipWithIndex.foreach { case (c, i) =>
+          val m = if (maxes.isNullAt(i)) 0L else maxes.getLong(i)
+          require(m < Off,
+            s"GenLake: $t.$c max id $m >= replica offset $Off — the base dir " +
+              s"'$base' looks like an already-replicated lake; replicating it " +
+              "again would collide replica id universes. Point GenLake at the " +
+              "original driver testdata instead.")
+        }
+      }
       val u = (0 until reps).map(r => f(b, r)).reduce(_ unionAll _)
       writeOne(u, Paths.get(out, s"$t.parquet"))
       println(s"[genlake] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
 
     // dimensions: fixed regardless of scale factor
-    replicate("region", (b, r) => if (r == 0) b else b.limit(0))
-    replicate("nation", (b, r) => if (r == 0) b else b.limit(0))
+    replicate("region", Nil)((b, r) => if (r == 0) b else b.limit(0))
+    replicate("nation", Nil)((b, r) => if (r == 0) b else b.limit(0))
 
-    replicate("customer", (b, r) => shift(b, r, "c_custkey"))
-    replicate("supplier", (b, r) => shift(b, r, "s_suppkey"))
-    replicate("part", (b, r) => shift(b, r, "p_partkey"))
-    replicate("orders", (b, r) => shift(b, r, "o_orderkey", "o_custkey"))
-    replicate("lineitem", (b, r) => shift(b, r, "l_orderkey", "l_partkey", "l_suppkey"))
-    replicate("events", (b, r) => shift(b, r, "event_id", "user_id"))
+    replicate("customer", Seq("c_custkey"))((b, r) => shift(b, r, "c_custkey"))
+    replicate("supplier", Seq("s_suppkey"))((b, r) => shift(b, r, "s_suppkey"))
+    replicate("part", Seq("p_partkey"))((b, r) => shift(b, r, "p_partkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))((b, r) => shift(b, r, "o_orderkey", "o_custkey"))
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))((b, r) => shift(b, r, "l_orderkey", "l_partkey", "l_suppkey"))
+    replicate("events", Seq("event_id", "user_id"))((b, r) => shift(b, r, "event_id", "user_id"))
 
-    replicate("documents", (b, r) => {
+    replicate("documents", Seq("doc_id"))((b, r) => {
       val s = shift(b, r, "doc_id")
       if (r == 0) s
       else s
@@ -97,7 +115,7 @@ object GenLake {
         .withColumn("n_chars", length(col("text")).cast("long"))
     })
 
-    replicate("embeddings", (b, r) => {
+    replicate("embeddings", Seq("vec_id"))((b, r) => {
       val s = shift(b, r, "vec_id")
       // rotation wraps at dim 64, so replicas 64.. would copy replica
       // (r-64) verbatim — negate on each wrap instead: negation is
@@ -124,11 +142,15 @@ object GenLake {
   private def writeOne(df: DataFrame, dest: Path): Unit = {
     val tmp = dest.resolveSibling(dest.getFileName.toString + "_tmp")
     df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
-      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    val part = scala.util.Using.resource(Files.list(tmp)) { ls =>
+      ls.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    }
     Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
     // clean the tmp dir (SUCCESS markers, crc files)
-    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(p => Files.deleteIfExists(p))
+    scala.util.Using.resource(Files.walk(tmp)) { walk =>
+      walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
   }
 }

@@ -27,6 +27,28 @@ object Materialize {
 
   final case class UpdateStats(daysRecomputed: Long, rowsWritten: Long)
 
+  /** Marker file written at the lake root by the day-partition
+    * materializers, recording WHICH time column the `date` partition
+    * column is derived from (the UTC day of that column). The name
+    * starts with '_' so Spark's and DuckDB's file listings treat it as
+    * hidden metadata, never data. TimeRangeRewrite injects its derived
+    * date-partition predicate ONLY into scans whose root carries this
+    * marker for the ranged time column — a `date` column on an
+    * arbitrary table (business date, non-UTC derivation, a different
+    * base timestamp) must never be assumed to equal the UTC day of the
+    * ranged timestamp (ADVICE r9: that assumption silently drops rows).
+    */
+  val DayPartitionMarker = "_graft_day_partitioned"
+
+  private def writeDayMarker(spark: SparkSession, outDir: String,
+      timeColumn: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(outDir, DayPartitionMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(s"timeColumn=$timeColumn\ndateColumn=date\n".getBytes("UTF-8"))
+    finally os.close()
+  }
+
   /** The lake's newest `date=` partition, from DIRECTORY NAMES alone —
     * no file listing inside partitions, no parquet footer reads, so
     * open-day detection is O(days), not O(history). Hadoop FS API, so
@@ -124,9 +146,11 @@ object Materialize {
       .persist()
     try {
       val rows = day.count()
-      if (rows > 0)
+      if (rows > 0) {
         day.write.option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").partitionBy("date").parquet(outDir)
+        writeDayMarker(spark, outDir, "time_bin_ms")
+      }
       else {
         // dynamic overwrite of an empty frame touches nothing — the
         // damaged files being repaired would survive; an empty source
@@ -339,6 +363,7 @@ object Materialize {
       // concurrent writers on the same session
       fresh.write.option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").partitionBy("date").parquet(outDir)
+      writeDayMarker(spark, outDir, "time_bin_ms")
       val agg = fresh.agg(countDistinct("date"), count(lit(1))).head()
       UpdateStats(agg.getLong(0), agg.getLong(1))
     } finally fresh.unpersist()

@@ -73,7 +73,17 @@ case class TimeRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       else "micros"
     }
 
-    val dateColName = conf.getOption("spark.graft.queryRange.dateColumn").getOrElse("date")
+    // The derived date predicate asserts `date = UTC day of the ranged
+    // time column` — true for lakes the day-partition materializers
+    // wrote (they derive `date` exactly so and record it in a root
+    // marker file), NOT for an arbitrary table that happens to expose a
+    // DateType 'date' (business date, non-UTC derivation — injecting
+    // there silently drops rows, ADVICE r9). So the injection is gated:
+    // an EXPLICITLY configured dateColumn is a user assertion and is
+    // trusted; otherwise the scan's root must carry the Materialize
+    // marker naming this very time column as the date's source.
+    val explicitDateCol = conf.getOption("spark.graft.queryRange.dateColumn")
+    val dateColName = explicitDateCol.getOrElse("date")
 
     def condFor(attr: Attribute): Expression = {
       def lit(micros: Long) = attr.dataType match {
@@ -108,6 +118,8 @@ case class TimeRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     def dateAttrOf(leaf: LeafNode): Option[Attribute] =
       leaf.output.find(a => a.name == dateColName &&
         a.dataType == org.apache.spark.sql.types.DateType)
+        .filter(_ => explicitDateCol.isDefined ||
+          TimeRangeRewrite.markerAssertsDerivation(spark, leaf, colName))
 
     /** Full injected range condition for a leaf: the ts conjuncts plus,
       * when a day partition column is present, the implied date
@@ -165,4 +177,54 @@ object TimeRangeRewrite {
   /** Marks Filters injected by this rule as final across re-analyses. */
   val InjectedTag: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.queryRange.injected")
 
+  /** Positive-only cache of root-path → marker-declared time column:
+    * a lake once marked never un-marks (markers are written before data
+    * is served), while a NEGATIVE result must be re-checked — the
+    * materializer may write the marker after a first unmarked read of
+    * the same path within this JVM. The existence probe is one cheap
+    * FS call per analysis, and only for scans that expose both the
+    * ranged time column and a DateType 'date' while a range is armed.
+    */
+  private val markerCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** True iff every root path of `leaf`'s file relation carries the
+    * [[graft.operators.Materialize.DayPartitionMarker]] declaring its
+    * `date` partition column derived from `timeCol`. Non-file leaves
+    * (views over arbitrary plans, streaming sources) never qualify.
+    */
+  def markerAssertsDerivation(spark: SparkSession,
+      leaf: LeafNode, timeCol: String): Boolean = leaf match {
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          val roots = fs.location.rootPaths
+          roots.nonEmpty && roots.forall(r =>
+            markerTimeColumn(spark, r).contains(timeCol))
+        case _ => false
+      }
+    case _ => false
+  }
+
+  private def markerTimeColumn(spark: SparkSession,
+      root: org.apache.hadoop.fs.Path): Option[String] = {
+    val key = root.toString
+    Option(markerCache.get(key)).orElse {
+      try {
+        val p = new org.apache.hadoop.fs.Path(root,
+          graft.operators.Materialize.DayPartitionMarker)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val content =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          content.linesIterator
+            .collectFirst { case l if l.startsWith("timeColumn=") =>
+              l.stripPrefix("timeColumn=").trim }
+            .map { tc => markerCache.put(key, tc); tc }
+        }
+      } catch { case _: Throwable => None }
+    }
+  }
 }

@@ -317,11 +317,13 @@ object LlmPipelineExt17 {
         .withColumn("gy_e4", expr("g_yes * 10000 div n"))
         .withColumn("pe_e4",
           expr("(c4y_e4 * gy_e4 + (10000 - c4y_e4) * (10000 - gy_e4)) div 10000"))
-        // pe_e4 = 10000 when the gates agree everywhere (possible on a
-        // homogeneous corpus): Spark's non-ANSI div yields NULL, DuckDB
-        // raises — guard the denominator on BOTH sides (ADVICE r8)
+        // pe_e4 = 10000 (expected agreement total — both gates' keep
+        // shares truncate to 0 or 1) leaves kappa UNDEFINED; define the
+        // degenerate case as 0 explicitly on BOTH engines (ADVICE r9 —
+        // the old greatest(…,1) guard emitted a meaningless ~-10⁷).
         .withColumn("kappa_e4",
-          expr("(po_e4 - pe_e4) * 10000 div greatest(10000 - pe_e4, 1)"))
+          expr("CASE WHEN pe_e4 >= 10000 THEN CAST(0 AS BIGINT) " +
+            "ELSE (po_e4 - pe_e4) * 10000 div (10000 - pe_e4) END"))
         .select("c4_keep", "gopher_keep", "n_docs", "po_e4", "pe_e4", "kappa_e4")
         .orderBy("c4_keep", "gopher_keep")
     }, Some(s"""
@@ -360,7 +362,9 @@ object LlmPipelineExt17 {
           (c4y_e4 * gy_e4 + (10000 - c4y_e4) * (10000 - gy_e4)) // 10000 AS pe_e4
         FROM k2)
       SELECT cm.c4_keep, cm.gopher_keep, cm.n_docs, k3.po_e4, k3.pe_e4,
-        (k3.po_e4 - k3.pe_e4) * 10000 // GREATEST(10000 - k3.pe_e4, 1) AS kappa_e4
+        CASE WHEN k3.pe_e4 >= 10000 THEN CAST(0 AS BIGINT)
+             ELSE (k3.po_e4 - k3.pe_e4) * 10000 // (10000 - k3.pe_e4)
+        END AS kappa_e4
       FROM cm CROSS JOIN k3
       ORDER BY c4_keep, gopher_keep"""))
   )

@@ -43,10 +43,14 @@ class PartitionedLayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // pruning inside every file of every day.
     val out = java.nio.file.Files.createTempDirectory("graft-rangeprune").toString
     // the assertion (2 of ~30 day dirs listed) is scale-invariant — day
-    // count doesn't grow with SF — so use the 10x generated lake when a
-    // local GenLake run has produced one, the driver testdata otherwise
-    val lake = if (new java.io.File("target/sf1/events.parquet").exists()) "target/sf1"
-      else sfDir
+    // count doesn't grow with SF — so pin the input to the driver
+    // testdata for hermeticity (a stale/partial target/sf1 from an old
+    // GenLake run must not change results; ADVICE r9). To exercise the
+    // same assertion against a generated scale lake, opt in explicitly:
+    //   GRAFT_PRUNE_LAKE=target/sf1 sbt "testOnly *PartitionedLayoutSpec"
+    val lake = sys.env.get("GRAFT_PRUNE_LAKE")
+      .filter(d => new java.io.File(s"$d/events.parquet").exists())
+      .getOrElse(sfDir)
     val lk = new Lakehouse(spark, lake)
     graft.operators.Materialize.updateByDay(spark, lk.logStats, out)
     spark.read.parquet(out).createOrReplaceTempView("log_stats_lake")
@@ -83,6 +87,41 @@ class PartitionedLayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         "spark.graft.queryRange.column", "spark.graft.queryRange.columnUnit")
         .foreach(spark.conf.unset)
       spark.catalog.dropTempView("log_stats_lake")
+    }
+  }
+
+  test("a 'date' column NOT written by the materializer gets NO derived date predicate") {
+    // ADVICE r9 (medium): the derived partition predicate must not be
+    // injected into an arbitrary scan that merely EXPOSES a DateType
+    // 'date' next to the time column — here `date` is the day AFTER the
+    // timestamp (a business date), so assuming date = UTC day of ts
+    // would silently drop every row at a day boundary. Only lakes
+    // carrying the Materialize marker (or an explicit conf assertion)
+    // qualify.
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-bizdate").toString
+    val dayMs = 86400000L
+    Seq.tabulate(10)(i => (i.toLong * dayMs + 1000L, i.toLong))
+      .toDF("time_bin_ms", "v")
+      // business date: one day LATER than the UTC day of time_bin_ms
+      .withColumn("date", date_add(to_date(timestamp_millis(col("time_bin_ms"))), 1))
+      .write.mode("overwrite").partitionBy("date").parquet(out)
+    val begin = 2L * dayMs * 1000L // micros: days [2, 5)
+    val end = 5L * dayMs * 1000L
+    try {
+      spark.conf.set("spark.graft.queryRange.column", "time_bin_ms")
+      spark.conf.set("spark.graft.queryRange.columnUnit", "millis")
+      spark.conf.set("spark.graft.queryRange.beginMicros", begin.toString)
+      spark.conf.set("spark.graft.queryRange.endMicros", end.toString)
+      val got = spark.read.parquet(out).agg(sum("v")).head().getLong(0)
+      // rows of ts-days 2,3,4 (business dates 3,4,5): a wrongly-injected
+      // date∈[2,4] predicate would drop the ts-day-4 row (business date 5)
+      assert(got === (2L + 3L + 4L),
+        s"date predicate wrongly injected into an unmarked lake (sum=$got)")
+    } finally {
+      Seq("spark.graft.queryRange.beginMicros", "spark.graft.queryRange.endMicros",
+        "spark.graft.queryRange.column", "spark.graft.queryRange.columnUnit")
+        .foreach(spark.conf.unset)
     }
   }
 }
