@@ -37,4 +37,30 @@ object Tables {
       case _ => raw
     } else raw
   }
+
+  /** Exact row count of a lake table from parquet FOOTER metadata only —
+    * no Spark job, no data pages read. Scale knobs derived from corpus
+    * size (SemDeDup's K = n/1250) must not pay a full scan for a scalar:
+    * at 100 TB that knob-derivation count() is a real job (round-9
+    * verdict item 7). Footers carry the exact row count per file (sum of
+    * row-group counts); on a catalog-backed lake (Delta/Iceberg) the
+    * same number is one metadata lookup. O(files) footer reads on the
+    * driver — the same cost class as the file listing the scan already
+    * does. Hidden files (`_` markers, crc) are skipped by the `.parquet`
+    * suffix filter, matching what the scan would read.
+    */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    def files(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(files)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+      else Nil
+    files(fs.getFileStatus(root)).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }

@@ -102,14 +102,16 @@ object LlmPipelineExt4 {
       // quadratic term to the cluster granularity (the reason SemDeDup
       // clusters first); at 100 TB the join shuffles on cluster id and
       // each cluster's pairs stay inside one task.
-      // Scale-correct K derived from the corpus count (one count()
-      // action — a scalar scale knob, same driver-side pattern as the
-      // BPE training rounds), mirrored exactly by the oracle's scalar
-      // subquery: K = 8 at every driver gate SF, grows as n/1250 so
-      // the pair term stays linear. Found at the sf10 decade: the
-      // fixed K=8 put 5B pairs in 8 skewed tasks.
+      // Scale-correct K derived from the corpus row count, mirrored
+      // exactly by the oracle's scalar subquery: K = 8 at every driver
+      // gate SF, grows as n/1250 so the pair term stays linear. Found
+      // at the sf10 decade: the fixed K=8 put 5B pairs in 8 skewed
+      // tasks. The count comes from parquet FOOTER metadata (zero
+      // Spark jobs, no data read — Tables.rowCount): the earlier
+      // e.count() action was a full scan paid before the query proper,
+      // a real cost at 100 TB (round-9 verdict item 7).
       val e = embs(s, dir)
-      val k = math.max(8L, (e.count() + 1249L) / 1250L).toInt
+      val k = math.max(8L, (Tables.rowCount(s, dir, "embeddings") + 1249L) / 1250L).toInt
       graft.operators.SemDeDup.dedup(
         graft.operators.SemDeDup.assignments(e, k), 0.4)
         .orderBy("vec_id")
