@@ -50,6 +50,11 @@ object GenLake {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "target/sf1"
     val reps = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-separated subset of tables to generate
+    // (third-decade probes need only documents+embeddings — generating
+    // 600M lineitem rows to time five corpus queries would be waste)
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     require(reps >= 1 && reps <= 1000, s"replicas out of range: $reps")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -76,6 +81,10 @@ object GenLake {
       * silently breaking the documented disjointness.
       */
     def replicate(t: String, ids: Seq[String])(f: (DataFrame, Int) => DataFrame): Unit = {
+      if (only.exists(!_.contains(t))) return
+      require(reps <= 200,
+        s"replicate($t): the union formulation builds a $reps-branch plan " +
+          "tree — use the join-based path (replicateJoin) beyond 200 replicas")
       val b = src(t)
       if (ids.nonEmpty) {
         val maxes = b.agg(max(col(ids.head)), ids.tail.map(c => max(col(c))): _*).head()
@@ -93,6 +102,34 @@ object GenLake {
       println(s"[genlake] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
 
+    /** Join-based replication: base × range(reps) with the per-replica
+      * transform expressed over the replica-index COLUMN `r`. A
+      * reduce(unionAll) of 1000 branches is itself a scale defect (a
+      * depth-1000 plan tree: quadratic analysis, stack-overflow risk) —
+      * the third decade must not be generated by a generator that
+      * wouldn't survive a fourth. Same rows as the union formulation,
+      * different physical order (irrelevant to every consumer).
+      */
+    def replicateJoin(t: String, ids: Seq[String])(f: DataFrame => DataFrame): Unit = {
+      if (only.exists(!_.contains(t))) return
+      val b = src(t)
+      if (ids.nonEmpty) {
+        val maxes = b.agg(max(col(ids.head)), ids.tail.map(c => max(col(c))): _*).head()
+        ids.zipWithIndex.foreach { case (c, i) =>
+          val m = if (maxes.isNullAt(i)) 0L else maxes.getLong(i)
+          require(m < Off,
+            s"GenLake: $t.$c max id $m >= replica offset $Off — the base dir " +
+              s"'$base' looks like an already-replicated lake; replicating it " +
+              "again would collide replica id universes. Point GenLake at the " +
+              "original driver testdata instead.")
+        }
+      }
+      val joined = b.crossJoin(spark.range(reps).toDF("r"))
+      val shifted = ids.foldLeft(joined)((d, c) => d.withColumn(c, col(c) + col("r") * lit(Off)))
+      writeOne(f(shifted).drop("r"), Paths.get(out, s"$t.parquet"))
+      println(s"[genlake] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
+    }
+
     // dimensions: fixed regardless of scale factor
     replicate("region", Nil)((b, r) => if (r == 0) b else b.limit(0))
     replicate("nation", Nil)((b, r) => if (r == 0) b else b.limit(0))
@@ -104,32 +141,32 @@ object GenLake {
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))((b, r) => shift(b, r, "l_orderkey", "l_partkey", "l_suppkey"))
     replicate("events", Seq("event_id", "user_id"))((b, r) => shift(b, r, "event_id", "user_id"))
 
-    replicate("documents", Seq("doc_id"))((b, r) => {
-      val s = shift(b, r, "doc_id")
-      if (r == 0) s
-      else s
-        // tag every third word: each 3-word window holds ≥1 tagged
-        // position, so no word-3-gram shingle matches across replicas
-        .withColumn("text", expr(
-          s"array_join(transform(split(text, ' '), (w, i) -> IF(i % 3 = 2, concat(w, 'x$r'), w)), ' ')"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-    })
+    replicateJoin("documents", Seq("doc_id")) { d =>
+      d
+        // tag every third word of replicas r>0: each 3-word window holds
+        // ≥1 tagged position, so no word-3-gram shingle matches across
+        // replicas
+        .withColumn("text", when(col("r") === 0L, col("text")).otherwise(expr(
+          "array_join(transform(split(text, ' '), (w, i) -> IF(i % 3 = 2, concat(w, 'x', CAST(r AS STRING)), w)), ' ')")))
+        .withColumn("n_chars",
+          when(col("r") === 0L, col("n_chars"))
+            .otherwise(length(col("text")).cast("long")))
+    }
 
-    replicate("embeddings", Seq("vec_id"))((b, r) => {
-      val s = shift(b, r, "vec_id")
+    replicateJoin("embeddings", Seq("vec_id")) { d =>
       // rotation wraps at dim 64, so replicas 64.. would copy replica
       // (r-64) verbatim — negate on each wrap instead: negation is
       // norm-preserving, int8-quantization-exact, and cos(v, -rot(v))
       // is strongly negative, never a near-dup
-      val d = r % 64
-      val neg = (r / 64) % 2 == 1
-      val rotated = if (d == 0) s
-      else s.withColumn("embedding", expr(
-        s"concat(slice(embedding, ${d + 1}, size(embedding) - $d), slice(embedding, 1, $d))"))
-      if (!neg) rotated
-      else rotated.withColumn("embedding",
-        expr("transform(embedding, x -> cast(-x as float))"))
-    })
+      d.withColumn("rot", expr("CAST(r % 64 AS INT)"))
+        .withColumn("embedding", when(col("rot") === 0, col("embedding")).otherwise(expr(
+          "concat(slice(embedding, rot + 1, size(embedding) - rot), slice(embedding, 1, rot))")))
+        .withColumn("embedding",
+          when(expr("(r div 64) % 2 = 1"),
+            expr("transform(embedding, x -> cast(-x as float))"))
+            .otherwise(col("embedding")))
+        .drop("rot")
+    }
 
     spark.stop()
     println(s"[genlake] done: $out (${reps}x $base)")

@@ -48,6 +48,13 @@ object Graft {
   def refreshViews(spark: SparkSession): Unit =
     viewsReady.synchronized { viewsReady.remove(spark) }
 
+  /** The lake dir this session's views are registered for — the
+    * session-scoped resolution context the `view_instance` table
+    * function (ReferenceNames) binds instances against.
+    */
+  private[graft] def registeredDir(spark: SparkSession): Option[String] =
+    viewsReady.synchronized { Option(viewsReady.get(spark)) }
+
   private def ensureViews(spark: SparkSession, dir: String): Unit =
     // per-session monitor: the session's temp-view namespace is the
     // resource being mutated, so same-session registrations (possibly

@@ -45,14 +45,37 @@ object StageProfile {
         captured = qe
       override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
     })
+    // SQL node metrics measure pipeline CPU, not wall — stage rows
+    // (submission→completion wall vs Σtask run/cpu/gc) expose what the
+    // node view can't: stragglers, GC stalls, scheduling gaps.
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for (s <- si.submissionTime; c <- si.completionTime) yield c - s)
+          .getOrElse(-1L)
+        val m = si.taskMetrics
+        stages.add(
+          f"stage=${si.stageId}%4d tasks=${si.numTasks}%4d wall=${wall}ms " +
+          f"run=${m.executorRunTime}ms cpu=${m.executorCpuTime / 1000000}ms " +
+          f"gc=${m.jvmGCTime}ms deser=${m.executorDeserializeTime}ms " +
+          f"shRead=${m.shuffleReadMetrics.totalBytesRead >> 20}MB " +
+          f"shWrite=${m.shuffleWriteMetrics.bytesWritten >> 20}MB " +
+          f"spill=${m.memoryBytesSpilled >> 20}MB  ${si.name.takeWhile(_ != '\n').take(60)}")
+      }
+    })
     for (rep <- 1 to reps) {
       captured = null
+      stages.clear()
       val t0 = System.nanoTime()
       val n = q.fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       var waited = 0
       while (captured == null && waited < 200) { Thread.sleep(50); waited += 1 }
       println(f"== $name rep $rep: wall=$wall%.2fs rows=$n ==")
+      Thread.sleep(500) // let late stage-completed events drain
+      stages.toArray(Array.empty[String]).sorted.foreach(s => println("  " + s))
       if (captured == null) { println("  (no QueryExecution captured)"); sys.exit(2) }
       var idx = 0
       QueryAudit.walk(captured.executedPlan) { node =>

@@ -48,6 +48,11 @@ object GraftFunctions {
       GraftPropertyGet(args(0), args(1))
     })
 
+  /** The reference's own SQL names (ReferenceNames), exposed for the
+    * extensions path so withExtensions-built sessions get them too.
+    */
+  private[functions] def ReferenceScalarNames = ReferenceNames.builders
+
   private val registered = new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
 
   def register(spark: SparkSession): Unit = registered.synchronized {
@@ -60,6 +65,7 @@ object GraftFunctions {
       builders.foreach { case (name, b) =>
         registry.createOrReplaceTempFunction(name, b, "scala_udf")
       }
+      ReferenceNames.register(spark)
       registered.put(spark, java.lang.Boolean.TRUE)
     }
   }
@@ -76,6 +82,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions", name),
         b))
     }
+    GraftFunctions.ReferenceScalarNames.foreach { case (name, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        b))
+    }
+    ext.injectTableFunction((
+      FunctionIdentifier("view_instance"),
+      new ExpressionInfo("graft.functions", "view_instance"),
+      // the builder needs the session for lake-dir resolution, which
+      // injectTableFunction doesn't pass — resolve the active one
+      args => ReferenceNames.viewInstanceBuilder(SparkSession.active)(args)))
     ext.injectResolutionRule(session => graft.plans.TimeRangeRewrite(session))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)

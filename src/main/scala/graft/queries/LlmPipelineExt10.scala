@@ -51,9 +51,19 @@ object LlmPipelineExt10 {
       val q = embs(s, dir).select(
         transform(col("embedding").cast("array<double>"),
           x => round(x * 1000, 0).cast("long")).as("qv"))
-      q.select(col("qv"), posexplode(col("qv")).as(Seq("i", "vi")))
-        .select(col("i"), col("vi"), posexplode(col("qv")).as(Seq("j", "vj")))
-        .where(col("j") >= col("i"))
+      // posexplode_OUTER: plain posexplode lets InferFiltersFromGenerate
+      // add `size(qv) > 0`, which pushdown evaluates on the scan side —
+      // re-running the whole quantization transform per row just to
+      // test emptiness (same defect class as l_containment, r10 stage
+      // profile). Embeddings are fixed-width, never empty, so the outer
+      // variant is row-identical; the isNotNull guard is free.
+      // BOTH generates outer: the inner one's inferred filter re-expands
+      // the qv alias below the exchange and lands the transform on the
+      // scan side all the same
+      q.select(col("qv"), posexplode_outer(col("qv")).as(Seq("i", "vi")))
+        .where(col("vi").isNotNull)
+        .select(col("i"), col("vi"), posexplode_outer(col("qv")).as(Seq("j", "vj")))
+        .where(col("vj").isNotNull && col("j") >= col("i"))
         .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
         .agg(sum(col("vi") * col("vj")).as("g"))
         .orderBy("i", "j")

@@ -231,28 +231,52 @@ object LlmPipelineExt12 {
       val dfCap = 50L // posting-list cap: a shingle shared by > cap docs
                       // is boilerplate, not evidence — and the cap is what
                       // bounds join fan-out at corpus scale
+      // ONE text pass, TWO exchanges, NO joins (r10 stage profile,
+      // iterated twice):
+      //  - the original df-table + posting-self-join shape scanned-and-
+      //    shingled the corpus twice, partial-agg'd the 26M-row exploded
+      //    table twice, and Spark silently picked a 3.4 GB BROADCAST for
+      //    the self-join at sf10 (static post-explode size estimates
+      //    undershoot the threshold) — fatal at 1000 executors;
+      //  - the intermediate list-based shape still shuffled the 80M-row
+      //    pair table twice more to join per-doc shingle counts.
+      // Final shape: per-doc size rides INSIDE the posting list entry
+      // (it is known before the explode — wordShingles is distinct'ed,
+      // so sz = size(s)), df + the capped posting list are computed in
+      // ONE aggregate behind ONE exchange by shingle, pairs explode in
+      // place, and the pair aggregate groups by (a, sz_a, b, sz_b) —
+      // sz is functionally dependent on the doc id, so the grouping
+      // cardinality is unchanged and no size join is ever needed. The
+      // df cap (df=1 can never pair; df>cap is boilerplate) bounds the
+      // per-shingle expansion at cap² and keeps total pairs linear in
+      // corpus size; collect_list order is irrelevant (all ordered
+      // pairs of a set are enumerated whatever the order).
       val sh = docs(s, dir)
         .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("s"))
-      val ex = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
-      val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-      // df via partial-agg groupBy + join, not a window: the window
-      // formulation sort-shuffles the ENTIRE exploded posting table;
-      // the groupBy gets map-side combine and its join key (shingle)
-      // is the same key the self-join below shuffles on, so the
-      // exchange is reused (measured: see PLANS.md r7 delta row).
-      // df=1 shingles (the vast majority) can never form a pair —
-      // pruning them BEFORE the self-join is the dominant cost cut
-      // (measured 6.1s → see PLANS.md); df>cap is boilerplate
-      val dfTab = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+      // explode_OUTER, then drop the (never-occurring) null row:
+      // plain explode lets InferFiltersFromGenerate add `size(s) > 0`,
+      // and predicate pushdown carries that below the repartition
+      // exchange — the FULL shingle expression then evaluates on the
+      // scan side of the exchange, serially (one row group per
+      // generated file), just to be discarded and recomputed after it.
+      // The r10 stage profile measured that inferred filter at 300 s of
+      // 327 s sf10 wall on one core. wordShingles never returns an
+      // empty array (its else-branch is a 1-element array), so the
+      // outer explode is row-identical and the isNotNull guard is free.
+      val ex = sh.select(col("doc_id"), size(col("s")).cast("long").as("sz"),
+        explode_outer(col("s")).as("shingle"))
+        .where(col("shingle").isNotNull)
+      val lists = ex.groupBy("shingle")
+        .agg(count(lit(1)).as("df"),
+          collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
         .where(col("df") >= 2L && col("df") <= dfCap)
-      val posting = ex.join(dfTab, "shingle")
-      val shared = posting.select(col("doc_id").as("a"), col("shingle"))
-        .join(posting.select(col("doc_id").as("b"), col("shingle")), "shingle")
-        .where(col("a") =!= col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-      shared
-        .join(sz.select(col("doc_id").as("a"), col("n_shingles").as("sz_a")), "a")
-        .join(sz.select(col("doc_id").as("b"), col("n_shingles").as("sz_b")), "b")
+      lists
+        .select(explode(col("ds")).as("x"), col("ds"))
+        .select(col("x"), explode(col("ds")).as("y"))
+        .where(col("x.doc_id") =!= col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+        .agg(count(lit(1)).as("shared"))
         .withColumn("cont_e4", expr("shared * 10000 div sz_a"))
         .where(col("cont_e4") >= 5000L) // a's shingles are mostly inside b
         .select("a", "b", "shared", "sz_a", "sz_b", "cont_e4")

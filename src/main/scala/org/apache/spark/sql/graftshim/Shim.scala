@@ -13,6 +13,23 @@ object Shim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Column ↔ Expression bridge (`ExpressionUtils` is private[sql]):
+    * lets SQL FunctionRegistry builders reuse the Column-level helper
+    * functions (Histograms, Jsonb) instead of duplicating their
+    * expression trees — the reference-name alias layer registers
+    * `quantile_from_histogram` & co. through this.
+    */
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    // the ACTIVE session's converter, not ExpressionUtils: the latter
+    // wraps the column's node tree in an opaque ColumnNodeExpression
+    // that the analyzer cannot resolve through (function-registry
+    // builders run during resolution, so sub-functions inside the
+    // column must convert to ordinary unresolved Catalyst expressions)
+    SparkSession.active.asInstanceOf[classic.SparkSession].expression(c)
+
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
   /** Idempotently append a planner strategy to a session we didn't
     * build (driver-owned sessions can't go through withExtensions).
     */

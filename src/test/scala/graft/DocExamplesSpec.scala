@@ -96,6 +96,77 @@ class DocExamplesSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.head.getAs[String]("target") == "error")
   }
 
+  test("doc: reference SQL NAMES resolve verbatim — view_instance table function + property_get") {
+    // README.md:37-43 — the guide's per-process query, pasted with its
+    // REFERENCE function name (schema note: our time column is time_ms)
+    val pid = Graft.query(spark, sfDir,
+      "SELECT process_id FROM processes ORDER BY n_events DESC, process_id LIMIT 1")
+      .head().getString(0)
+    val rows = Graft.query(spark, sfDir,
+      s"""SELECT time_ms, level, target, msg
+          FROM view_instance('log_entries', '$pid')
+          WHERE level <= 3 ORDER BY time_ms DESC LIMIT 20""").collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Int]("level") <= 3))
+    // instance scoping must equal the explicit process filter
+    val n1 = Graft.query(spark, sfDir,
+      s"SELECT COUNT(*) AS n FROM view_instance('log_entries', '$pid')").head().getLong(0)
+    val n2 = Graft.query(spark, sfDir,
+      s"SELECT COUNT(*) AS n FROM log_entries WHERE process_id = '$pid'").head().getLong(0)
+    assert(n1 == n2 && n1 > 0)
+    // README.md:536 — property_get under its reference name is the SAME
+    // expression as graft_property_get (alias, not a fork)
+    val a = Graft.query(spark, sfDir,
+      "SELECT property_get(properties, 'k') AS k, COUNT(*) AS n FROM log_entries GROUP BY 1 ORDER BY 1").collect()
+    val b = Graft.query(spark, sfDir,
+      "SELECT graft_property_get(properties, 'k') AS k, COUNT(*) AS n FROM log_entries GROUP BY 1 ORDER BY 1").collect()
+    assert(a.toSeq == b.toSeq && a.length > 1)
+  }
+
+  test("doc: histogram family under reference names, per-instance (README.md:634/:571)") {
+    val pid = Graft.query(spark, sfDir,
+      "SELECT process_id FROM processes ORDER BY n_events DESC, process_id LIMIT 1")
+      .head().getString(0)
+    val stats = Graft.query(spark, sfDir,
+      s"""WITH h AS (
+            SELECT name AS target,
+                   make_histogram(0.0, 1000000.0, 100, duration_ms) AS duration_histogram
+            FROM view_instance('thread_spans', '$pid')
+            GROUP BY name)
+          SELECT target,
+                 quantile_from_histogram(duration_histogram, 0.95) AS p95_duration,
+                 count_from_histogram(duration_histogram) AS n,
+                 sum_from_histogram(duration_histogram) AS total,
+                 variance_from_histogram(duration_histogram) AS var
+          FROM h ORDER BY target""").collect()
+    assert(stats.nonEmpty)
+    assert(stats.forall(r => r.getAs[Long]("n") > 0 && r.getAs[Double]("p95_duration") >= 0.0))
+    // sum_histograms re-aggregation conserves the count exactly
+    val combined = Graft.query(spark, sfDir,
+      s"""WITH h AS (
+            SELECT name AS target,
+                   make_histogram(0.0, 1000000.0, 100, duration_ms) AS duration_histogram
+            FROM view_instance('thread_spans', '$pid')
+            GROUP BY name)
+          SELECT count_from_histogram(sum_histograms(duration_histogram)) AS n FROM h""")
+      .head().getLong(0)
+    assert(combined == stats.map(_.getAs[Long]("n")).sum)
+  }
+
+  test("doc: jsonb family under reference names (README.md:663-736)") {
+    // properties here ARE JSON text, so parse/format are identity over
+    // it and the accessors agree with property_get (ReferenceNames
+    // representation note)
+    val rows = Graft.query(spark, sfDir,
+      """SELECT jsonb_as_string(jsonb_get(jsonb_parse(properties), 'k')) AS v1,
+                jsonb_path_query_first(properties, '$.k') AS v2,
+                property_get(properties, 'k') AS v3
+         FROM log_entries LIMIT 200""").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Option(r.getString(0)) == Option(r.getString(2))))
+    assert(rows.forall(r => Option(r.getString(1)) == Option(r.getString(2))))
+    assert(rows.exists(r => r.getString(0) != null))
+  }
+
   test("doc: spans and otel_spans surfaces") {
     // README.md:802 (thread span columns), otel attribute surface
     val spans = Graft.query(spark, sfDir,
