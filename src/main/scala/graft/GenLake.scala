@@ -178,7 +178,16 @@ object GenLake {
     */
   private def writeOne(df: DataFrame, dest: Path): Unit = {
     val tmp = dest.resolveSibling(dest.getFileName.toString + "_tmp")
-    df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    // Small row groups (4 MB vs the 128 MB default): Spark's split
+    // parallelism on a SINGLE parquet file is bounded by row-group
+    // count — the default wrote documents.parquet as ONE 68 MB row
+    // group at sf10, so every scan of it ran one task (the r10 stage
+    // profile measured a 300 s single-core stage behind that). A real
+    // 100 TB lake gets its parallelism from file count; this single-file
+    // driver layout must get it from row groups instead.
+    df.repartition(1).write.mode("overwrite")
+      .option("parquet.block.size", 4L * 1024 * 1024)
+      .parquet(tmp.toString)
     val part = scala.util.Using.resource(Files.list(tmp)) { ls =>
       ls.filter(_.getFileName.toString.endsWith(".parquet"))
         .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))

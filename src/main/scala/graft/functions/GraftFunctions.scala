@@ -39,6 +39,14 @@ object GraftFunctions {
       }
       DotProduct(vec(args(0)), vec(args(1)))
     },
+    "graft_l2sq" -> { args =>
+      require(args.length == 2, "graft_l2sq(a, b)")
+      def vec(e: Expression): Expression = e.dataType match {
+        case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => e
+        case _ => Cast(e, ArrayType(DoubleType))
+      }
+      L2Sq(vec(args(0)), vec(args(1)))
+    },
     "graft_round" -> { args =>
       require(args.length == 2, "graft_round(x, scale)")
       DuckRound(Cast(args(0), DoubleType), Cast(args(1), IntegerType))

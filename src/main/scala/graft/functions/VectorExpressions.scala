@@ -70,3 +70,65 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
+
+/** `graft_l2sq(a, b)` — squared L2 distance of two array<double|float>
+  * columns as a native codegen'd expression; the interpreted-HOF
+  * alternative (`aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)),0,+)`) is
+  * CodegenFallback and dominates PQ encode (corpus × subspaces ×
+  * codebook evals). Same element-widening and left-to-right summation
+  * contract as [[DotProduct]]: on integer-valued inputs every term and
+  * partial sum stays far inside double's exact range, so the result is
+  * bit-identical to the integer fold.
+  */
+case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2sq"
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private lazy val lFloat = elemIsFloat(left)
+  private lazy val rFloat = elemIsFloat(right)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val xv = if (lFloat) s"((double) $a.getFloat($i))" else s"$a.getDouble($i)"
+      val yv = if (rFloat) s"((double) $b.getFloat($i))" else s"$b.getDouble($i)"
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $d = $xv - $yv;
+          $s += $d * $d;
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Sq =
+    copy(left = newLeft, right = newRight)
+}
+

@@ -57,8 +57,11 @@ object Ann {
           org.apache.commons.codec.digest.DigestUtils.md5Hex(s"plane-$p-$j").substring(0, 15), 16)
           .toDouble / math.pow(16, 15)) - 0.5)
       }
-      val d = aggregate(zip_with(vec, array(comps: _*), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
+      // codegen'd dot (graft_dot) instead of the interpreted zip-fold;
+      // identical left-to-right double summation, so the sign bits —
+      // and every oracle-checked signature — are unchanged
+      val d = call_function("graft_dot",
+        vec.cast("array<double>"), array(comps: _*))
       when(d >= 0, lit(1)).otherwise(lit(0))
     }
     concat_ws("", planes: _*)

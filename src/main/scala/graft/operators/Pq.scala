@@ -27,9 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  /** Integer squared-L2 between two BIGINT arrays (zip-fold, codegen). */
+  /** Integer squared-L2 between two BIGINT arrays, through the native
+    * codegen'd [[graft.functions.L2Sq]] expression — the zip-fold form
+    * is CodegenFallback (interpreted lambdas, boxed longs) and
+    * dominated PQ encode at corpus×codebook eval counts (r10 probe).
+    * Exact: scaled components stay ≤ ~10³, so every squared diff and
+    * partial sum is an integer far inside double's exact 2⁵³ range —
+    * the long cast returns the bit-identical integer fold result.
+    */
   def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    call_function("graft_l2sq", a.cast("array<double>"), b.cast("array<double>"))
+      .cast("long")
 
   /** Scaled-integer vectors: (vec_id, qv: array<long>) from
     * (vec_id, embedding). round(x·1000) at scale 0 — both engines

@@ -44,20 +44,40 @@ object SemDeDup {
       .select(col("vec_id").as("cid"), col("q").as("cq"))
   }
 
+  /** Exact integer dot product of two quantized vectors, through the
+    * CODEGEN'd [[graft.functions.DotProduct]] expression rather than an
+    * aggregate(zip_with(...)) fold: higher-order functions are
+    * CodegenFallback, and the r10 sf10 probe measured the dedup pair
+    * scan spending ~5 min in their interpreted eval. Exactness holds
+    * bit-for-bit: |q| ≤ 127 so every product ≤ 16129 and every 64-term
+    * partial sum ≤ ~1.04e6 — integers far inside double's exact 2⁵³
+    * range, so double accumulation equals the integer fold and the
+    * final long cast is lossless (the DuckDB oracle's BIGINT
+    * list_dot_product is unchanged).
+    */
   def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    call_function("graft_dot", a.cast("array<double>"), b.cast("array<double>"))
+      .cast("long")
 
   /** Nearest-centroid assignment with exact integer L2 (|q| <= 127,
     * |diff| <= 254; 254² * dims stays far inside Long). Centroids
     * broadcast — the corpus never shuffles for scoring. Input: quantized
     * corpus (vec_id, sc, q) and centroids (cid, cq). Output
     * (vec_id, sc, q, cluster, idist).
+    *
+    * L2 via the norm identity |a−b|² = |a|² + |b|² − 2a·b: the two
+    * norms are computed ONCE per vector/centroid and the cross term is
+    * one codegen'd dot per (vector, centroid) — the direct
+    * aggregate(zip_with((x−y)²)) form paid an interpreted HOF per pair
+    * (n·K evals). All three terms are exact integers (≤ 127²·dims), so
+    * idist is bit-identical to the folded form.
     */
   def assign(q: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = q.crossJoin(broadcast(cents))
+    val qn = q.withColumn("qnrm", idot(col("q"), col("q")))
+    val cn = cents.withColumn("cnrm", idot(col("cq"), col("cq")))
+    val scored = qn.crossJoin(broadcast(cn))
       .select(col("vec_id"), col("sc"), col("q"), col("cid"),
-        aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x).as("idist"))
+        (col("qnrm") + col("cnrm") - lit(2L) * idot(col("q"), col("cq"))).as("idist"))
     val w = Window.partitionBy("vec_id").orderBy(col("idist").asc, col("cid"))
     scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
       .select(col("vec_id"), col("sc"), col("q"), col("cid").as("cluster"), col("idist"))
