@@ -38,14 +38,47 @@ class PlanShapeSpec extends SparkSpec {
   private def countBroadcasts(df: DataFrame): Int =
     count(plan(df), _.isInstanceOf[BroadcastExchangeLike])
 
-  test("l_containment: Catalyst reuses the posting exchange across the self-join") {
-    // the premise behind PLANS.md's reverted-checkpoint adjudication: an
-    // eager cut isn't needed because the self-join sides already share
-    // their exchange — if a refactor breaks reuse, the lineage replays
-    // and the checkpoint question reopens
-    val p = plan(SparkEntry.queries("l_containment")(spark, sfDir))
-    assert(count(p, _.isInstanceOf[ReusedExchangeExec]) >= 1,
-      "expected ReusedExchangeExec in the containment self-join (measured 5)")
+  test("l_containment: no joins, no broadcasts, exactly the two corpus-keyed exchanges") {
+    // the r10 shape (PLANS.md round-10): one text pass, one exchange by
+    // shingle computing (df, posting list) in a single aggregate,
+    // in-place pair explosion, pair aggregate keyed (a, sz_a, b, sz_b)
+    // — NO join anywhere (the old self-join shape silently broadcast a
+    // 3.4 GB posting table at sf10), and the only exchanges are the
+    // docs repartition, the shingle agg, the pair agg, and the output
+    // sort. If a refactor re-introduces a join or a broadcast of a
+    // corpus-sized side, this trips.
+    val df = SparkEntry.queries("l_containment")(spark, sfDir)
+    val p = plan(df)
+    assert(countBroadcasts(df) == 0, "corpus-sized side got broadcast")
+    assert(count(p, n => n.nodeName.contains("Join")) == 0,
+      "the no-join containment shape regressed to a join")
+    assert(countShuffles(df) <= 4,
+      "expected docs-repartition + shingle agg + pair agg + output sort only")
+    // and the scan side of the first exchange must not evaluate the
+    // shingle expression (InferFiltersFromGenerate regression guard):
+    // walk below every ShuffleExchange and reject Filters with HOFs
+    def belowExchanges(n: SparkPlan, below: Boolean): Seq[SparkPlan] = {
+      val kids: Seq[SparkPlan] = n match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      val here = if (below) Seq(n) else Nil
+      here ++ kids.flatMap(k =>
+        belowExchanges(k, below || n.isInstanceOf[ShuffleExchangeLike]))
+    }
+    val scanSideHofFilter = belowExchanges(p, below = false).exists {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        val s = f.condition.toString
+        s.contains("transform(") || s.contains("array_distinct")
+      case _ => false
+    }
+    // NB: only the FIRST exchange's scan side matters for the serial-
+    // scan defect, but no Filter anywhere below an exchange should
+    // re-evaluate the shingle expression either
+    assert(!scanSideHofFilter,
+      "a pushed-down inferred filter re-evaluates the shingle expression below an exchange")
   }
 
   test("l_bloom_dedup: broadcast probes, groupBy reuses the doc_id partitioning") {
