@@ -28,6 +28,14 @@ object PeakMem {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Post-shuffle partitioning that survives scale: the pinned
+      // shuffle.partitions = cores floor spilled 219 GB at the third
+      // decade (25M pair-agg rows per partition, PLANS.md r10) — the
+      // idiomatic fix is a LARGE initial partition count that AQE
+      // coalesces back to ~64 MB targets at small SFs, so one config
+      // serves every decade. On a real cluster this is the same knob
+      // ops sets cluster-wide.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)

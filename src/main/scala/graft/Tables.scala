@@ -38,6 +38,29 @@ object Tables {
     } else raw
   }
 
+  /** Partition count for corpus-wide text/vector work repartitioned off
+    * a driver single-file table: the cores floor, raised so no task
+    * holds more than ~4 MB of raw input. The fixed cores count was a
+    * third-decade scale defect (PLANS.md r10): 5M docs shuffled into 32
+    * partitions put ~8M posting-list entries in each partial
+    * aggregate's hash map and spilled 54 GB; input-proportional
+    * partitioning keeps per-task state flat across decades, and AQE
+    * coalescing (initialPartitionNum) handles the downstream exchanges
+    * the same way. At every driver SF (≤ 68 MB tables) this evaluates
+    * to exactly the old cores floor — bench parity preserved. One
+    * driver-side FS metadata call, same cost class as the scan's own
+    * listing; on a real multi-file lake the repartition it feeds is
+    * documented as droppable entirely.
+    */
+  def workPartitions(spark: SparkSession, dir: String, name: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val bytes =
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+      catch { case _: Throwable => 0L }
+    math.max(spark.sparkContext.defaultParallelism, (bytes / (4L << 20)).toInt)
+  }
+
   /** Exact row count of a lake table from parquet FOOTER metadata only —
     * no Spark job, no data pages read. Scale knobs derived from corpus
     * size (SemDeDup's K = n/1250) must not pay a full scan for a scalar:

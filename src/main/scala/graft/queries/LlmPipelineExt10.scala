@@ -37,12 +37,12 @@ object LlmPipelineExt10 {
   private def docs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.df(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .repartition(Tables.workPartitions(s, dir, "documents"), col("doc_id"))
   }
   private def embs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.df(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .repartition(Tables.workPartitions(s, dir, "embeddings"), col("vec_id"))
   }
 
   val queries: Seq[GraftQuery] = Seq(

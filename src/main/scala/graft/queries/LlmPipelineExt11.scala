@@ -32,7 +32,7 @@ object LlmPipelineExt11 {
   private def docs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.df(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .repartition(Tables.workPartitions(s, dir, "documents"), col("doc_id"))
   }
 
   private val prefixTokens = 10

@@ -44,7 +44,7 @@ object LlmPipelineExt13 {
   private def docs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.df(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .repartition(Tables.workPartitions(s, dir, "documents"), col("doc_id"))
   }
 
   private val oracleTokens = "string_split_regex(trim(text), '\\s+')"

@@ -31,7 +31,7 @@ object LlmPipelineExt14 {
   private def docs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.df(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .repartition(Tables.workPartitions(s, dir, "documents"), col("doc_id"))
   }
 
   private val q10kSql = """CAST(round(round(0.5 * stop_ratio + 0.3 * (1.0 - punct_ratio)

@@ -50,13 +50,13 @@ object LlmPipelineExt17 {
   private def docs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.df(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .repartition(Tables.workPartitions(s, dir, "documents"), col("doc_id"))
   }
 
   private def embs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.df(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .repartition(Tables.workPartitions(s, dir, "embeddings"), col("vec_id"))
   }
 
   private val oracleTokens = "string_split_regex(trim(text), '\\s+')"

@@ -21,7 +21,7 @@ object LlmPipelineExt2 {
   // scan-riding queries (sampling, PII scrub) deliberately do NOT, so
   // they stay zero-shuffle
   private def docsWide(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    docs(s, dir).repartition(Tables.workPartitions(s, dir, "documents"), col("doc_id"))
 
   /** DuckDB word-shingle fragments (same family as LlmPipeline's). */
   private def oracleShingles(n: Int): String = {

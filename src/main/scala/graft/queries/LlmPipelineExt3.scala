@@ -21,11 +21,11 @@ object LlmPipelineExt3 {
   // explode/md5 pipelines repartition first (same rationale as
   // LlmPipeline.docs); scan-riding scalar queries do NOT
   private def docsWide(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    docs(s, dir).repartition(Tables.workPartitions(s, dir, "documents"), col("doc_id"))
 
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.df(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .repartition(Tables.workPartitions(s, dir, "embeddings"), col("vec_id"))
 
   private val oracleTokens = "string_split_regex(trim(text), '\\s+')"
 

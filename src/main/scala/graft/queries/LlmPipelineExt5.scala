@@ -39,7 +39,7 @@ object LlmPipelineExt5 {
   // single-file test parquet reads as ONE partition — the CPU-heavy
   // explode/md5 pipelines repartition first (same as LlmPipeline)
   private def docsWide(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    docs(s, dir).repartition(Tables.workPartitions(s, dir, "documents"), col("doc_id"))
 
   private val oracleTokens = "string_split_regex(trim(text), '\\s+')"
 

@@ -453,7 +453,7 @@ object LlmPipelineExt6 {
       // a map-side join, the score an exact integer sum — zero corpus
       // shuffle beyond the per-doc agg.
       val tok = Tables.df(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .repartition(Tables.workPartitions(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           explode(graft.operators.TextAnalysis.whitespaceTokens(col("text"))).as("w"))
         .withColumn("b", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 256L)
@@ -495,7 +495,7 @@ object LlmPipelineExt6 {
       // its rollups, never a re-scan of the text.
       val t = split(trim(col("text")), "\\s+")
       val pairs = Tables.df(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .repartition(Tables.workPartitions(s, dir, "documents"), col("doc_id"))
         .select(explode(zip_with(
           slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
