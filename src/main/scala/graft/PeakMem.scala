@@ -30,12 +30,15 @@ object PeakMem {
       .config("spark.sql.adaptive.enabled", "true")
       // Post-shuffle partitioning that survives scale: the pinned
       // shuffle.partitions = cores floor spilled 219 GB at the third
-      // decade (25M pair-agg rows per partition, PLANS.md r10) — the
-      // idiomatic fix is a LARGE initial partition count that AQE
-      // coalesces back to ~64 MB targets at small SFs, so one config
-      // serves every decade. On a real cluster this is the same knob
-      // ops sets cluster-wide.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // decade (25M pair-agg rows per partition, PLANS.md r10). AQE's
+      // initialPartitionNum is sized from the LAKE (1 per 2 MB of
+      // input, clamped to [cores, 1024]) so exchanges start wide
+      // enough at decade scales while the driver SFs keep the exact
+      // cores count — zero constant overhead where queries are
+      // sub-second. Ops sets the same knob per deployment size on a
+      // real cluster; deriving it from the data is the local analog.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        Tables.initialShufflePartitions(sfDir, cpus.toInt).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
