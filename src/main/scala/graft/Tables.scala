@@ -61,6 +61,30 @@ object Tables {
     math.max(spark.sparkContext.defaultParallelism, (bytes / (4L << 20)).toInt)
   }
 
+  /** Initial post-shuffle partition count for AQE, derived from lake
+    * size: one partition per 2 MB of raw parquet input, clamped to
+    * [cores, 1024]. Feeds `spark.sql.adaptive.coalescePartitions.
+    * initialPartitionNum` in the diagnostic mains — the pinned
+    * shuffle.partitions = cores floor spilled 219 GB at the third
+    * decade (25M pair-agg rows per partition, PLANS.md r10), while AQE
+    * coalescing collapses the extra width for free when data is small,
+    * so every driver SF still ends at exactly the cores count. Runs
+    * BEFORE the SparkSession exists (it sizes a builder .config), so
+    * it uses a bare Hadoop Configuration; one driver-side metadata
+    * listing, same cost class as the scans' own file listing. On a
+    * real cluster ops sets this knob per deployment size — deriving
+    * it from the lake is the local analog.
+    */
+  def initialShufflePartitions(dir: String, cores: Int): Int = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val bytes = all.map { name =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      try p.getFileSystem(conf).getContentSummary(p).getLength
+      catch { case _: Throwable => 0L }
+    }.sum
+    math.min(1024, math.max(cores, (bytes / (2L << 20)).toInt))
+  }
+
   /** Exact row count of a lake table from parquet FOOTER metadata only —
     * no Spark job, no data pages read. Scale knobs derived from corpus
     * size (SemDeDup's K = n/1250) must not pay a full scan for a scalar:
