@@ -91,6 +91,15 @@ object ReferenceNames {
     "jsonb_get" -> { args =>
       require(args.length == 2, "jsonb_get(jsonb, key)")
       val key = litString(args(1), "jsonb_get")
+      // GetJsonObject's JsonPath grammar has no escape syntax inside
+      // ['…'] — the name token excludes ' and ?, so a key containing
+      // them either silently changes which field is read or nulls the
+      // whole lookup. The reference's jsonb_get is a byte-exact key
+      // lookup for ANY key; since that's not addressable via JsonPath,
+      // reject loudly instead of misreading (ADVICE r10).
+      require(!key.exists(c => c == '\'' || c == '\\' || c == '?'),
+        s"jsonb_get: key containing ', \\ or ? is not addressable via " +
+          s"GetJsonObject's JsonPath grammar (no escape syntax): '$key'")
       GetJsonObject(args(0), Literal(s"$$['$key']"))
     },
     "jsonb_as_string" -> { args =>

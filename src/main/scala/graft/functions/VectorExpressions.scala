@@ -27,6 +27,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // Mismatched lengths return null (below), independent of child nullability.
+  override def nullable: Boolean = true
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -38,7 +40,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // Mismatched dims → null, matching the zip_with fold this kernel
+    // replaced (zip_with pads the short side with null → sum is null).
+    // Truncating instead would fabricate a plausible-looking distance
+    // and silently corrupt LSH signatures / dedup thresholds.
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -58,12 +65,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val xv = if (lFloat) s"((double) $a.getFloat($i))" else s"$a.getDouble($i)"
       val yv = if (rFloat) s"((double) $b.getFloat($i))" else s"$b.getDouble($i)"
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $s += $xv * $yv;
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $s += $xv * $yv;
+          }
+          ${ev.value} = $s;
         }
-        ${ev.value} = $s;
       """
     })
 
@@ -84,6 +95,8 @@ case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_l2sq"
+  // Mismatched lengths return null (below), independent of child nullability.
+  override def nullable: Boolean = true
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -95,7 +108,9 @@ case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // Mismatched dims → null (see DotProduct.nullSafeEval).
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -117,13 +132,17 @@ case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
       val xv = if (lFloat) s"((double) $a.getFloat($i))" else s"$a.getDouble($i)"
       val yv = if (rFloat) s"((double) $b.getFloat($i))" else s"$b.getDouble($i)"
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $d = $xv - $yv;
-          $s += $d * $d;
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $d = $xv - $yv;
+            $s += $d * $d;
+          }
+          ${ev.value} = $s;
         }
-        ${ev.value} = $s;
       """
     })
 

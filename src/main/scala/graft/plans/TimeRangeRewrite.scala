@@ -177,15 +177,21 @@ object TimeRangeRewrite {
   /** Marks Filters injected by this rule as final across re-analyses. */
   val InjectedTag: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.queryRange.injected")
 
-  /** Positive-only cache of root-path → marker-declared time column:
-    * a lake once marked never un-marks (markers are written before data
-    * is served), while a NEGATIVE result must be re-checked — the
-    * materializer may write the marker after a first unmarked read of
-    * the same path within this JVM. The existence probe is one cheap
-    * FS call per analysis, and only for scans that expose both the
-    * ranged time column and a DateType 'date' while a range is armed.
+  /** Cache of root-path → (marker mtime, marker-declared time column),
+    * validated against the marker file's CURRENT modification time on
+    * every lookup (ADVICE r10: a positive-only, path-keyed-for-the-JVM
+    * cache kept qualifying a lake that was deleted and re-materialized
+    * with a different source time column — silently dropping rows, the
+    * exact failure class this gate exists to prevent). The validation
+    * is one getFileStatus per analysis per qualified scan — the same
+    * cheap FS metadata call class as the existence probe it replaces,
+    * and it doubles as that probe (a deleted marker evicts the entry).
+    * What the cache still saves is opening and parsing the file body.
+    * NEGATIVE results stay uncached — the materializer may write the
+    * marker after a first unmarked read of the same path in this JVM.
     */
-  private val markerCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val markerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
 
   /** True iff every root path of `leaf`'s file relation carries the
     * [[graft.operators.Materialize.DayPartitionMarker]] declaring its
@@ -208,23 +214,31 @@ object TimeRangeRewrite {
   private def markerTimeColumn(spark: SparkSession,
       root: org.apache.hadoop.fs.Path): Option[String] = {
     val key = root.toString
-    Option(markerCache.get(key)).orElse {
-      try {
-        val p = new org.apache.hadoop.fs.Path(root,
-          graft.operators.Materialize.DayPartitionMarker)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(p)) None
-        else {
+    try {
+      val p = new org.apache.hadoop.fs.Path(root,
+        graft.operators.Materialize.DayPartitionMarker)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st =
+        try fs.getFileStatus(p)
+        catch { case _: java.io.FileNotFoundException =>
+          markerCache.remove(key); return None }
+      val mtime = st.getModificationTime
+      markerCache.get(key) match {
+        case (t, tc) if t == mtime => Some(tc)
+        case _ =>
           val in = fs.open(p)
           val content =
             try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close()
-          content.linesIterator
+          val parsed = content.linesIterator
             .collectFirst { case l if l.startsWith("timeColumn=") =>
               l.stripPrefix("timeColumn=").trim }
-            .map { tc => markerCache.put(key, tc); tc }
-        }
-      } catch { case _: Throwable => None }
-    }
+          parsed match {
+            case Some(tc) => markerCache.put(key, (mtime, tc))
+            case None => markerCache.remove(key) // marker lost its declaration
+          }
+          parsed
+      }
+    } catch { case _: Throwable => None }
   }
 }

@@ -35,4 +35,25 @@ class JsonbSpec extends SparkSpec {
     assert(first("$.o.z.*") === Some("2"))        // nested prefix
     assert(first("$.missing.*") === None)         // absent prefix → null
   }
+
+  test("jsonb_get: keys with spaces/dots/brackets resolve; unaddressable keys rejected") {
+    graft.functions.GraftFunctions.register(spark)
+    val odd = """{"plain":1,"a key":2,"a.b":3,"a[0]":4,"it's":5}"""
+    Seq(odd).toDF("j").createOrReplaceTempView("jb")
+    def get(k: String): Option[String] = {
+      val r = spark.sql(s"select jsonb_as_string(jsonb_get(jsonb_parse(j), '$k')) from jb").head()
+      Option(r.getString(0))
+    }
+    assert(get("plain") === Some("1"))
+    assert(get("a key") === Some("2"))
+    assert(get("a.b") === Some("3"))   // bracket path: '.' is literal, not a step
+    assert(get("a[0]") === Some("4"))
+    assert(get("missing") === None)
+    // ' has no escape in GetJsonObject's JsonPath grammar → loud error,
+    // not a silently misread field (ADVICE r10)
+    val e = intercept[Exception] {
+      spark.sql("select jsonb_get(jsonb_parse(j), 'it\\'s') from jb").head()
+    }
+    assert(e.getMessage.contains("not addressable"), e.getMessage)
+  }
 }
