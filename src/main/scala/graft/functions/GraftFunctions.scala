@@ -47,6 +47,10 @@ object GraftFunctions {
       }
       L2Sq(vec(args(0)), vec(args(1)))
     },
+    "graft_normalize" -> { args =>
+      require(args.length == 1, "graft_normalize(text)")
+      NormalizeWords(Cast(args(0), org.apache.spark.sql.types.StringType))
+    },
     "graft_round" -> { args =>
       require(args.length == 2, "graft_round(x, scale)")
       DuckRound(Cast(args(0), DoubleType), Cast(args(1), IntegerType))

@@ -23,6 +23,13 @@ object Skew {
       saltSource: Column, n: Int): DataFrame = {
     val l = large.withColumn("__salt", pmod(hash(saltSource), lit(n)))
     val s = small.withColumn("__salt", explode(sequence(lit(0), lit(n - 1))))
-    l.join(s, Seq(key, "__salt")).drop("__salt")
+    // Salting only helps a SHUFFLED join (a broadcast join has no
+    // partition skew to spread) — but Catalyst's post-explode size
+    // estimate ignores the n-fold replication, so it happily planned
+    // the salted side as a static BroadcastHashJoin (1.45 GB built at
+    // sf1, n× the un-salted broadcast, measured by BroadcastBudgetSpec).
+    // Pin the shuffled-hash path: the (key, salt) exchange is the whole
+    // point of the operator.
+    l.join(s.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
 }

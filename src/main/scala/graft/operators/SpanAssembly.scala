@@ -48,12 +48,25 @@ object SpanAssembly {
     val seqW = Window.partitionBy(col(keyCol), col("depth"), col("is_begin"))
       .orderBy(col("t_ms"), col(idCol))
     val seqd = tagged.withColumn("seq", row_number().over(seqW))
-    val begins = seqd.where(col("is_begin"))
-      .select(col(keyCol), col("depth"), col("seq"), col("name"),
-        col("t_ms").as("begin_ms"), col(idCol).as("span_id"))
-    val ends = seqd.where(!col("is_begin"))
-      .select(col(keyCol), col("depth"), col("seq"), col("t_ms").as("end_ms"))
-    begins.join(ends, Seq(keyCol, "depth", "seq"))
+    // Pair k-th begin with k-th end at (key, depth) by PIVOTING over
+    // (key, depth, seq) — each group holds at most one begin and one
+    // end (seq is dense per (key, depth, is_begin)), so a conditional
+    // aggregate reassembles the pair. The former begins⋈ends self-join
+    // was a 100 TB hazard the broadcast audit caught at sf1: both sides
+    // sit above a Window, whose size estimate undershoots, so Catalyst
+    // statically broadcast the half-corpus `ends` side (83 MB at sf1,
+    // growing linearly — and AQE never demotes a static BHJ). The
+    // aggregate rides the seq-window's (key, depth, is_begin) exchange
+    // with one (key, depth, seq) exchange after it — no join, nothing
+    // to mis-broadcast, half the shuffled bytes.
+    val paired = seqd.groupBy(col(keyCol), col("depth"), col("seq"))
+      .agg(
+        max(when(col("is_begin"), col("t_ms"))).as("begin_ms"),
+        max(when(!col("is_begin"), col("t_ms"))).as("end_ms"),
+        max(when(col("is_begin"), col("name"))).as("name"),
+        max(when(col("is_begin"), col(idCol))).as("span_id"))
+    paired
+      // unpaired begins/ends (malformed streams) have a null side;
       // >= keeps zero-duration spans (begin/end in the same ms) while
       // still dropping mis-ordered pairs from malformed streams
       .where(col("end_ms") >= col("begin_ms"))

@@ -81,9 +81,19 @@ object LlmPipeline {
       val bands = Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2)
         .localCheckpoint()
       val cand = Dedup.candidatePairs(bands, "doc_id")
+      // shuffle_hash pins the shingle-set attach joins to SHUFFLED
+      // hash joins (here and at every sibling site in the LSH family):
+      // the shingle-set side is corpus-proportional, but its size
+      // ESTIMATE is blind twice over — ArrayType projections are
+      // estimated at near-constant width, and localCheckpoint's
+      // LogicalRDD carries those origin stats forward — so Catalyst
+      // statically broadcast the 130 MB (at sf1, growing linearly)
+      // corpus side, which AQE never demotes. Measured by
+      // BroadcastBudgetSpec; the hint keeps the join keyed by doc_id
+      // with a per-partition build bounded by AQE partition sizing.
       val withSets = cand
-        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
-        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")).hint("shuffle_hash"), "a")
+        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")).hint("shuffle_hash"), "b")
       withSets.select(col("a"), col("b"), round(Dedup.jaccard(col("sa"), col("sb")), 4).as("jac"))
         .orderBy("a", "b")
     }, Some(s"""

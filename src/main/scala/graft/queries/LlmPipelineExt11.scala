@@ -46,7 +46,11 @@ object LlmPipelineExt11 {
         .localCheckpoint() // feeds sizes AND both join sides
       val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
       val shared = sh.as("a")
-        .join(sh.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        // shuffle_hash: both self-join sides are the corpus-wide
+        // (source, shingle) table whose checkpoint-carried estimate
+        // lies (305 MB statically broadcast at sf1, BroadcastBudgetSpec)
+        .join(sh.as("b").hint("shuffle_hash"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
         .agg(count(lit(1)).as("shared_shingles"))
       shared
@@ -201,7 +205,12 @@ object LlmPipelineExt11 {
         .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 3)).as("g"))
         .localCheckpoint() // feeds the df build AND the probe join
       val df = sh.groupBy("g").agg(countDistinct("doc_id").as("df"))
-      sh.join(df, "g")
+      // shuffle_hash: df is shingle-vocabulary-sized (corpus-
+      // proportional; 309 MB built at sf1 when Catalyst statically
+      // broadcast it off a lying post-aggregate estimate — caught by
+      // BroadcastBudgetSpec). Keep the probe join shingle-keyed as the
+      // docstring promises.
+      sh.join(df.hint("shuffle_hash"), "g")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("df") === 1L, 1L).otherwise(0L)).as("unique_shingles"))

@@ -182,8 +182,8 @@ object LlmPipelineExt13 {
           Seq("band", "key"))
         .select("a", "b").distinct()
       val near = cand
-        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
-        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")).hint("shuffle_hash"), "a")
+        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")).hint("shuffle_hash"), "b")
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
         .withColumn("uni", size(array_union(col("sa"), col("sb"))).cast("long"))
         .where(expr("inter * 10000 div uni") >= 5000L)

@@ -112,8 +112,7 @@ object LlmPipelineExt14 {
       GROUP BY 1 ORDER BY split""")),
 
     GraftQuery("l_novelty_curve", (s, dir) => {
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+      val norm = call_function("graft_normalize", col("text"))
       val d = docs(s, dir).select(col("doc_id"), md5(norm).as("h"))
         .localCheckpoint() // scalar + first-appearance + per-quarter reads
       // ingestion-order quarters off the id space (deterministic, no

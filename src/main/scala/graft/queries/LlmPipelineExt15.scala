@@ -118,8 +118,7 @@ object LlmPipelineExt15 {
       ORDER BY rk.source, rank_bucket""")),
 
     GraftQuery("l_dedup_impact", (s, dir) => {
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+      val norm = call_function("graft_normalize", col("text"))
       val d = docs(s, dir).select(col("doc_id"), col("source"), md5(norm).as("h"),
         TextAnalysis.tokenCount(col("text")).as("toks"))
       val keep = d.groupBy("h").agg(min("doc_id").as("keep_id"))
@@ -256,8 +255,7 @@ object LlmPipelineExt15 {
       // size buckets — "is duplication a long tail of pairs or a few
       // giant families", which decides whether canonical election
       // (L47) or family-level drops pay for themselves.
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+      val norm = call_function("graft_normalize", col("text"))
       docs(s, dir).select(md5(norm).as("h"))
         .groupBy("h").agg(count(lit(1)).as("sz"))
         .withColumn("size_bucket", length(bin(col("sz"))).cast("long") - 1L)

@@ -97,8 +97,8 @@ object LlmPipelineExt17 {
       val bands = Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2)
         .localCheckpoint()
       val j = Dedup.candidatePairs(bands, "doc_id")
-        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
-        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")).hint("shuffle_hash"), "a")
+        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")).hint("shuffle_hash"), "b")
         .select(col("a"), col("b"),
           size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
           size(array_union(col("sa"), col("sb"))).cast("long").as("uni"))

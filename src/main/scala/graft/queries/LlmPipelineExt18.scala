@@ -143,8 +143,7 @@ object LlmPipelineExt18 {
       // is kept). Each rung only sees the previous rung's SURVIVORS —
       // the ladder read that decides whether the expensive near-dup
       // pass still pays after the cheap rungs have run.
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+      val norm = call_function("graft_normalize", col("text"))
       // ONE text pass computes every rung's fingerprint (byte hash,
       // normalization hash, shingle set), cut once — each rung then
       // works off the checkpoint instead of re-scanning and
@@ -167,8 +166,8 @@ object LlmPipelineExt18 {
         .localCheckpoint()
       val cand = Dedup.candidatePairs(bands, "doc_id")
       val removed3 = cand
-        .join(sh2.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
-        .join(sh2.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+        .join(sh2.select(col("doc_id").as("a"), col("shingles").as("sa")).hint("shuffle_hash"), "a")
+        .join(sh2.select(col("doc_id").as("b"), col("shingles").as("sb")).hint("shuffle_hash"), "b")
         .where(size(array_intersect(col("sa"), col("sb"))) * 2
           >= size(array_union(col("sa"), col("sb")))) // jac ≥ 0.5, integer
         .select(col("b").as("doc_id")).distinct()
@@ -291,8 +290,8 @@ object LlmPipelineExt18 {
       val bands = Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2)
         .localCheckpoint()
       val hist = Dedup.candidatePairs(bands, "doc_id")
-        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
-        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")).hint("shuffle_hash"), "a")
+        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")).hint("shuffle_hash"), "b")
         .select(size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
           size(array_union(col("sa"), col("sb"))).cast("long").as("uni"))
         .select(least(expr("(inter * 10000 div uni) div 1000"), lit(9L)).as("bucket"))

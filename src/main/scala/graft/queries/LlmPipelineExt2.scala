@@ -171,7 +171,11 @@ object LlmPipelineExt2 {
         .select(col("doc_id"), explode(chunkArr(20)).as("chunk"))
         .select(col("doc_id"), md5(col("chunk")).as("h")).distinct()
       val byHash = ch.groupBy("h").agg(count(lit(1)).as("n_docs"))
-      ch.join(byHash, "h")
+      // shuffle_hash: byHash is chunk-vocabulary-sized (corpus-
+      // proportional) and its post-aggregate estimate lies under the
+      // broadcast threshold (26 MB statically broadcast at sf1,
+      // BroadcastBudgetSpec) — keep the join hash-keyed as documented
+      ch.join(byHash.hint("shuffle_hash"), "h")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"),
           sum((col("n_docs") > 1).cast("long")).as("n_dup_chunks"))
@@ -204,7 +208,7 @@ object LlmPipelineExt2 {
       // stay narrow — the full cleaned corpus would be the same plan
       // minus the final hash). Same chunking core as l_chunk_dedup by
       // construction. Scale shape: explode → distinct-doc hash counts
-      // (partial-agg) → broadcast-eligible hash join back → per-doc
+      // (partial-agg) → hash-keyed join back → per-doc
       // ordered reassembly via array_sort over (idx, chunk) structs —
       // no window, no global order, every count integer.
       // ch feeds both the hash-count build side and the join probe;
@@ -218,7 +222,9 @@ object LlmPipelineExt2 {
         .localCheckpoint()
       val byHash = ch.select("doc_id", "h").distinct()
         .groupBy("h").agg(count(lit(1)).as("n_docs"))
-      ch.join(byHash, "h")
+      // shuffle_hash: same corpus-proportional hash-count side as
+      // l_chunk_dedup (45 MB statically broadcast at sf1)
+      ch.join(byHash.hint("shuffle_hash"), "h")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"),
           sum((col("n_docs") > 1).cast("long")).as("n_removed"),

@@ -168,9 +168,14 @@ object LlmPipelineExt8 {
         .localCheckpoint() // feeds the model build AND the probe join
       val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
       val w1t = pc.groupBy("w1").agg(sum("c").as("w1_total"))
-      val model = pc.join(w1t, "w1")
+      // shuffle_hash: the bigram model is vocabulary²-sized (corpus-
+      // proportional) but post-aggregate size estimates undershoot the
+      // broadcast threshold — the executed plan statically broadcast
+      // 329 MB at sf1 (BroadcastBudgetSpec), contradicting the sharded
+      // shape documented above. Pin both model joins keyed.
+      val model = pc.join(w1t.hint("shuffle_hash"), "w1")
         .withColumn("bits", length(bin(expr("w1_total div c"))).cast("long") - 1L)
-      val perDoc = pairs.join(model, Seq("w1", "w2"))
+      val perDoc = pairs.join(model.hint("shuffle_hash"), Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("total_bits"))
       d.select("doc_id").join(perDoc, Seq("doc_id"), "left")

@@ -90,8 +90,11 @@ object LlmPipelineExt9 {
       .localCheckpoint()
     val cand = Dedup.candidatePairs(bands, "doc_id")
     cand
-      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+      // shuffle_hash: same statistics blind spot as every LSH-family
+      // attach join (see l_dedup_minhash) — without it the corpus-sized
+      // shingle table was statically broadcast (130 MB at sf1)
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")).hint("shuffle_hash"), "a")
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")).hint("shuffle_hash"), "b")
       .where(Dedup.jaccard(col("sa"), col("sb")) >= 0.5)
       .select("a", "b")
   }

@@ -11,11 +11,23 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // Overridable so plan-audit specs (BroadcastBudgetSpec) can run
+    // against generated decade lakes at full width:
+    //   GRAFT_TEST_CPUS=32 GRAFT_BCAST_SF=target/sf1 sbt "testOnly ..."
+    val cpus = sys.env.getOrElse("GRAFT_TEST_CPUS", "4")
     val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Tungsten page size scales with heap/cores (64 MB in this 8 GB
+      // local[4] JVM), and HashedRelation.estimatedSize — what the
+      // BroadcastExchange dataSize metric reports — is ALLOCATED pages,
+      // not bytes of data: with 64 MB pages every nontrivial broadcast
+      // reads as a 64 MB multiple and a size-budget audit
+      // (BroadcastBudgetSpec) can't discriminate. 1 MB pages make the
+      // metric meaningful at MB granularity; perf impact on tests is nil.
+      .config("spark.buffer.pageSize", "1m")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
