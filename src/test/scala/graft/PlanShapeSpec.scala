@@ -254,11 +254,15 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     val budgets = Seq(
       // (query, max shuffles, min broadcasts)
-      ("m_apdex", 5, 1),             // span-assembly windows + ONE apdex agg + sort
+      ("m_apdex", 5, 0),             // span-assembly windows + pivot pairing (r11: the
+                                     // begins⋈ends broadcast join became a conditional
+                                     // agg — zero broadcasts is the FIXED shape) + apdex agg
       ("m_alert_flapping", 3, 0),    // (series, day) lag window + sort
       ("m_series_novelty", 6, 1),    // series-grain min election + day grid
-      ("m_thread_utilization", 4, 1),// root filter below one partial agg
-      ("m_latency_trend", 6, 1),     // daily medians + 5-row per-name regression
+      ("m_thread_utilization", 5, 0),// root filter below one partial agg (r11: pivot pairing
+                                     // replaced the span-assembly broadcast join)
+      ("m_latency_trend", 7, 0),     // daily medians + 5-row per-name regression (r11:
+                                     // span pivot pairing removed the broadcast)
       ("m_error_budget", 3, 0),      // day-grid agg + cumulative window
       ("l_intradoc_rep", 3, 0),      // per-row arithmetic; shuffles are repartition artifact + sort
       ("l_zipf_curve", 8, 1),        // rank buckets; vocab-bounded window
@@ -269,7 +273,7 @@ class PlanShapeSpec extends SparkSpec {
       ("l_split_bias", 4, 5),        // per-split grids; share scalars broadcast
       ("l_novelty_curve", 7, 3),     // first-day election + per-day distinct
       ("m_compaction_plan", 4, 0),   // per-stream prefix-sum window + group agg + sort
-      ("m_depth_profile", 4, 1),     // span assembly + one partial agg
+      ("m_depth_profile", 5, 0),     // span assembly (r11 pivot pairing, no broadcast) + partial agg
       ("m_seasonal_baseline", 6, 1), // (name,day,hod) agg + keyed window; day-count broadcast
       ("m_hll_daily_merge", 7, 1),   // daily registers → merge → estimate; exact companion broadcast
       ("l_fertility", 3, 0),         // one conditional-agg pass
@@ -298,7 +302,11 @@ class PlanShapeSpec extends SparkSpec {
       ("m_log_anomaly_mad", 6, 2),     // hourly agg (checkpointed) + 2 rank windows; med/mad broadcast
       ("m_top_talkers", 5, 1),         // process agg + fleet-bounded rank/cum window; total broadcast
       ("m_scrape_gaps", 4, 0),         // per-series lag + rank windows + final agg
-      ("l_dedup_threshold_curve", 5, 1), // banded candidates (checkpointed) + joins; 5-row grid broadcast
+      ("l_dedup_threshold_curve", 9, 1), // banded candidates (checkpointed) + joins; 5-row grid
+                                         // broadcast. r11: the two shingle-set attach joins are
+                                         // pinned shuffle_hash (the corpus side was being
+                                         // statically broadcast — BroadcastBudgetSpec), adding
+                                         // their exchanges to the budget
       ("l_ann_nprobe_curve", 15, 3),   // ONE index build + probe sweep; cents/probes/grid broadcast
       ("l_embed_norms", 4, 0),         // per-row array math + one partial agg
       ("l_keyword_topk", 3, 1),        // posting lists (checkpointed); term set broadcast; TakeOrdered
@@ -310,10 +318,11 @@ class PlanShapeSpec extends SparkSpec {
       ("m_rate_resets", 3, 0),         // per-series lag window + one partial agg
       ("l_dedup_ladder", 23, 0),       // 3 rungs + LSH chain + 4 stage counts (one text pass, checkpointed)
       ("m_alert_dedup", 4, 0),         // per-series lag → crossings → day-grid agg
-      ("m_orphan_spans", 10, 1),       // span assembly + parent band join + one partial agg
+      ("m_orphan_spans", 11, 0),       // span assembly (r11 pivot pairing) + parent band join + agg
       ("l_decontam_report", 6, 1),     // benchmark set broadcast; per-doc then per-source partial aggs
       ("m_stream_staleness", 6, 1),    // blocks metadata aggs; lake max broadcast
-      ("l_lsh_param_planner", 5, 2),   // the L2 candidate chain + 3×10 broadcast grid arithmetic
+      ("l_lsh_param_planner", 9, 1),   // the L2 candidate chain (r11: attach joins pinned
+                                       // shuffle_hash) + broadcast grid arithmetic
       ("m_hysteresis_alerts", 3, 0))   // one keyed window chain (state machine) + partial agg
     for ((q, maxSh, minBc) <- budgets) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
