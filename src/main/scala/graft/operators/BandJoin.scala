@@ -38,7 +38,14 @@ object BandJoin {
     val r = prefixed(right, rightTimeMs, "r_")
       .withColumnRenamed("__t", "__rt")
       .withColumn("__rbin", floor(col("__rt") / widthMs))
-    l.join(r, col(s"l_$key") === col(s"r_$key") && col("__lbin") === col("__rbin"))
+    // shuffle_hash pin: both sides are corpus-proportional (the left
+    // ×3 after the adjacent-bin explode), and the post-Generate size
+    // estimate undercounts enough for Catalyst to statically broadcast
+    // the left at lake scale (82 MB built at sf1, BroadcastBudgetSpec)
+    // — a plan AQE never demotes. The banded equi-join must stay
+    // keyed; the exploded side is the per-partition build side.
+    l.hint("shuffle_hash")
+      .join(r, col(s"l_$key") === col(s"r_$key") && col("__lbin") === col("__rbin"))
       .where(abs(col("__lt") - col("__rt")) <= widthMs)
       .drop("__lbin", "__rbin", "__lt", "__rt")
   }

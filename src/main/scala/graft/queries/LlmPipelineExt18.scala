@@ -154,11 +154,17 @@ object LlmPipelineExt18 {
         .localCheckpoint()
       // rung 1: exact
       val s1 = d.groupBy("raw_h").agg(min("doc_id").as("doc_id")).select("doc_id")
-      // rung 2: normalization fingerprint over rung-1 survivors
-      val s2 = d.join(s1, "doc_id")
+      // rung 2: normalization fingerprint over rung-1 survivors.
+      // shuffle_hash on the survivor-id side: the corpus table d
+      // carries a lying ArrayType/checkpoint estimate, so Catalyst
+      // statically broadcast ALL OF d (130 MB at sf1,
+      // BroadcastBudgetSpec) instead of anything sane; the id list is
+      // itself corpus-row-proportional, so the join must stay keyed
+      // with the ids as the per-partition build side.
+      val s2 = d.join(s1.hint("shuffle_hash"), "doc_id")
         .groupBy("norm_h").agg(min("doc_id").as("doc_id")).select("doc_id")
       // rung 3: LSH near-dup over rung-2 survivors
-      val sh2 = d.join(s2, "doc_id").select("doc_id", "shingles")
+      val sh2 = d.join(s2.hint("shuffle_hash"), "doc_id").select("doc_id", "shingles")
       val sig = Dedup.minhashSignatureExploded(sh2, "doc_id", "shingles", numHashes = 8)
       // materialized: the candidate self-join reads bands twice (same
       // reason l_dedup_minhash cuts here)

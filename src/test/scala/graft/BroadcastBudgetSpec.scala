@@ -36,26 +36,57 @@ class BroadcastBudgetSpec extends SparkSpec {
   private val budgetBytes =
     sys.env.getOrElse("GRAFT_BCAST_BUDGET_MB", "12").toLong * 1024 * 1024
 
-  /** Adjudicated per-query budgets (max'd with the default):
-    *  - The TPC-H entries auto-broadcast a FILTERED FACT side under the
-    *    local threshold; their estimates are scan-proportional, so the
-    *    same plans demote to shuffle joins at scale — verified by the
-    *    sf1 audit (none of them broadcast anything there; PLANS.md r11).
-    *  - The ANN entries broadcast the fixed 20k-id calibration slice
-    *    and codebooks; the decontamination entries broadcast the
-    *    held-out benchmark shingle set. Both are bounded by
-    *    construction, not corpus-proportional — they exceed the
-    *    default only on generated-lake audits.
+  /** Adjudicated per-query budgets (max'd with the default): the ANN
+    * entries broadcast the fixed 20k-id calibration slice and
+    * codebooks; the decontamination entries broadcast the held-out
+    * benchmark shingle set. Both are bounded by construction, not
+    * corpus-proportional — they exceed the default only on
+    * generated-lake audits (the sides are checkpoint/agg-derived, so
+    * the scan-side allowance below doesn't cover them).
     */
   private val perQueryBudget: Map[String, Long] = Map(
-    "q3_join_topk" -> 48, "q4_order_priority" -> 48, "q5_multi_join" -> 48,
-    "q21_waiting_supplier" -> 48,
     "l_ann_ivfadc" -> 32, "l_ann_pq_trained" -> 32,
     "l_contamination" -> 32, "l_decontam_report" -> 32,
   ).map { case (k, v) => k -> v * 1024 * 1024 }
 
   private def budgetFor(name: String): Long =
     math.max(budgetBytes, perQueryBudget.getOrElse(name, 0L))
+
+  /** The two broadcast classes the r10/r11 adjudication separated:
+    *
+    *  - SCAN-BACKED sides (the broadcast subtree is filters/projections
+    *    over a file scan): the size estimate derives from file bytes ×
+    *    column fraction, so it GROWS with the lake and the plan demotes
+    *    itself to a shuffle join within a decade (measured: q7's
+    *    customer side and m_band_join/q13/m_otel_spans fact sides all
+    *    demote by sf10). The estimate lies by a bounded compression ×
+    *    pruning factor (~14× worst measured), so the allowance is
+    *    16 × the session's autoBroadcastJoinThreshold — scale-invariant
+    *    by construction, tolerated at every audit SF.
+    *
+    *  - DERIVED sides (anything containing an Aggregate / Window /
+    *    Generate / checkpoint scan): their estimates DON'T track data
+    *    (post-agg row guesses, constant ArrayType widths, Window
+    *    pass-through), so a static broadcast never demotes — the r10
+    *    3.4 GB posting-table class. These get the strict budget at
+    *    every SF.
+    */
+  private def isScanBacked(b: BroadcastExchangeExec): Boolean = {
+    var scan = false
+    var derived = false
+    walk(b.child) {
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => scan = true
+      case p if p.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.GenerateExec] ||
+        p.nodeName.contains("ExistingRDD") => derived = true
+      case _ => ()
+    }
+    scan && !derived
+  }
+
+  private lazy val scanSideBudget: Long =
+    16L * SparkSpec.session.sessionState.conf.autoBroadcastJoinThreshold
 
   private def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
     f(p)
@@ -71,21 +102,21 @@ class BroadcastBudgetSpec extends SparkSpec {
     kids.foreach(walk(_)(f))
   }
 
-  /** Execute `df` fully and return the built size of every
+  /** Execute `df` fully and return (built size, scan-backed?) for every
     * BroadcastExchange in the final plan, largest first. Must drive
     * THIS queryExecution's plan (a `df.write` would build a separate
     * QueryExecution and leave these metrics untouched at zero).
     */
-  private[graft] def broadcastSizes(df: DataFrame): Seq[Long] = {
+  private[graft] def broadcastSizes(df: DataFrame): Seq[(Long, Boolean)] = {
     val qe = df.queryExecution
     qe.executedPlan.execute().foreach(_ => ())
-    val sizes = Seq.newBuilder[Long]
+    val sizes = Seq.newBuilder[(Long, Boolean)]
     walk(qe.executedPlan) {
       case b: BroadcastExchangeExec =>
-        sizes += b.metrics.get("dataSize").map(_.value).getOrElse(0L)
+        sizes += ((b.metrics.get("dataSize").map(_.value).getOrElse(0L), isScanBacked(b)))
       case _ => ()
     }
-    sizes.result().sorted.reverse
+    sizes.result().sortBy(-_._1)
   }
 
   test("detector fires on a seeded corpus-side broadcast") {
@@ -104,9 +135,13 @@ class BroadcastBudgetSpec extends SparkSpec {
       .groupBy().agg(sum(length(col("b.text"))).as("n_bytes"), max(col("b.k")).as("mk"))
     val sizes = broadcastSizes(seeded)
     assert(sizes.nonEmpty, "seeded broadcast not found in executed plan")
-    assert(sizes.head > budgetBytes,
+    val (sz, scanBacked) = sizes.head
+    assert(!scanBacked,
+      "the seeded post-explode side must classify as DERIVED (it contains " +
+        "a Generate) — otherwise the scan-side allowance would mask the defect class")
+    assert(sz > budgetBytes,
       s"seeded corpus broadcast should exceed the $budgetBytes-byte budget, " +
-        s"got ${sizes.head} — budget no longer discriminates at $auditDir")
+        s"got $sz — budget no longer discriminates at $auditDir")
   }
 
   test("every registered query's executed broadcasts sit under the budget") {
@@ -119,10 +154,15 @@ class BroadcastBudgetSpec extends SparkSpec {
           violations += s"${q.name}: failed to execute for audit: ${e.getMessage}"
           Nil
         }
-      sizes.headOption.foreach(s => largest += ((s, q.name)))
-      sizes.filter(_ > budgetFor(q.name)).foreach { s =>
-        violations += f"${q.name}: BroadcastExchange built ${s / 1024.0 / 1024.0}%.1f MB " +
-          f"(budget ${budgetFor(q.name) / 1024 / 1024} MB) — corpus-proportional side statically broadcast?"
+      sizes.headOption.foreach { case (s, _) => largest += ((s, q.name)) }
+      sizes.foreach { case (s, scanBacked) =>
+        val budget =
+          if (scanBacked) math.max(budgetFor(q.name), scanSideBudget)
+          else budgetFor(q.name)
+        if (s > budget)
+          violations += f"${q.name}: ${if (scanBacked) "scan-backed" else "DERIVED"} " +
+            f"BroadcastExchange built ${s / 1024.0 / 1024.0}%.1f MB " +
+            f"(budget ${budget / 1024 / 1024} MB) — corpus-proportional side statically broadcast?"
       }
     }
     // the high-water marks that back the budget choice (visible via -oI)
