@@ -316,7 +316,11 @@ class PlanShapeSpec extends SparkSpec {
       ("l_quality_threshold_curve", 6, 2), // scored scan × broadcast grid; total broadcast
       ("l_dup_family_sources", 5, 0),  // two keyed HashAggregates, no pair join
       ("m_rate_resets", 3, 0),         // per-series lag window + one partial agg
-      ("l_dedup_ladder", 23, 0),       // 3 rungs + LSH chain + 4 stage counts (one text pass, checkpointed)
+      ("l_dedup_ladder", 31, 0),       // 3 rungs + LSH chain + 4 stage counts (one text pass,
+                                       // checkpointed). r11: the rung attach joins are pinned
+                                       // shuffle_hash (the checkpointed corpus side was being
+                                       // statically broadcast at 130 MB — BroadcastBudgetSpec),
+                                       // so both rung joins now shuffle both sides
       ("m_alert_dedup", 4, 0),         // per-series lag → crossings → day-grid agg
       ("m_orphan_spans", 11, 0),       // span assembly (r11 pivot pairing) + parent band join + agg
       ("l_decontam_report", 6, 1),     // benchmark set broadcast; per-doc then per-source partial aggs
