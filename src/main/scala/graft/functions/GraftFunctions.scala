@@ -51,6 +51,17 @@ object GraftFunctions {
       require(args.length == 1, "graft_normalize(text)")
       NormalizeWords(Cast(args(0), org.apache.spark.sql.types.StringType))
     },
+    "graft_shingles" -> { args =>
+      require(args.length == 2 && args(1).foldable,
+        "graft_shingles(text, n) — n must be a literal")
+      WordShingles(Cast(args(0), org.apache.spark.sql.types.StringType),
+        args(1).eval().asInstanceOf[Number].intValue)
+    },
+    "graft_minhash" -> { args =>
+      require(args.length == 2 && args(1).foldable,
+        "graft_minhash(shingles, numHashes) — numHashes must be a literal")
+      MinhashLongs(args(0), args(1).eval().asInstanceOf[Number].intValue)
+    },
     "graft_round" -> { args =>
       require(args.length == 2, "graft_round(x, scale)")
       DuckRound(Cast(args(0), DoubleType), Cast(args(1), IntegerType))

@@ -1,0 +1,224 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shingling + MinHash kernels (static so generated code can call them).
+  *
+  * Why kernels: the r11 stage profile of `l_dedup_minhash` at sf10 put
+  * 63% of the query's wall (455 s of CPU across 32 cores) in the
+  * shingle projection — a java.util.regex split, an interpreted
+  * `transform` HOF (HOFs are CodegenFallback), and a per-gram
+  * slice+array_join allocation storm — and another 134 s CPU in the
+  * per-(shingle, hash) md5 digest chain behind an explode + groupBy-min
+  * exchange. One byte scan builds the shingles; one pass over the
+  * shingle array computes ALL minhash values per document, so the
+  * signature rides the scan with ZERO shuffle (the explode+agg path
+  * shuffled (doc_id, digest) rows). Per-row state is O(numHashes)
+  * longs — nothing corpus-proportional, the right 100 TB shape.
+  */
+object ShingleKernels {
+
+  private val WS_MAX = 0x20
+  @inline private def isWs(b: Byte): Boolean =
+    // Java regex \s = [ \t\n\x0B\f\r] — all ASCII, so a byte-level
+    // scan is exact on UTF-8 (multi-byte code points are >= 0x80,
+    // negative as JVM bytes, and never match)
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Word n-gram shingles, byte-for-byte equal to the composed form
+    * `array_distinct(transform(sequence(1, greatest(size(tokens)-(n-1), 1)),
+    * i => array_join(slice(tokens, i, n), " ")))` over
+    * `tokens = split(trim(text), "\\s+")` (with the <n-token fallback
+    * of a single all-tokens gram) — the form the DuckDB oracle keeps.
+    *
+    * Exactness argument:
+    *  - `trim` strips 0x20 ONLY (Spark trim semantics), reproduced here.
+    *  - `split(str, "\\s+")` is Java `Pattern.split(s, -1)`: a leading
+    *    separator run yields ONE leading empty token, a trailing run
+    *    yields ONE trailing empty token (limit -1 keeps it), and the
+    *    empty string yields [""] — all reproduced by the scanner below.
+    *  - grams join the token BYTES with a single 0x20, exactly what
+    *    array_join does (no element of the split is null).
+    *  - distinct keeps first occurrence, like array_distinct
+    *    (LinkedHashSet on UTF8String, whose equals/hashCode are
+    *    byte-wise).
+    * The one deliberate divergence: on INVALID UTF-8 the composed form
+    * round-trips through String and substitutes U+FFFD inside tokens;
+    * this kernel preserves the original bytes (whitespace bytes never
+    * occur inside a multi-byte sequence, so token BOUNDARIES agree).
+    * Lake text is valid UTF-8, where the two are identical
+    * (property-checked in ShingleKernelSpec).
+    */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val b = text.getBytes
+    // trim: spaces only, both ends
+    var lo = 0
+    var hi = b.length
+    while (lo < hi && b(lo) == ' ') lo += 1
+    while (hi > lo && b(hi - 1) == ' ') hi -= 1
+    // split on \s+ runs, Pattern.split(s, -1) semantics
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var pos = lo
+    var i = lo
+    while (i < hi) {
+      if (isWs(b(i))) {
+        starts.add(pos); ends.add(i)
+        i += 1
+        while (i < hi && isWs(b(i))) i += 1
+        pos = i
+      } else i += 1
+    }
+    starts.add(pos); ends.add(hi) // final token (empty if trailing run)
+    val m = starts.size()
+    val cnt = m - (n - 1)
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (cnt >= 1) {
+      var g = 0
+      while (g < cnt) {
+        out.add(joinTokens(b, starts, ends, g, n))
+        g += 1
+      }
+    } else {
+      out.add(joinTokens(b, starts, ends, 0, m))
+    }
+    val arr = new Array[Any](out.size())
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Join tokens [from, from+len) with single spaces, from the original
+    * bytes.
+    */
+  private def joinTokens(b: Array[Byte], starts: java.util.ArrayList[Integer],
+      ends: java.util.ArrayList[Integer], from: Int, len: Int): UTF8String = {
+    var total = len - 1 // separators
+    var t = from
+    while (t < from + len) { total += ends.get(t) - starts.get(t); t += 1 }
+    val out = new Array[Byte](total)
+    var o = 0
+    t = from
+    while (t < from + len) {
+      if (t > from) { out(o) = ' '; o += 1 }
+      val s = starts.get(t)
+      val e = ends.get(t)
+      System.arraycopy(b, s, out, o, e - s)
+      o += e - s
+      t += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** All `numHashes` MinHash values of a shingle set in ONE pass, as
+    * longs. Hash family identical to the Dedup explode path (and the
+    * DuckDB oracle): hash i is the i%4-th 8-hex-char chunk of
+    * md5(("x"*(i/4) + "|") ++ shingle) (no prefix for i/4 == 0), read
+    * as an unsigned 32-bit integer; the value is the min over
+    * shingles. Identical because a fixed-width hex chunk is
+    * order-isomorphic to its numeric value and md5 is standardized.
+    *
+    * Null on an EMPTY array (the explode+groupBy form drops such docs;
+    * `Dedup.wordShingles` never emits one, so the difference is
+    * unobservable in the pipelines) and on null elements' positions
+    * having no non-null shingle at all; null elements are skipped like
+    * an aggregate min skips nulls.
+    */
+  def minhashLongs(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val nSh = shingles.numElements()
+    val nDig = (numHashes + 3) / 4
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val md = md5Local.get()
+    var seen = false
+    var s = 0
+    while (s < nSh) {
+      if (!shingles.isNullAt(s)) {
+        seen = true
+        val sb = shingles.getUTF8String(s).getBytes
+        var j = 0
+        while (j < nDig) {
+          md.reset()
+          if (j > 0) {
+            var x = 0
+            while (x < j) { md.update('x'.toByte); x += 1 }
+            md.update('|'.toByte)
+          }
+          md.update(sb)
+          val dig = md.digest()
+          var c = 0
+          val hLim = math.min(4, numHashes - 4 * j)
+          while (c < hLim) {
+            val v = ((dig(4 * c) & 0xFFL) << 24) | ((dig(4 * c + 1) & 0xFFL) << 16) |
+              ((dig(4 * c + 2) & 0xFFL) << 8) | (dig(4 * c + 3) & 0xFFL)
+            val i = 4 * j + c
+            if (v < mins(i)) mins(i) = v
+            c += 1
+          }
+          j += 1
+        }
+      }
+      s += 1
+    }
+    if (!seen) null
+    else new GenericArrayData(mins.map(l => l: Any))
+  }
+}
+
+/** `graft_shingles(text, n)` — see [[ShingleKernels.shingles]]. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "graft_shingles: n must be >= 1")
+
+  // containsNull matches the composed transform/array_join form's
+  // conservative nullability (elements are never actually null)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** `graft_minhash(shingles, numHashes)` — see
+  * [[ShingleKernels.minhashLongs]].
+  */
+case class MinhashLongs(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes >= 1 && numHashes <= 64, "graft_minhash: numHashes in [1, 64]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null on empty/all-null input arrays even when the child is non-null
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.minhashLongs(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // can't use defineCodeGen: the kernel returns null for empty
+    // arrays, so the result's isNull must be re-checked
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.ShingleKernels.minhashLongs($c, $numHashes);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashLongs =
+    copy(child = newChild)
+}

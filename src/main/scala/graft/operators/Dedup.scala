@@ -12,8 +12,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of `text` as an array column (distinct). */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles of `text` as an array column (distinct).
+    *
+    * Native codegen kernel (graft.functions.ShingleKernels.shingles) —
+    * one byte scan, byte-identical to the composed
+    * split/transform/slice/array_join/array_distinct form it replaced
+    * (which the DuckDB oracle keeps, and ShingleKernelSpec
+    * property-checks): the r11 sf10 stage profile put 63% of
+    * l_dedup_minhash's wall in the composed form's regex split +
+    * interpreted transform HOF + per-gram allocations.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    call_function("graft_shingles", text, lit(n))
+
+  /** The pre-kernel composed form of [[wordShingles]], kept as the
+    * cross-checked reference (ShingleKernelSpec asserts kernel ==
+    * composed on adversarial and random inputs).
+    */
+  def wordShinglesComposed(text: Column, n: Int): Column = {
     val tokens = split(trim(text), "\\s+")
     val cnt = size(tokens) - lit(n - 1)
     val grams = transform(
@@ -48,18 +64,33 @@ object Dedup {
     df.select(col(idCol) +: cols: _*)
   }
 
-  /** Same signature via explode + groupBy-min: the scale path. Partial
-    * aggregation computes the mins map-side, so the only shuffle is
-    * numHashes small digests per doc — independent of document size.
-    *
-    * The min is taken over the hex chunk parsed as a LONG, not the hex
-    * string: fixed-width hex is order-isomorphic to its numeric value,
-    * and a numeric agg buffer keeps the aggregate in HashAggregate
-    * (a string min forces SortAggregate — a per-partition sort of the
-    * whole exploded doc×shingle stream). The hex form is rebuilt after
-    * the agg, so signatures are byte-identical to the string path.
+  /** Same signature via the one-pass native kernel: the scale path.
+    * graft_minhash computes ALL numHashes mins per document in a
+    * single traversal of the shingle array, so the signature rides
+    * the scan with ZERO shuffle and O(numHashes) per-row state.
+    * (History: this was an explode + groupBy-min — one exchange of
+    * (doc_id, digests) rows and 134 s of md5-chain CPU at sf10; before
+    * that, a transform-HOF fold that re-evaluated md5 per hash. The
+    * kernel subsumes both: MinhashKernelSpec property-checks it
+    * against the explode+agg form, and the hex reconstruction below
+    * keeps signatures byte-identical to the string path the DuckDB
+    * oracle computes.)
     */
   def minhashSignatureExploded(df: DataFrame, idCol: String, shinglesCol: String, numHashes: Int): DataFrame = {
+    val withSig = df.select(col(idCol),
+      call_function("graft_minhash", col(shinglesCol), lit(numHashes)).as("__sig"))
+    withSig.select(col(idCol) +: (0 until numHashes).map { i =>
+      lower(lpad(hex(element_at(col("__sig"), i + 1)), 8, "0")).as(s"mh$i")
+    }: _*)
+  }
+
+  /** The pre-kernel explode + groupBy-min signature path, kept as the
+    * cross-checked reference for MinhashKernelSpec. The min is taken
+    * over the hex chunk parsed as a LONG: fixed-width hex is
+    * order-isomorphic to its numeric value, and a numeric agg buffer
+    * keeps the aggregate in HashAggregate.
+    */
+  def minhashSignatureAgg(df: DataFrame, idCol: String, shinglesCol: String, numHashes: Int): DataFrame = {
     val ex = df.select(col(idCol), explode(col(shinglesCol)).as("__sh"))
     val withDigests = (0 until (numHashes + 3) / 4).foldLeft(ex) { (d, j) =>
       val src = if (j == 0) col("__sh") else concat(lit("x" * j + "|"), col("__sh"))

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** graft_shingles / graft_minhash must be byte-identical to the
+  * composed forms they replaced (which the DuckDB oracle still
+  * evaluates): the split/transform/slice/array_join/array_distinct
+  * shingler, and the explode + groupBy-min md5 signature path.
+  */
+class ShingleKernelSpec extends SparkSpec {
+
+  private def checkShingles(inputs: Seq[String], n: Int): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = inputs.toDF("s")
+      .select(col("s"), Dedup.wordShinglesComposed(col("s"), n).as("want"),
+        Dedup.wordShingles(col("s"), n).as("got"))
+    val bad = df.where(not(col("want") <=> col("got"))).collect()
+    assert(bad.isEmpty,
+      s"shingle kernel (n=$n) diverges from composed form on: ${bad.take(5).mkString("; ")}")
+  }
+
+  test("shingles edge cases: split/trim semantics, short docs, duplicates") {
+    for (n <- Seq(1, 2, 3, 4)) checkShingles(Seq(
+      "", " ", "   ", "a", " a ", "a b", "a b c", "a b c d e",
+      // trim strips 0x20 ONLY; \s+ split keeps ONE leading and ONE
+      // trailing empty token (limit -1) — tabs/newlines survive trim
+      "\ta b", "a b\t", "\ta b\n", "\t", "\t\n\f\r", "a b",
+      "a\t\tb", "a \t b", "a\r\nb", "a\fb",
+      // duplicates for array_distinct first-occurrence order
+      "x y x y x y", "a a a a", "p q p q r p q",
+      // non-ASCII whitespace is NOT \s: stays inside tokens
+      "a b c d", "a　b c", "日本 語 テキスト だ",
+      "café au lait noir", "😀 hi 😀 hi 😀",
+      "one", "one two", "one two three", "one two three four"), n)
+  }
+
+  test("property: shingle kernel equals composed form on random strings") {
+    val weird = Gen.oneOf(' ', '\u3000', '\u000B', '\f', '\r', '\n',
+      '\t', '\u00A0', '\u2028', 'a', 'b', 'Z', '0', '\u00E9', '\u65E5')
+    val g = Gen.listOf(Gen.frequency(2 -> Gen.alphaNumChar, 3 -> weird))
+      .map(_.mkString)
+    val prop = Prop.forAll(Gen.listOfN(30, g), Gen.choose(1, 4)) {
+      (ss: List[String], n: Int) => checkShingles(ss, n); true
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(result.passed, s"scalacheck: ${result.status}")
+  }
+
+  test("minhash kernel signatures equal the explode+agg path") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "yy", "zzz", "0", "é", "日本")
+    val docs = Seq.tabulate(200) { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val sh = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
+      .localCheckpoint()
+    for (numHashes <- Seq(1, 4, 8)) {
+      val got = Dedup.minhashSignatureExploded(sh, "doc_id", "shingles", numHashes)
+      val want = Dedup.minhashSignatureAgg(sh, "doc_id", "shingles", numHashes)
+      assert(got.columns.toSeq === want.columns.toSeq)
+      val diff = got.exceptAll(want).union(want.exceptAll(got)).collect()
+      assert(diff.isEmpty,
+        s"minhash kernel (numHashes=$numHashes) diverges: ${diff.take(5).mkString("; ")}")
+    }
+  }
+
+  test("minhash kernel matches the array-local HOF form too") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val sh = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.wordShingles(col("text"), 2).as("shingles"))
+    val got = Dedup.minhashSignatureExploded(sh, "doc_id", "shingles", 8)
+    val want = Dedup.minhashSignature(sh, "doc_id", "shingles", 8)
+    val diff = got.exceptAll(want).union(want.exceptAll(got)).collect()
+    assert(diff.isEmpty, s"kernel vs HOF form: ${diff.take(5).mkString("; ")}")
+  }
+}
