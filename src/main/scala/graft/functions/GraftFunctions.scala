@@ -62,6 +62,14 @@ object GraftFunctions {
         "graft_minhash(shingles, numHashes) — numHashes must be a literal")
       MinhashLongs(args(0), args(1).eval().asInstanceOf[Number].intValue)
     },
+    "graft_textstats" -> { args =>
+      require(args.length == 1, "graft_textstats(text)")
+      TextStats(Cast(args(0), org.apache.spark.sql.types.StringType))
+    },
+    "graft_md5min" -> { args =>
+      require(args.length == 1, "graft_md5min(arr)")
+      Md5Min(args(0))
+    },
     "graft_round" -> { args =>
       require(args.length == 2, "graft_round(x, scale)")
       DuckRound(Cast(args(0), DoubleType), Cast(args(1), IntegerType))

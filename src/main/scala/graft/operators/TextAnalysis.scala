@@ -13,7 +13,18 @@ object TextAnalysis {
 
   def whitespaceTokens(text: Column): Column = split(trim(text), "\\s+")
 
-  def tokenCount(text: Column): Column = size(whitespaceTokens(text)).cast("long")
+  /** One-pass integer stats struct (graft.functions.TextStatsKernels):
+    * all the primitives below read fields off this ONE deterministic
+    * expression, so a projection computing several of them evaluates
+    * the text scan once (subexpression elimination — which the
+    * interpreted HOF-filter forms these replaced structurally defeat).
+    * Field-for-field equality with the composed forms is
+    * property-checked in TextStatsKernelSpec; the double arithmetic
+    * below is UNCHANGED, so scores stay bit-identical.
+    */
+  private def stats(text: Column): Column = call_function("graft_textstats", text)
+
+  def tokenCount(text: Column): Column = stats(text).getField("n_tokens")
 
   /** BPE-ish token count: alpha runs, digit runs, and single symbols —
     * the usual pre-tokenizer shape.
@@ -22,21 +33,24 @@ object TextAnalysis {
     size(call_function("regexp_extract_all", text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
-      greatest(length(text), lit(1)).cast("double")
+    stats(text).getField("punct_chars").cast("double") /
+      greatest(stats(text).getField("n_chars"), lit(1)).cast("double")
 
-  def stopwordRatio(text: Column, stopwords: Seq[String] = stopwordsEn): Column = {
-    val toks = whitespaceTokens(text)
-    val stops = array(stopwords.map(lit): _*)
-    size(filter(toks, t => array_contains(stops, t))).cast("double") /
-      greatest(size(toks), lit(1)).cast("double")
-  }
+  def stopwordRatio(text: Column, stopwords: Seq[String] = stopwordsEn): Column =
+    if (stopwords == stopwordsEn)
+      stats(text).getField("stop_en8").cast("double") /
+        greatest(stats(text).getField("n_tokens"), lit(1)).cast("double")
+    else {
+      // non-default lists keep the composed form (no kernel field)
+      val toks = whitespaceTokens(text)
+      val stops = array(stopwords.map(lit): _*)
+      size(filter(toks, t => array_contains(stops, t))).cast("double") /
+        greatest(size(toks), lit(1)).cast("double")
+    }
 
-  def meanTokenLength(text: Column): Column = {
-    val toks = whitespaceTokens(text)
-    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-      greatest(size(toks), lit(1)).cast("double")
-  }
+  def meanTokenLength(text: Column): Column =
+    stats(text).getField("sum_tok_len").cast("double") /
+      greatest(stats(text).getField("n_tokens"), lit(1)).cast("double")
 
   /** Composite quality score in [0,1]-ish: favors stopword presence,
     * moderate token length, low punctuation. Deterministic arithmetic
@@ -50,14 +64,9 @@ object TextAnalysis {
 
   /** Language-ID heuristic: score languages by marker-token hits. */
   def langIdHeuristic(text: Column): Column = {
-    val toks = whitespaceTokens(text)
-    def hits(markers: Seq[String]): Column = {
-      val m = array(markers.map(lit): _*)
-      size(filter(toks, t => array_contains(m, t)))
-    }
-    val en = hits(Seq("the", "a", "of", "and"))
-    val es = hits(Seq("el", "la", "de", "que"))
-    val de = hits(Seq("der", "die", "das", "und"))
+    val en = stats(text).getField("mark_en")
+    val es = stats(text).getField("mark_es")
+    val de = stats(text).getField("mark_de")
     when(en >= es && en >= de && en > 0, lit("en"))
       .when(es >= de && es > 0, lit("es"))
       .when(de > 0, lit("de"))
@@ -66,8 +75,10 @@ object TextAnalysis {
 
   /** Rolling-hash document fingerprint: min md5 over word 4-gram
     * windows (winnowing with a single global window). Cross-engine
-    * reproducible (md5 hex, lexicographic min).
+    * reproducible (md5 hex, lexicographic min). graft_md5min = the
+    * `array_min(transform(shingles, s => md5(s)))` fold in one pass
+    * (hex encoding is order-isomorphic to unsigned digest bytes).
     */
   def fingerprint(text: Column): Column =
-    array_min(transform(Dedup.wordShingles(text, 4), s => md5(s)))
+    call_function("graft_md5min", Dedup.wordShingles(text, 4))
 }
