@@ -37,6 +37,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - n_chars      = length(text) in code points.
   *  - stop_en8     = tokens ∈ {the,a,of,and,to,in,is,it} (stopwordsEn).
   *  - mark_en/es/de = tokens ∈ the langIdHeuristic 4-marker lists.
+  *  - max_tok_len  = array_max(transform(tokens, w => length(w))) in
+  *                   code points (0 only for the [""]-token case).
+  *  - n_digits     = length(regexp_replace(text, "[^0-9]", "")) —
+  *                   ASCII digit count over the ORIGINAL text.
+  *  - has_the      = array_contains(tokens, "the") as 0/1 (the C4
+  *                   stopword rule).
   */
 object TextStatsKernels {
 
@@ -54,6 +60,7 @@ object TextStatsKernels {
     Array("el", "la", "de", "que").map(_.getBytes("UTF-8"))
   private val MARK_DE: Array[Array[Byte]] =
     Array("der", "die", "das", "und").map(_.getBytes("UTF-8"))
+  private val THE: Array[Byte] = "the".getBytes("UTF-8")
 
   @inline private def matches(b: Array[Byte], s: Int, e: Int, w: Array[Byte]): Boolean = {
     if (e - s != w.length) return false
@@ -73,12 +80,14 @@ object TextStatsKernels {
     // pass 1: code points + punct over the ORIGINAL bytes
     var nChars = 0L
     var punct = 0L
+    var nDigits = 0L
     var i = 0
     while (i < b.length) {
       val c = b(i)
       if ((c & 0xC0) != 0x80) { // a lead byte (or ASCII) = one code point
         nChars += 1
         if (c < 0 || !isKeep(c)) punct += 1 // non-ASCII lead OR ASCII outside keep-class
+        if (c >= '0' && c <= '9') nDigits += 1
       }
       i += 1
     }
@@ -89,21 +98,25 @@ object TextStatsKernels {
     while (hi > lo && b(hi - 1) == ' ') hi -= 1
     var nTokens = 0L
     var sumTokLen = 0L
+    var maxTokLen = 0L
     var stopEn8 = 0L
     var markEn = 0L
     var markEs = 0L
     var markDe = 0L
+    var hasThe = 0L
     def token(s: Int, e: Int): Unit = {
       nTokens += 1
       var cp = 0L
       var k = s
       while (k < e) { if ((b(k) & 0xC0) != 0x80) cp += 1; k += 1 }
       sumTokLen += cp
+      if (cp > maxTokLen) maxTokLen = cp
       if (e > s) {
         if (hits(b, s, e, STOP_EN8)) stopEn8 += 1
         if (hits(b, s, e, MARK_EN)) markEn += 1
         if (hits(b, s, e, MARK_ES)) markEs += 1
         if (hits(b, s, e, MARK_DE)) markDe += 1
+        if (matches(b, s, e, THE)) hasThe = 1L
       }
     }
     var pos = lo
@@ -118,7 +131,8 @@ object TextStatsKernels {
     }
     token(pos, hi)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](nTokens, sumTokLen, punct, nChars, stopEn8, markEn, markEs, markDe))
+      Array[Any](nTokens, sumTokLen, punct, nChars, stopEn8, markEn, markEs, markDe,
+        maxTokLen, nDigits, hasThe))
   }
 
   /** Lexicographic min of md5 hex digests over an array of strings —
@@ -198,7 +212,10 @@ object TextStats {
     StructField("stop_en8", LongType, nullable = false),
     StructField("mark_en", LongType, nullable = false),
     StructField("mark_es", LongType, nullable = false),
-    StructField("mark_de", LongType, nullable = false)))
+    StructField("mark_de", LongType, nullable = false),
+    StructField("max_tok_len", LongType, nullable = false),
+    StructField("n_digits", LongType, nullable = false),
+    StructField("has_the", LongType, nullable = false)))
 }
 
 /** `graft_md5min(arr)` — see [[TextStatsKernels.md5Min]]. */

@@ -24,6 +24,12 @@ object TextAnalysis {
     */
   private def stats(text: Column): Column = call_function("graft_textstats", text)
 
+  /** The raw stats struct, for composites (C4 rules) that read several
+    * fields at once: n_tokens, sum_tok_len, punct_chars, n_chars,
+    * stop_en8, mark_en/es/de, max_tok_len, n_digits, has_the.
+    */
+  def textStats(text: Column): Column = stats(text)
+
   def tokenCount(text: Column): Column = stats(text).getField("n_tokens")
 
   /** BPE-ish token count: alpha runs, digit runs, and single symbols —

@@ -91,15 +91,18 @@ object LlmPipelineExt5 {
       // All comparisons integer-exact: counts and lengths only. The
       // digit rule is the C4 "numbers-heavy page" bound expressed as
       // 10*digits < chars (strictly-below-10% without FP division).
-      // Pure per-row expressions riding the scan — zero shuffles.
-      val t = whitespaceTokens(col("text"))
+      // Pure per-row expressions riding the scan — zero shuffles. All
+      // five inputs come off ONE graft_textstats scan (field-for-field
+      // equal to the composed forms the oracle keeps —
+      // TextStatsKernelSpec).
+      val st = graft.operators.TextAnalysis.textStats(col("text"))
       docs(s, dir).select(
           col("doc_id"),
-          size(t).cast("long").as("n_words"),
-          array_max(transform(t, w => length(w))).cast("long").as("max_wlen"),
-          length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"),
-          length(col("text")).cast("long").as("n_chars"),
-          array_contains(t, "the").cast("long").as("r_stopword"))
+          st.getField("n_tokens").as("n_words"),
+          st.getField("max_tok_len").as("max_wlen"),
+          st.getField("n_digits").as("n_digits"),
+          st.getField("n_chars").as("n_chars"),
+          st.getField("has_the").as("r_stopword"))
         .withColumn("r_minwords", (col("n_words") >= 20).cast("long"))
         .withColumn("r_maxword", (col("max_wlen") <= 12).cast("long"))
         .withColumn("r_digit", (col("n_digits") * 10 < col("n_chars")).cast("long"))
@@ -271,12 +274,15 @@ object LlmPipelineExt5 {
       // scale the integer products would move to DECIMAL(38).
       val t = whitespaceTokens(col("text"))
       val base = docsWide(s, dir)
+      // the C4 gate reads one graft_textstats scan (kernel ==
+      // composed forms, TextStatsKernelSpec)
+      val st = graft.operators.TextAnalysis.textStats(col("text"))
       val c4 = base.select(col("doc_id"), col("lang"),
-          size(t).cast("long").as("n_words"),
-          array_max(transform(t, w => length(w))).cast("long").as("max_wlen"),
-          length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"),
-          length(col("text")).cast("long").as("n_chars"),
-          array_contains(t, "the").cast("long").as("has_stop"),
+          st.getField("n_tokens").as("n_words"),
+          st.getField("max_tok_len").as("max_wlen"),
+          st.getField("n_digits").as("n_digits"),
+          st.getField("n_chars").as("n_chars"),
+          st.getField("has_the").as("has_stop"),
           md5(col("text")).as("fp"))
         .where(col("n_words") >= 20 && col("has_stop") === 1 &&
           col("max_wlen") <= 12 && col("n_digits") * 10 < col("n_chars"))

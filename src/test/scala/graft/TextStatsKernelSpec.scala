@@ -29,7 +29,12 @@ class TextStatsKernelSpec extends SparkSpec {
       ("stop_en8", hitCount(TextAnalysis.stopwordsEn), stats.getField("stop_en8")),
       ("mark_en", hitCount(Seq("the", "a", "of", "and")), stats.getField("mark_en")),
       ("mark_es", hitCount(Seq("el", "la", "de", "que")), stats.getField("mark_es")),
-      ("mark_de", hitCount(Seq("der", "die", "das", "und")), stats.getField("mark_de")))
+      ("mark_de", hitCount(Seq("der", "die", "das", "und")), stats.getField("mark_de")),
+      ("max_tok_len", array_max(transform(toks, w => length(w))).cast("long"),
+        stats.getField("max_tok_len")),
+      ("n_digits", length(regexp_replace(s, "[^0-9]", "")).cast("long"),
+        stats.getField("n_digits")),
+      ("has_the", array_contains(toks, "the").cast("long"), stats.getField("has_the")))
   }
 
   private def check(inputs: Seq[String]): Unit = {
