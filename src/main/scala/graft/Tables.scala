@@ -57,7 +57,11 @@ object Tables {
     val bytes =
       try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getContentSummary(p).getLength
-      catch { case _: Throwable => 0L }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"graft: workPartitions: size listing failed for $p " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); using the cores floor")
+        0L
+      }
     math.max(spark.sparkContext.defaultParallelism, (bytes / (4L << 20)).toInt)
   }
 
@@ -80,7 +84,15 @@ object Tables {
     val bytes = all.map { name =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
       try p.getFileSystem(conf).getContentSummary(p).getLength
-      catch { case _: Throwable => 0L }
+      catch { case scala.util.control.NonFatal(e) =>
+        // ADVICE r11: swallowing Throwable masked a wrong/missing dir as
+        // a silent degrade to the cores floor; fatal errors now propagate
+        // and non-fatal ones are logged (absent OPTIONAL tables still sum
+        // as 0 — a lake is not required to carry all ten tables).
+        System.err.println(s"graft: initialShufflePartitions: size listing " +
+          s"failed for $p (${e.getClass.getSimpleName}: ${e.getMessage})")
+        0L
+      }
     }.sum
     math.min(1024, math.max(cores, (bytes / (2L << 20)).toInt))
   }

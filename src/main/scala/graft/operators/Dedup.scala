@@ -71,7 +71,7 @@ object Dedup {
     * (History: this was an explode + groupBy-min — one exchange of
     * (doc_id, digests) rows and 134 s of md5-chain CPU at sf10; before
     * that, a transform-HOF fold that re-evaluated md5 per hash. The
-    * kernel subsumes both: MinhashKernelSpec property-checks it
+    * kernel subsumes both: ShingleKernelSpec property-checks it
     * against the explode+agg form, and the hex reconstruction below
     * keeps signatures byte-identical to the string path the DuckDB
     * oracle computes.)
@@ -79,13 +79,18 @@ object Dedup {
   def minhashSignatureExploded(df: DataFrame, idCol: String, shinglesCol: String, numHashes: Int): DataFrame = {
     val withSig = df.select(col(idCol),
       call_function("graft_minhash", col(shinglesCol), lit(numHashes)).as("__sig"))
-    withSig.select(col(idCol) +: (0 until numHashes).map { i =>
-      lower(lpad(hex(element_at(col("__sig"), i + 1)), 8, "0")).as(s"mh$i")
-    }: _*)
+    // The kernel yields a null signature for empty/all-null shingle
+    // arrays; dropping those rows keeps this method's public contract
+    // identical to the historical explode + groupBy-min path, which
+    // emitted no group for such documents (ADVICE r11).
+    withSig.where(col("__sig").isNotNull)
+      .select(col(idCol) +: (0 until numHashes).map { i =>
+        lower(lpad(hex(element_at(col("__sig"), i + 1)), 8, "0")).as(s"mh$i")
+      }: _*)
   }
 
   /** The pre-kernel explode + groupBy-min signature path, kept as the
-    * cross-checked reference for MinhashKernelSpec. The min is taken
+    * cross-checked reference for ShingleKernelSpec. The min is taken
     * over the hex chunk parsed as a LONG: fixed-width hex is
     * order-isomorphic to its numeric value, and a numeric agg buffer
     * keeps the aggregate in HashAggregate.

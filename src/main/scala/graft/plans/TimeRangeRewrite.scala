@@ -177,21 +177,26 @@ object TimeRangeRewrite {
   /** Marks Filters injected by this rule as final across re-analyses. */
   val InjectedTag: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.queryRange.injected")
 
-  /** Cache of root-path → (marker mtime, marker-declared time column),
-    * validated against the marker file's CURRENT modification time on
-    * every lookup (ADVICE r10: a positive-only, path-keyed-for-the-JVM
-    * cache kept qualifying a lake that was deleted and re-materialized
-    * with a different source time column — silently dropping rows, the
-    * exact failure class this gate exists to prevent). The validation
-    * is one getFileStatus per analysis per qualified scan — the same
-    * cheap FS metadata call class as the existence probe it replaces,
-    * and it doubles as that probe (a deleted marker evicts the entry).
-    * What the cache still saves is opening and parsing the file body.
+  /** Cache of root-path → (marker mtime, marker length, declared time
+    * column), validated against the marker file's CURRENT modification
+    * time AND length on every lookup (ADVICE r10: a positive-only,
+    * path-keyed-for-the-JVM cache kept qualifying a lake that was
+    * deleted and re-materialized with a different source time column —
+    * silently dropping rows, the exact failure class this gate exists
+    * to prevent; ADVICE r11: mtime alone has 1 s granularity on many
+    * filesystems, so a delete + re-materialize within the same second
+    * could still serve the stale column — the length check closes the
+    * common case, since a different timeColumn value almost always
+    * changes the marker's byte length). The validation is one
+    * getFileStatus per analysis per qualified scan — the same cheap FS
+    * metadata call class as the existence probe it replaces, and it
+    * doubles as that probe (a deleted marker evicts the entry). What
+    * the cache still saves is opening and parsing the file body.
     * NEGATIVE results stay uncached — the materializer may write the
     * marker after a first unmarked read of the same path in this JVM.
     */
   private val markerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, String)]()
 
   /** True iff every root path of `leaf`'s file relation carries the
     * [[graft.operators.Materialize.DayPartitionMarker]] declaring its
@@ -223,8 +228,9 @@ object TimeRangeRewrite {
         catch { case _: java.io.FileNotFoundException =>
           markerCache.remove(key); return None }
       val mtime = st.getModificationTime
+      val len = st.getLen
       markerCache.get(key) match {
-        case (t, tc) if t == mtime => Some(tc)
+        case (t, l, tc) if t == mtime && l == len => Some(tc)
         case _ =>
           val in = fs.open(p)
           val content =
@@ -234,7 +240,7 @@ object TimeRangeRewrite {
             .collectFirst { case l if l.startsWith("timeColumn=") =>
               l.stripPrefix("timeColumn=").trim }
           parsed match {
-            case Some(tc) => markerCache.put(key, (mtime, tc))
+            case Some(tc) => markerCache.put(key, (mtime, len, tc))
             case None => markerCache.remove(key) // marker lost its declaration
           }
           parsed

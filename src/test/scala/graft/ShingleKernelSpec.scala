@@ -70,6 +70,20 @@ class ShingleKernelSpec extends SparkSpec {
     }
   }
 
+  test("empty shingle arrays are dropped, matching the explode+agg contract") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val sh = Seq((1L, Seq("a", "b")), (2L, Seq.empty[String]), (3L, Seq("c")))
+      .toDF("doc_id", "shingles")
+    val got = Dedup.minhashSignatureExploded(sh, "doc_id", "shingles", 4)
+    val want = Dedup.minhashSignatureAgg(sh, "doc_id", "shingles", 4)
+    // explode() of an empty array emits no row, so doc 2 has no group in
+    // the agg path; the kernel path must drop it too (ADVICE r11).
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    val diff = got.exceptAll(want).union(want.exceptAll(got)).collect()
+    assert(diff.isEmpty, s"empty-array contract diverges: ${diff.mkString("; ")}")
+  }
+
   test("minhash kernel matches the array-local HOF form too") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
