@@ -113,6 +113,52 @@ final class Lakehouse(spark: SparkSession, dir: String) {
         sum(length(col("props")).cast("long")).as("payload_bytes"))
   }
 
+  /** Raw block payload bytes, reconstructed deterministically per
+    * block (reference: rust/analytics/src/lakehouse/
+    * get_payload_function.rs — the reference fetches the stored bytes
+    * from blob storage; here the payload is the event-id-ordered
+    * serialization of the block's rows: same shape, checkable
+    * content). The double value is serialized as floor(value*100)
+    * cents because double→string formatting is not identical across
+    * engines. collect_list is per-block (blocks are minute slices,
+    * intrinsically bounded) and sorted inside the row, never on the
+    * driver. Shared by the oracle-checked m_block_payload query and
+    * the get_payload SQL table function, so the synthesis can never
+    * fork.
+    */
+  private def blockPayloadsFrom(e: DataFrame): DataFrame = {
+    val ms = epochMs(col("ts"))
+    val cents = floor(col("value") * lit(100.0)).cast("long")
+    val keyed = e.select(col("event_id"),
+      col("user_id").cast("string").as("process_id"),
+      col("event_type").as("stream_tag"),
+      (ms - pmod(ms, lit(60000L))).as("block_start_ms"),
+      concat_ws(":", col("event_id").cast("string"), col("event_type"),
+        cents.cast("string"), col("props")).as("line"))
+    val payload = array_join(
+      transform(array_sort(col("ls")), x => x.getField("line")), "\n")
+    keyed.groupBy("process_id", "stream_tag", "block_start_ms")
+      .agg(collect_list(struct(col("event_id"), col("line"))).as("ls"))
+      .select(col("process_id"), col("stream_tag"), col("block_start_ms"),
+        size(col("ls")).cast("long").as("nb_objects"),
+        payload.cast("binary").as("payload"))
+  }
+
+  /** Every block's synthesized payload (the bulk/relational form). */
+  def blockPayloads: DataFrame = blockPayloadsFrom(table("events"))
+
+  /** One block's payload — the get_payload(process_id, stream_id,
+    * block_id) fetch. The process/stream equalities are plain scan
+    * predicates (on a process/date-partitioned lake they prune to
+    * single files — the point of the reference's JIT fetch); the
+    * block-start filter runs on the derived minute bucket.
+    */
+  def getPayload(processId: String, streamTag: String, blockStartMs: Long): DataFrame =
+    blockPayloadsFrom(table("events")
+      .where(col("user_id").cast("string") === processId &&
+        col("event_type") === streamTag))
+      .where(col("block_start_ms") === blockStartMs)
+
   /** Screenshot/image blocks view (reference:
     * rust/analytics/src/lakehouse/images_view.rs,
     * image_block_processor.rs, images_table.rs). The reference parses

@@ -125,6 +125,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // the builder needs the session for lake-dir resolution, which
       // injectTableFunction doesn't pass — resolve the active one
       args => ReferenceNames.viewInstanceBuilder(SparkSession.active)(args)))
+    ext.injectTableFunction((
+      FunctionIdentifier("get_payload"),
+      new ExpressionInfo("graft.functions", "get_payload"),
+      args => ReferenceNames.getPayloadBuilder(SparkSession.active)(args)))
+    ext.injectTableFunction((
+      FunctionIdentifier("jsonb_each"),
+      new ExpressionInfo("graft.functions", "jsonb_each"),
+      args => ReferenceNames.jsonbEachBuilder(SparkSession.active)(args)))
+    ext.injectTableFunction((
+      FunctionIdentifier("jsonb_array_elements"),
+      new ExpressionInfo("graft.functions", "jsonb_array_elements"),
+      args => ReferenceNames.jsonbArrayElementsBuilder(SparkSession.active)(args)))
     ext.injectResolutionRule(session => graft.plans.TimeRangeRewrite(session))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)

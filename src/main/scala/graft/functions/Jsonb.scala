@@ -42,6 +42,45 @@ object Jsonb {
     *    representation (inherent to the unwrapping) and resolves as a
     *    match set.
     */
+  /** ALL results of evaluating `path` against the JSON string `j`, as
+    * a JSON array in text form — the `jsonb_path_query` analog
+    * (reference path_query.rs `PathQueryMode::All`:
+    * `select_array_by_path` wraps every match in a jsonb array; no
+    * match yields the empty array, a null input yields null).
+    *
+    * Representation caveats (inherent to serving jsonb over JSON
+    * text + Spark's JsonPath grammar, same class as
+    * [[pathQueryFirst]]'s):
+    *  - ARRAY wildcard (`[*]`): matches keep their exact JSON text
+    *    form (`get_json_object` preserves it in wildcard mode), so
+    *    the result is the faithful match-set array. A single match
+    *    that is itself a JSON array is indistinguishable from a
+    *    multi-match set in Spark's representation and resolves as a
+    *    match set.
+    *  - Plain paths and trailing OBJECT wildcard (`.*`): the match
+    *    comes back through the string converter (strings unquoted,
+    *    numbers/containers as raw text), so it is re-serialized as a
+    *    JSON STRING element — `'$.n'` over `{"n":7}` is `["7"]`, not
+    *    `[7]`. Same string-converted view `jsonb_as_string` serves.
+    */
+  def pathQuery(j: Column, path: String): Column = {
+    val matchSet =
+      if (path.endsWith(".*")) {
+        val prefix = path.dropRight(2)
+        val obj = if (prefix == "$") j else get_json_object(j, prefix)
+        to_json(map_values(from_json(obj, MapType(StringType, StringType))))
+      } else if (path.contains("[*]") || path.contains(".*")) {
+        val matches = get_json_object(j, path)
+        when(matches.isNull, lit("[]"))
+          .when(matches.rlike("^\\["), matches)
+          .otherwise(concat(lit("["), matches, lit("]")))
+      } else {
+        val m = get_json_object(j, path)
+        when(m.isNull, lit("[]")).otherwise(to_json(array(m)))
+      }
+    when(j.isNull, lit(null).cast(StringType)).otherwise(coalesce(matchSet, lit("[]")))
+  }
+
   def pathQueryFirst(j: Column, path: String): Column =
     if (path.endsWith(".*")) {
       val prefix = path.dropRight(2)

@@ -76,28 +76,14 @@ object ObservabilityExt4 {
 
     GraftQuery("m_block_payload", (s, dir) => {
       // get_payload(stream_id, block_id): the raw payload bytes of every
-      // block, reconstructed as the event-id-ordered serialization of
-      // the block's rows (payload synthesis is deterministic where the
-      // reference fetches stored bytes — same shape, checkable content).
-      // Emitted as md5 + byte length so the result stays metadata-sized;
-      // the double is serialized as floor(value*100) cents because
-      // double->string formatting is NOT identical across engines.
-      // One keyed groupBy; collect_list is per-block (blocks are minute
-      // slices, intrinsically bounded), sorted inside the row, never on
-      // the driver.
-      val cents = floor(col("value") * lit(100.0)).cast("long")
-      val line = concat_ws(":", col("event_id").cast("string"), col("stream_tag"),
-        cents.cast("string"), col("props"))
-      val payload = array_join(
-        transform(array_sort(col("ls")), x => x.getField("line")), "\n")
-      blockKeyed(events(s, dir))
-        .withColumn("line", line)
-        .groupBy("process_id", "stream_tag", "block_start_ms")
-        .agg(collect_list(struct(col("event_id"), col("line"))).as("ls"))
+      // block — Lakehouse.blockPayloads, the synthesis shared with the
+      // get_payload SQL table function. Emitted as md5 + byte length so
+      // the result stays metadata-sized.
+      new Lakehouse(s, dir).blockPayloads
         .select(col("process_id"), col("stream_tag"), col("block_start_ms"),
-          size(col("ls")).cast("long").as("nb_objects"),
-          md5(payload).as("payload_md5"),
-          octet_length(payload).cast("long").as("payload_bytes"))
+          col("nb_objects"),
+          md5(col("payload")).as("payload_md5"),
+          octet_length(col("payload")).cast("long").as("payload_bytes"))
         .orderBy("process_id", "stream_tag", "block_start_ms")
     }, Some("""
       WITH l AS (
