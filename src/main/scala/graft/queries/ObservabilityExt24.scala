@@ -31,6 +31,11 @@ import org.apache.spark.sql.functions._
   *    minutes since its last block vs the lake's newest block, worst
   *    first. The current-freshness angle next to M94 (holes in the
   *    past) and M98 (cadence); metadata-only.
+  *  - `m_jit_groups`: event-time JIT partition grouping with
+  *    INSERT-SAFE cuts over a lake with out-of-order registered
+  *    blocks (reference #1429: rust/analytics/src/lakehouse/
+  *    jit_partitions.rs:65) — the relational PLAN form of
+  *    operators.JitPartitions; see the query's own comment.
   */
 object ObservabilityExt24 {
 
@@ -41,6 +46,130 @@ object ObservabilityExt24 {
       "event_type", col("event_type").isin("signup", "view"))
 
   val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("m_jit_groups", (s, dir) => {
+      // Event-time JIT partition grouping with INSERT-SAFE cuts
+      // (reference #1429, jit_partitions.rs:65 BlockOrder::EventTime):
+      // blocks sorted by event time may interleave late-REGISTERED
+      // blocks, and a size cut is only taken where everything before
+      // it was inserted no later than everything after (prefix-max
+      // insert ≤ suffix-min insert), so emitted partitions' insert
+      // ranges never overlap. Late registration is synthesized
+      // deterministically (md5-bucket 20% of blocks register 4 min
+      // late — the zero-RNG idiom of m_tail_sampling), creating real
+      // inversions on both engines. Safe points split each stream's
+      // block list into ATOMIC segments; size cuts then ride the
+      // m_compaction_plan convention (exclusive-prefix-sum div
+      // target) over segments — cuts can only land on safe
+      // boundaries, and a single oversized segment grows past the
+      // soft cap, exactly the reference's grow-don't-overlap rule.
+      // chain_id additionally splits on STRICT event-coverage gaps
+      // (touching minute blocks continue the chain — the #1429
+      // contiguity fix: <=, not ==), counting decodable cross-block
+      // chains per group. Everything is window + partial-agg over
+      // block METADATA (the minute grid), never events; scale = the
+      // blocks view, not the event volume. The exact greedy
+      // materializer (operators.JitPartitions.groupBlocks, whose cut
+      // points provably land on this query's safe boundaries) is
+      // property-checked in JitPartitionsSpec.
+      val maxObjects = 8L
+      val ms = epochMs(col("ts"))
+      val b = events(s, dir)
+        .groupBy(col("user_id").cast("string").as("process_id"),
+          col("event_type").as("stream_tag"),
+          (ms - pmod(ms, lit(60000L))).as("begin_ms"))
+        .agg(count(lit(1)).as("nb_objects"))
+        .withColumn("end_ms", col("begin_ms") + lit(60000L))
+      val lateKey = conv(substring(md5(concat_ws("|", col("process_id"),
+        col("stream_tag"), col("begin_ms").cast("string"))), 1, 8), 16, 10).cast("long")
+      val r = b.withColumn("insert_ms",
+        col("begin_ms") + when(lateKey % 5 === 0, lit(240000L)).otherwise(lit(0L)))
+      val byEvent = Window.partitionBy("process_id", "stream_tag").orderBy("begin_ms")
+      val before = byEvent.rowsBetween(Window.unboundedPreceding, -1)
+      val fromHere = byEvent.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val upToHere = byEvent.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val marked = r
+        .withColumn("prefix_max_insert", max("insert_ms").over(before))
+        .withColumn("suffix_min_insert", min("insert_ms").over(fromHere))
+        .withColumn("prev_cov_end", max("end_ms").over(before))
+        .withColumn("seg", sum(when(col("prefix_max_insert").isNull ||
+            col("prefix_max_insert") <= col("suffix_min_insert"), 1L)
+          .otherwise(0L)).over(upToHere))
+        .withColumn("chain_id", sum(when(col("prev_cov_end").isNotNull &&
+            col("begin_ms") > col("prev_cov_end"), 1L)
+          .otherwise(0L)).over(upToHere))
+      val bySeg = Window.partitionBy("process_id", "stream_tag").orderBy("seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val segGroups = marked.groupBy("process_id", "stream_tag", "seg")
+        .agg(sum("nb_objects").as("seg_objects"))
+        .withColumn("prior_objects", coalesce(sum("seg_objects").over(bySeg), lit(0L)))
+        .withColumn("group_id", expr(s"prior_objects div $maxObjects"))
+        .select("process_id", "stream_tag", "seg", "group_id")
+      marked.join(segGroups, Seq("process_id", "stream_tag", "seg"))
+        .groupBy("process_id", "stream_tag", "group_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          countDistinct("seg").as("n_segments"),
+          sum("nb_objects").as("group_objects"),
+          min("insert_ms").as("min_insert_ms"),
+          max("insert_ms").as("max_insert_ms"),
+          min("begin_ms").as("first_block_ms"),
+          max("begin_ms").as("last_block_ms"),
+          countDistinct("chain_id").as("n_chains"))
+        .orderBy("process_id", "stream_tag", "group_id")
+    }, Some("""
+      WITH b AS (
+        SELECT CAST(user_id AS VARCHAR) AS process_id, event_type AS stream_tag,
+          epoch_ms(ts) - epoch_ms(ts) % 60000 AS begin_ms,
+          epoch_ms(ts) - epoch_ms(ts) % 60000 + 60000 AS end_ms,
+          CAST(count(*) AS BIGINT) AS nb_objects
+        FROM events GROUP BY 1, 2, 3, 4),
+      r AS (
+        SELECT *, begin_ms + CASE WHEN CAST(('0x' || substr(md5(
+              process_id || '|' || stream_tag || '|' || CAST(begin_ms AS VARCHAR)
+            ), 1, 8)) AS BIGINT) % 5 = 0 THEN 240000 ELSE 0 END AS insert_ms
+        FROM b),
+      w AS (
+        SELECT *,
+          MAX(insert_ms) OVER (PARTITION BY process_id, stream_tag ORDER BY begin_ms
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prefix_max_insert,
+          MIN(insert_ms) OVER (PARTITION BY process_id, stream_tag ORDER BY begin_ms
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS suffix_min_insert,
+          MAX(end_ms) OVER (PARTITION BY process_id, stream_tag ORDER BY begin_ms
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_cov_end
+        FROM r),
+      s AS (
+        SELECT *,
+          SUM(CASE WHEN prefix_max_insert IS NULL
+                    OR prefix_max_insert <= suffix_min_insert THEN 1 ELSE 0 END)
+            OVER (PARTITION BY process_id, stream_tag ORDER BY begin_ms
+              ROWS UNBOUNDED PRECEDING) AS seg,
+          SUM(CASE WHEN prev_cov_end IS NOT NULL AND begin_ms > prev_cov_end
+                   THEN 1 ELSE 0 END)
+            OVER (PARTITION BY process_id, stream_tag ORDER BY begin_ms
+              ROWS UNBOUNDED PRECEDING) AS chain_id
+        FROM w),
+      seg AS (
+        SELECT process_id, stream_tag, seg, SUM(nb_objects) AS seg_objects
+        FROM s GROUP BY 1, 2, 3),
+      g AS (
+        SELECT process_id, stream_tag, seg,
+          CAST(COALESCE(SUM(seg_objects) OVER (PARTITION BY process_id, stream_tag
+            ORDER BY seg ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 8 AS BIGINT) AS group_id
+        FROM seg)
+      SELECT s.process_id, s.stream_tag, g.group_id,
+        CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        CAST(COUNT(DISTINCT s.seg) AS BIGINT) AS n_segments,
+        CAST(SUM(s.nb_objects) AS BIGINT) AS group_objects,
+        MIN(s.insert_ms) AS min_insert_ms,
+        MAX(s.insert_ms) AS max_insert_ms,
+        MIN(s.begin_ms) AS first_block_ms,
+        MAX(s.begin_ms) AS last_block_ms,
+        CAST(COUNT(DISTINCT s.chain_id) AS BIGINT) AS n_chains
+      FROM s JOIN g ON s.process_id = g.process_id
+        AND s.stream_tag = g.stream_tag AND s.seg = g.seg
+      GROUP BY 1, 2, 3
+      ORDER BY s.process_id, s.stream_tag, g.group_id""")),
 
     GraftQuery("m_alert_dedup", (s, dir) => {
       val lim = 300.0

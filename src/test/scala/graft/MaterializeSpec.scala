@@ -3,7 +3,7 @@ package graft
 import graft.operators.Materialize
 import org.apache.spark.sql.functions._
 
-class MaterializeSpec extends SparkSpec {
+class MaterializeSpec extends SparkSpec with TmpDirSupport {
 
   // schema: time_bin_ms, process_id, level, target, count
   private def statsSource = new Lakehouse(spark, sfDir).logStats
@@ -284,6 +284,73 @@ class MaterializeSpec extends SparkSpec {
     val fullSel = full.select("time_bin_ms", "k", "cnt")
     assert(repaired.exceptAll(fullSel).isEmpty && fullSel.exceptAll(repaired).isEmpty,
       "regenerateDay did not converge the lake to the full out-of-order source")
+  }
+
+  test("moved event-time cut points: containment-retirement leaves a stale overlapping " +
+      "partition, overlap-retirement removes it (reference #1429 RetireMatch::Overlap)") {
+    // The insert-range partition lake (operators.JitPartitions): run 1
+    // groups blocks b1,b3 into ONE partition (insert range
+    // [1000,3000]). Run 2 sees a late-registered block b2 whose EVENT
+    // time falls between them; the event-time sort now puts b2 in the
+    // middle and the insert-safe cut MOVES — the new partitions are
+    // [b1] (insert [1000,1000]) and [b2,b3] (insert [3000,4000]).
+    // Neither new range CONTAINS the stale [1000,3000] partition, so
+    // containment-retirement (write_partition.rs RetireMatch::
+    // Containment — correct only for stable cut points) leaves it
+    // alive and the lake double-counts b1 and b3; inclusive-overlap
+    // retirement (RetireMatch::Overlap) retires it, with the run's own
+    // partitions protected by identity (a range always intersects
+    // itself — without the same-run guard, Overlap would delete what
+    // it just wrote).
+    import graft.operators.JitPartitions
+    import graft.operators.JitPartitions.{Block, Containment, EventTime, Overlap}
+    import spark.implicits._
+
+    val b1 = Block("b1", insertMs = 1000, beginMs = 0, endMs = 100, nbObjects = 5)
+    val b2 = Block("b2", insertMs = 4000, beginMs = 100, endMs = 200, nbObjects = 5)
+    val b3 = Block("b3", insertMs = 3000, beginMs = 200, endMs = 300, nbObjects = 5)
+    def rowsOf(g: Vector[Block]) =
+      g.map(b => (b.blockId, b.beginMs, b.nbObjects)).toDF("block_id", "begin_ms", "n")
+    def lakeRows(dir: String) = spark.read.parquet(s"$dir/insert=*")
+      .select("block_id").as[String].collect().sorted.toSeq
+
+    // the cut really moves: run-1 grouping is one partition, run-2 two
+    assert(JitPartitions.groupBlocks(Seq(b1, b3), 12, EventTime).map(_.map(_.blockId))
+      == Vector(Vector("b1", "b3")))
+    assert(JitPartitions.groupBlocks(Seq(b1, b2, b3), 12, EventTime).map(_.map(_.blockId))
+      == Vector(Vector("b1"), Vector("b2", "b3")))
+
+    // containment mode: the stale wide partition survives run 2 and the
+    // lake double-counts its blocks — the provable failure
+    val badDir = tmpDir("graft-jit-containment") + "/view"
+    JitPartitions.jitUpdate(spark, badDir, Seq(b1, b3), 12, EventTime, Containment)(rowsOf)
+    JitPartitions.jitUpdate(spark, badDir, Seq(b1, b2, b3), 12, EventTime, Containment)(rowsOf)
+    assert(JitPartitions.listParts(spark, badDir).map(p => (p.beginInsertMs, p.endInsertMs))
+      .sorted == Seq((1000L, 1000L), (1000L, 3000L), (3000L, 4000L)),
+      "containment should have left the stale [1000,3000] partition behind")
+    assert(lakeRows(badDir) == Seq("b1", "b1", "b2", "b3", "b3"),
+      "the stale partition double-counts b1 and b3")
+
+    // overlap mode: the stale partition is retired, the run's own
+    // partitions survive, and the lake holds each block exactly once
+    val goodDir = tmpDir("graft-jit-overlap") + "/view"
+    JitPartitions.jitUpdate(spark, goodDir, Seq(b1, b3), 12, EventTime, Overlap)(rowsOf)
+    val (written, retired) =
+      JitPartitions.jitUpdate(spark, goodDir, Seq(b1, b2, b3), 12, EventTime, Overlap)(rowsOf)
+    assert(written.map(p => (p.beginInsertMs, p.endInsertMs)).sorted
+      == Seq((1000L, 1000L), (3000L, 4000L)))
+    assert(retired.map(p => (p.beginInsertMs, p.endInsertMs)) == Seq((1000L, 3000L)))
+    assert(JitPartitions.listParts(spark, goodDir).map(p => (p.beginInsertMs, p.endInsertMs))
+      .sorted == Seq((1000L, 1000L), (3000L, 4000L)))
+    assert(lakeRows(goodDir) == Seq("b1", "b2", "b3"))
+
+    // degenerate inclusive bounds: a [t,t] partition must still be
+    // retired by a range containing t (tstzrange(t,t) would be empty
+    // under half-open semantics — the reference's '[]' bounds argument)
+    val degDir = tmpDir("graft-jit-degenerate") + "/view"
+    JitPartitions.writePart(spark, rowsOf(Vector(b1)), degDir, 1000, 1000)
+    val deg = JitPartitions.retireParts(spark, degDir, 500, 2000, Overlap)
+    assert(deg.map(p => (p.beginInsertMs, p.endInsertMs)) == Seq((1000L, 1000L)))
   }
 
   test("schema evolution: incompatible partitions listed exactly, retired exactly") {
