@@ -109,10 +109,10 @@ object CoreSql {
       val su = t(s, dir, "supplier")
       // dims are tiny: broadcast them; the big join l⋈o shuffles on orderkey once
       broadcast(r).join(broadcast(n), col("r_regionkey") === col("n_regionkey"))
-        .join(broadcast(c), col("n_nationkey") === col("c_nationkey"))
+        .join(c, col("n_nationkey") === col("c_nationkey"))
         .join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("n_nationkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("n_nationkey"))
         .groupBy("r_name", "n_name")
         .agg(moneyRevenue.as("revenue"),
           count(lit(1)).as("n_items"))
@@ -135,7 +135,7 @@ object CoreSql {
     GraftQuery("q_star_broadcast", (s, dir) => {
       val p = t(s, dir, "part")
       val l = t(s, dir, "lineitem")
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_items"),
           round(sum("l_quantity"), 2).as("sum_qty"),

@@ -42,9 +42,9 @@ object CoreSqlExt2 {
       val c = t(s, dir, "customer")
       val n1 = t(s, dir, "nation").select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
       val n2 = t(s, dir, "nation").select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
-      l.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      l.join(su, col("l_suppkey") === col("s_suppkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("nk1"))
         .join(broadcast(n2), col("c_nationkey") === col("nk2"))
         .where(col("supp_nation") =!= col("cust_nation") &&

@@ -46,8 +46,8 @@ object CoreSqlExt3 {
       val su = t(s, dir, "supplier")
       val n = t(s, dir, "nation")
       val l = t(s, dir, "lineitem")
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"), year(col("l_shipdate").cast("date")).as("o_year"))
         .agg(expr(CoreSql.money(s"sum(${CoreSql.decPrice} * ${CoreSql.decDisc1} - " +
@@ -79,12 +79,12 @@ object CoreSqlExt3 {
       val n2 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
       val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
       t(s, dir, "lineitem")
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
         .select(year(col("o_orderdate").cast("date")).as("o_year"), vol.as("volume"), col("nation"))
         .groupBy("o_year")
@@ -150,7 +150,7 @@ object CoreSqlExt3 {
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
         // decimal-exact money sum (PLANS.md round-9): a last-cent flip
@@ -199,7 +199,7 @@ object CoreSqlExt3 {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       big.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
           epochMs(col("o_orderdate").cast("timestamp")).as("odate_ms"),
           round(col("total_qty"), 2).as("total_qty"))
@@ -272,7 +272,7 @@ object CoreSqlExt3 {
       val n = t(s, dir, "nation")
       val cls = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
         .otherwise("low")
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .pivot(cls, Seq("high", "low"))
@@ -361,7 +361,7 @@ object CoreSqlExt3 {
         .where(col("l_shipdate") >= "1996-03-01" && col("l_shipdate") < "1996-04-01")
       val p = t(s, dir, "part")
       val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
         .agg(round(lit(100.0) *
             sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) / sum(rev), 4)
           .as("promo_share"))
@@ -379,7 +379,7 @@ object CoreSqlExt3 {
       val p = t(s, dir, "part").where(col("p_brand") === "Brand#1")
       val avgQ = l.groupBy(col("l_partkey").as("a_partkey"))
         .agg(avg("l_quantity").as("avg_qty"))
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
         .join(avgQ, col("l_partkey") === col("a_partkey"))
         .where(col("l_quantity") < col("avg_qty") * 0.5)
         .agg(round(expr(s"cast(sum(${CoreSql.decPrice}) as double)") / lit(7.0), 2).as("avg_yearly"),
@@ -404,7 +404,7 @@ object CoreSqlExt3 {
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
         (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
         (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) && col("l_quantity").between(20, 30))
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
         .where(cond)
         .agg(CoreSql.moneyRevenue.as("revenue"), count(lit(1)).as("n_items"))
     }, Some(s"""
@@ -429,7 +429,7 @@ object CoreSqlExt3 {
         .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
       val exists2 = l1.join(l2, col("o1") === col("o2") && col("s1") =!= col("s2"), "left_semi")
       val notExists3 = exists2.join(l3, col("o1") === col("o3") && col("s1") =!= col("s3"), "left_anti")
-      notExists3.join(broadcast(su), col("s1") === col("s_suppkey"))
+      notExists3.join(su, col("s1") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))

@@ -53,7 +53,7 @@ object CoreSqlExt4 {
       // comparison is integer-exact in both engines.
       val su = t(s, dir, "supplier").where(col("s_nationkey") < 5)
       val flt = t(s, dir, "lineitem")
-        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
         .select(col("l_partkey"), col("l_quantity").cast("long").as("q"))
       val perPart = flt.groupBy("l_partkey").agg(sum("q").as("qty_value"))
       // scalar subquery = 1-row broadcast cross join (no driver collect).
@@ -112,7 +112,7 @@ object CoreSqlExt4 {
       val su = t(s, dir, "supplier")
       rev.crossJoin(broadcast(top))
         .where(col("total_qty") === col("max_qty"))
-        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_qty"))
         .orderBy("s_suppkey")
     }, Some("""
@@ -135,8 +135,8 @@ object CoreSqlExt4 {
         .where(col("p_brand") =!= "Brand#13" && col("p_type") =!= "ECONOMY" &&
           col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25))
       t(s, dir, "lineitem")
-        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(p, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(countDistinct("l_suppkey").as("supplier_cnt"))
         .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
@@ -157,7 +157,7 @@ object CoreSqlExt4 {
       val p = t(s, dir, "part").where(col("p_name").like("large%")).select("p_partkey")
       val sp = t(s, dir, "lineitem")
         .where(col("l_shipdate") >= "1999-01-01" && col("l_shipdate") < "2000-01-01")
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(sum(col("l_quantity").cast("long")).as("qty"))
       val tot = sp.groupBy(col("l_partkey").as("t_partkey"))
@@ -165,7 +165,7 @@ object CoreSqlExt4 {
       val su = t(s, dir, "supplier")
       sp.join(tot, col("l_partkey") === col("t_partkey"))
         .where(col("qty") * 4 > col("tot_qty"))
-        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name")).distinct()
         .orderBy("s_suppkey")
     }, Some("""

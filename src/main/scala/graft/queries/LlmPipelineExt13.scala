@@ -190,8 +190,11 @@ object LlmPipelineExt13 {
         .select(col("a").as("doc_id")).distinct()
         .withColumn("near_hit", lit(1L))
       sh.where(!col("old"))
-        .join(oldHashes, Seq("h"), "left")
-        .join(near, Seq("doc_id"), "left")
+        // both attach sides grow with the lake (old-corpus fingerprint
+        // set, near-dup verdicts — 19 MB/1.5 MB built at sf10, r12
+        // audit): statically-broadcast post-agg sides never demote
+        .join(oldHashes.hint("shuffle_hash"), Seq("h"), "left")
+        .join(near.hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("h_hit"), lit(0L)).as("exact_dup"),
           coalesce(col("near_hit"), lit(0L)).as("near_dup"))

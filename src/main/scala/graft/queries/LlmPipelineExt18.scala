@@ -234,14 +234,17 @@ object LlmPipelineExt18 {
       // distinct 3-gram shingles hit the benchmark set (integer
       // cross-mult: hits·5 ≥ shingles) — and report what each source
       // loses. The benchmark set ('src0' plays the held-out eval) is
-      // distinct + broadcast; candidates never shuffle for the probe.
+      // a corpus SLICE here, so like l_contamination the probe join is
+      // shuffle_hash-pinned (a static broadcast of a lake-growing side
+      // never demotes — 179 MB built at sf10, r12 audit); a real fixed
+      // eval set would broadcast.
       val sh = docs(s, dir).select(col("doc_id"), col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("toks"),
         explode(Dedup.wordShingles(col("text"), 3)).as("sh"))
       val bench = sh.where(col("source") === "src0")
         .select("sh").distinct().withColumn("hit", lit(1L))
       val perDoc = sh.where(col("source") =!= "src0")
-        .join(broadcast(bench), Seq("sh"), "left_outer")
+        .join(bench.hint("shuffle_hash"), Seq("sh"), "left_outer")
         .groupBy("doc_id", "source")
         .agg(max("toks").as("toks"), count(lit(1)).as("n_shingles"),
           sum(coalesce(col("hit"), lit(0L))).as("n_hits"))

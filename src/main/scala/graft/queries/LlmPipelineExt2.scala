@@ -75,15 +75,20 @@ object LlmPipelineExt2 {
     GraftQuery("l_contamination", (s, dir) => {
       // benchmark-contamination check: fraction of each candidate doc's
       // distinct 3-gram shingles that appear in the eval set (source
-      // 'src0' plays the held-out benchmark). The benchmark shingle
-      // set is distinct + broadcast — candidates never shuffle; at
-      // 100 TB this is the standard decontamination sweep shape.
+      // 'src0' plays the held-out benchmark). With a REAL fixed eval
+      // set the bench side is bounded and broadcast is the standard
+      // decontamination sweep shape — but here 'src0' is a corpus
+      // SLICE, so the side grows with the lake (179 MB built at sf10,
+      // the r12 sf10 broadcast audit) and a static broadcast never
+      // demotes; shuffle_hash co-partitions both sides on the shingle
+      // key instead, which is the correct form whenever the eval set
+      // is itself lake-scale.
       val sh = docsWide(s, dir).select(col("doc_id"), col("source"),
         explode(Dedup.wordShingles(col("text"), 3)).as("sh"))
       val bench = sh.where(col("source") === "src0")
         .select("sh").distinct().withColumn("hit", lit(1L))
       sh.where(col("source") =!= "src0")
-        .join(broadcast(bench), Seq("sh"), "left_outer")
+        .join(bench.hint("shuffle_hash"), Seq("sh"), "left_outer")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(coalesce(col("hit"), lit(0L))).as("n_hits"))

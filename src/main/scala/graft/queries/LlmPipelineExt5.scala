@@ -65,7 +65,11 @@ object LlmPipelineExt5 {
         .groupBy("doc_id", "fp")
         .agg(min(when(col("bit").isNotNull, 1L).otherwise(0L)).as("bloom_hit"))
       probeBits
-        .join(broadcast(refFps), col("fp") === col("rfp"), "left_outer")
+        // refBits stays broadcast (≤4096 rows by construction — the
+        // filter's bit space); refFps is a CORPUS slice's distinct
+        // fingerprints and grows with the lake (15 MB built at sf10,
+        // r12 audit) → shuffle_hash
+        .join(refFps.hint("shuffle_hash"), col("fp") === col("rfp"), "left_outer")
         .select(col("doc_id"), col("bloom_hit"),
           when(col("rfp").isNotNull, 1L).otherwise(0L).as("exact_hit"))
         .orderBy("doc_id")

@@ -40,10 +40,14 @@ object ObservabilityExt14 {
         epochMs(col("ts")).as("t"))
       val s1 = e.where(col("event_type") === "signup")
         .groupBy("user_id").agg(min("t").as("t1"))
-      val s2 = e.where(col("event_type") === "view").join(s1, "user_id")
+      // step tables are per-USER min-aggregates — they grow with the
+      // user base (16 MB built at sf10, r12 audit), so the chained
+      // joins pin shuffle_hash: everything co-partitions on user_id
+      // once and a statically-broadcast post-agg side never demotes
+      val s2 = e.where(col("event_type") === "view").join(s1.hint("shuffle_hash"), "user_id")
         .where(col("t") > col("t1") && col("t") <= col("t1") + convWindowMs)
         .groupBy("user_id").agg(min("t").as("t2"))
-      val s3 = e.where(col("event_type") === "purchase").join(s2, "user_id")
+      val s3 = e.where(col("event_type") === "purchase").join(s2.hint("shuffle_hash"), "user_id")
         .where(col("t") > col("t2") && col("t") <= col("t2") + convWindowMs)
         .groupBy("user_id").agg(min("t").as("t3"))
       val counts = s1.agg(count(lit(1)).as("users")).withColumn("step", lit(1L))

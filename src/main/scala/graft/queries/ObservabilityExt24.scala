@@ -105,7 +105,11 @@ object ObservabilityExt24 {
         .withColumn("prior_objects", coalesce(sum("seg_objects").over(bySeg), lit(0L)))
         .withColumn("group_id", expr(s"prior_objects div $maxObjects"))
         .select("process_id", "stream_tag", "seg", "group_id")
-      marked.join(segGroups, Seq("process_id", "stream_tag", "seg"))
+      // the seg→group map is post-window/agg derived and grows with
+      // the blocks grid — shuffle_hash keeps the attach co-partitioned
+      // (a static broadcast of it never demotes; caught by the r12
+      // broadcast audit the day this query landed)
+      marked.join(segGroups.hint("shuffle_hash"), Seq("process_id", "stream_tag", "seg"))
         .groupBy("process_id", "stream_tag", "group_id")
         .agg(count(lit(1)).as("n_blocks"),
           countDistinct("seg").as("n_segments"),
