@@ -70,6 +70,17 @@ object QueryAudit {
     * → "unimplemented"; everything else → "internal".
     */
   def classifyCode(e: Throwable): String = {
+    // a SpillBudget job cancellation surfaces as a SparkException
+    // carrying the cancel reason somewhere in the chain (scheduler
+    // wrapping varies) — the DataFusion ResourcesExhausted the
+    // reference's temp-directory cap raises
+    var c: Throwable = e
+    while (c != null) {
+      if (c.getMessage != null && c.getMessage.contains(SpillBudget.CancelReason)) {
+        return "resource_exhausted"
+      }
+      c = if (c.getCause eq c) null else c.getCause
+    }
     val root = rootCause(e)
     root match {
       case _: ParseException => "invalid_argument"
