@@ -27,6 +27,14 @@ object PeakMem {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Scan size estimates are FILE bytes x column fraction, but
+      // snappy parquet expands 24-31x in memory (sf10 audit: the
+      // customer/part dims hid a decade of growth under the broadcast
+      // threshold and statically built 192 MB hash relations). 16x
+      // keeps the estimate within ~2x of built size, so scan-backed
+      // broadcast picks demote on schedule while AQE still re-converts
+      // genuinely small sides from ACTUAL compressed bytes.
+      .config("spark.sql.sources.fileCompressionFactor", "16")
       .config("spark.sql.adaptive.enabled", "true")
       // Post-shuffle partitioning that survives scale: the pinned
       // shuffle.partitions = cores floor spilled 219 GB at the third
