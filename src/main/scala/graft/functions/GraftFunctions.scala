@@ -47,6 +47,16 @@ object GraftFunctions {
       }
       L2Sq(vec(args(0)), vec(args(1)))
     },
+    "graft_pq_encode" -> { args =>
+      require(args.length == 5 && args.drop(2).forall(_.foldable),
+        "graft_pq_encode(qv, cbflat, m, dims, k) — shape args must be literals")
+      def ints(e: Expression): Int = e.eval().asInstanceOf[Number].intValue
+      def lvec(e: Expression): Expression = e.dataType match {
+        case ArrayType(org.apache.spark.sql.types.LongType, _) => e
+        case _ => Cast(e, ArrayType(org.apache.spark.sql.types.LongType))
+      }
+      PqEncode(lvec(args(0)), lvec(args(1)), ints(args(2)), ints(args(3)), ints(args(4)))
+    },
     "graft_normalize" -> { args =>
       require(args.length == 1, "graft_normalize(text)")
       NormalizeWords(Cast(args(0), org.apache.spark.sql.types.StringType))

@@ -151,3 +151,104 @@ case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_pq_encode(qv, cbflat, m, dims, k)` — ALL m nearest-codeword
+  * PQ codes of one scaled-integer vector in a single pass, as a native
+  * codegen'd expression.
+  *
+  * `qv` is the array<long> vector (length m·dims); `cbflat` is the
+  * codebook flattened in (sub, cent_id, dim) order (length m·k·dims —
+  * [[graft.operators.Pq.encodeFast]] builds it with one ordered
+  * collect over the ≤ m·k-row codebook). Returns array<long> of m
+  * codes.
+  *
+  * Replaces the explode(m) → broadcast-join(k) → groupBy-argmin
+  * pipeline inside PQ encoding, whose intermediate is corpus × m × k
+  * rows and whose argmin pays a (vec, sub)-keyed exchange: the kernel
+  * rides the SCAN — per-vector state is one m-length array, zero
+  * shuffle, and the arithmetic is the same m·k integer-L2 folds.
+  *
+  * Exactness contract, pinned by PqSpec against [[graft.operators.Pq.encode]]:
+  * pure long arithmetic (every squared diff and partial sum far inside
+  * i64 at the scaled-component magnitudes), ascending-cent iteration
+  * with STRICT `<` improvement = the packed-long `min(l2·k + cent)`
+  * tie-break (lowest cent_id wins ties). Length mismatch on either
+  * array → null, same null-on-mismatch contract as [[L2Sq]].
+  */
+case class PqEncode(left: Expression, right: Expression, m: Int, dims: Int, k: Int)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  require(m > 0 && dims > 0 && k > 0, s"graft_pq_encode: bad shape m=$m dims=$dims k=$k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val cb = b.asInstanceOf[ArrayData]
+    if (q.numElements() != m * dims || cb.numElements() != m * k * dims) return null
+    val codes = new Array[Long](m)
+    var sub = 0
+    while (sub < m) {
+      var best = Long.MaxValue
+      var bestC = 0L
+      var c = 0
+      while (c < k) {
+        var s = 0L
+        val qoff = sub * dims
+        val coff = (sub * k + c) * dims
+        var d = 0
+        while (d < dims) {
+          val diff = q.getLong(qoff + d) - cb.getLong(coff + d)
+          s += diff * diff
+          d += 1
+        }
+        if (s < best) { best = s; bestC = c.toLong }
+        c += 1
+      }
+      codes(sub) = bestC
+      sub += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val codes = ctx.freshName("codes")
+      val sub = ctx.freshName("sub")
+      val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      val c = ctx.freshName("c")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      s"""
+        if ($a.numElements() != ${m * dims} || $b.numElements() != ${m * k * dims}) {
+          ${ev.isNull} = true;
+        } else {
+          long[] $codes = new long[$m];
+          for (int $sub = 0; $sub < $m; $sub++) {
+            long $best = Long.MAX_VALUE;
+            long $bestC = 0L;
+            for (int $c = 0; $c < $k; $c++) {
+              long $s = 0L;
+              for (int $d = 0; $d < $dims; $d++) {
+                long $diff = $a.getLong($sub * $dims + $d)
+                  - $b.getLong(($sub * $k + $c) * $dims + $d);
+                $s += $diff * $diff;
+              }
+              if ($s < $best) { $best = $s; $bestC = (long) $c; }
+            }
+            $codes[$sub] = $bestC;
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncode =
+    copy(left = newLeft, right = newRight)
+}

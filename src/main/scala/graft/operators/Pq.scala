@@ -81,6 +81,44 @@ object Pq {
       .agg(min(col("l2") * k + col("cent_id")).as("pm"))
       .select(col("vec_id"), col("sub"), (col("pm") % k).as("code"))
 
+  /** [[encode]] with the per-vector argmin fused into the native
+    * [[graft.functions.PqEncode]] kernel: takes the UNSLICED scaled
+    * vectors (vec_id, qv) and emits the same (vec_id, sub, code) rows.
+    *
+    * The composed [[encode]] inflates the corpus to n·m·k join rows and
+    * pays a (vec, sub)-keyed exchange for the argmin; here the codebook
+    * collapses to ONE flattened broadcast row and every vector's m
+    * codes ride the scan — zero shuffle, zero aggregate. PqSpec pins
+    * the two paths row-identical (same strict-< / lowest-cent tie-break
+    * as the packed-long min). The in-plan assert_true keeps the
+    * codebook-shape contract loud: a codebook that isn't exactly the
+    * dense m·k grid would otherwise misalign the flattened layout.
+    */
+  def encodeFast(e: DataFrame, cb: DataFrame, m: Int = 8, dims: Int = 8,
+      k: Int = 16): DataFrame = {
+    val flat = cb
+      .groupBy()
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("sub"), col("cent_id"), col("cv")))),
+          s => s.getField("cv"))).as("cbflat"),
+        count(lit(1)).as("__n"))
+      .select(col("cbflat"),
+        assert_true(col("__n") === m * k,
+          lit(s"Pq.encodeFast: codebook must hold exactly ${m * k} codewords"))
+          .as("__ok"))
+    e.crossJoin(broadcast(flat))
+      // the assert rides INSIDE the generator's child: the generator
+      // evaluates it per INPUT row, so a bad codebook fails loudly
+      // even though the kernel's null-on-mismatch would otherwise
+      // explode into zero output rows (a collapsed post-explode
+      // projection never evaluates on an empty generate)
+      .select(col("vec_id"),
+        posexplode(when(col("__ok").isNull, call_function("graft_pq_encode",
+          col("qv"), col("cbflat"), lit(m), lit(dims), lit(k)))))
+      .select(col("vec_id"), col("pos").cast("long").as("sub"), col("col").as("code"))
+  }
+
   /** Per-query ADC distance tables (query_id, qsub, cent_id, dl2) for
     * the query vectors selected by `queryPred` on vec_id.
     */

@@ -62,9 +62,13 @@ object LlmPipelineExt6 {
     * quality path PqSpec measures against this baseline.
     */
   private def pqTop5(s: SparkSession, dir: String): DataFrame = {
-    val subs = Pq.subSlices(scaledVecs(s, dir))
+    val e = scaledVecs(s, dir)
+    val subs = Pq.subSlices(e)
     val cb = Pq.sampleCodebook(subs)
-    Pq.adcTopK(Pq.encode(subs, cb), Pq.adcTables(subs, col("vec_id") < 5, cb))
+    // corpus encoding through the fused kernel (r12): codes ride the
+    // scan instead of the n·m·k join + keyed argmin exchange; the
+    // query-side slices/tables stay composed (|queries| rows)
+    Pq.adcTopK(Pq.encodeFast(e, cb), Pq.adcTables(subs, col("vec_id") < 5, cb))
   }
 
   /** Oracle for `l_ann_pq_trained`: [[Pq.trainCodebooks]]' integer
@@ -434,7 +438,7 @@ object LlmPipelineExt6 {
         s.createDataFrame(s.sparkContext.parallelize(trained.collect().toSeq, 1),
           trained.schema)
       })
-      val short = Pq.adcTopK(Pq.encode(subs, cb),
+      val short = Pq.adcTopK(Pq.encodeFast(e, cb),
         Pq.adcTables(subs, col("vec_id") < 5, cb), k = 100)
       val qs = e.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("qv").as("qqv"))

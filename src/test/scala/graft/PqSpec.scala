@@ -136,4 +136,38 @@ class PqSpec extends SparkSpec {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .localCheckpoint()
   }
+  test("encodeFast kernel == composed encode, sample and trained codebooks") {
+    // the r12 fused kernel must reproduce the packed-long argmin
+    // row-for-row — including ties (lowest cent_id) and the dense
+    // m·k codebook-shape contract. Checked on BOTH codebook
+    // constructors so a layout drift in the flatten ordering
+    // (sub, cent_id, dim) cannot hide behind one of them.
+    val e = Pq.scaled(Tables.df(spark, "/root/testdata/sf0.01", "embeddings"))
+      .localCheckpoint()
+    val s = Pq.subSlices(e).localCheckpoint()
+    for (cb <- Seq(Pq.sampleCodebook(s), Pq.trainCodebooks(s, iters = 2))) {
+      val slow = Pq.encode(s, cb).orderBy("vec_id", "sub").collect()
+      val fast = Pq.encodeFast(e, cb).orderBy("vec_id", "sub").collect()
+      assert(slow.length == fast.length)
+      assert(slow.zip(fast).forall { case (a, b) =>
+        a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1) &&
+          a.getLong(2) == b.getLong(2)
+      }, "fused PQ encoding diverged from the composed argmin")
+    }
+  }
+
+  test("encodeFast refuses a non-dense codebook loudly") {
+    val e = Pq.scaled(Tables.df(spark, "/root/testdata/sf0.01", "embeddings"))
+    val s = Pq.subSlices(e)
+    val holey = Pq.sampleCodebook(s).where(col("cent_id") =!= 7)
+    val ex = intercept[Exception] {
+      Pq.encodeFast(e, holey).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => t.getMessage != null &&
+      t.getMessage.contains("codebook must hold exactly")),
+      s"expected the codebook-shape assert, got: ${ex.getMessage}")
+  }
+
 }
