@@ -39,6 +39,9 @@ object BcastAudit {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // conf-driven spill budget (spark.graft.query.maxSpillMb) live in every
+    // session-building driver, not just the gate (ADVICE r12)
+    SpillBudget.fromConf(spark): Unit
 
     def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
       f(p)

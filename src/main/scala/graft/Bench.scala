@@ -62,10 +62,18 @@ object Bench {
     // number alone can hide a plan that got faster by ballooning its
     // hash tables — at cluster scale that trade matters
     val audit = QueryAudit.attach(spark, maxRecords = reps * 4)
+    // spill budget live under the full sweep (r12 verdict item 6):
+    // the accounting path runs on every rep, the per-query spill
+    // rides next to peak_mem_mb, and the process-wide high-water is
+    // the temp-directory-pressure gauge. Default cap (100 GB, the
+    // reference's own default) never cancels honest work;
+    // spark.graft.query.maxSpillMb overrides.
+    val budget = SpillBudget.fromConfOrDefault(spark)
     var lastAuditId = 0L
     val headliners = SparkEntry.headlineQueries
     val times = collection.mutable.Map.empty[String, List[Double]]
     val peakByQuery = collection.mutable.Map.empty[String, Long]
+    val spillByQuery = collection.mutable.Map.empty[String, Long]
     // rep-major with a per-rep SHUFFLED order (fixed seed = rep, so runs
     // are reproducible): with 36 headliners a fixed order gives every
     // query the same heavy neighbor on all reps, and page-cache /GC
@@ -89,6 +97,8 @@ object Bench {
           lastAuditId = recs.map(_.query_id).max
           val p = recs.map(_.peak_memory_bytes).max
           peakByQuery(q.name) = math.max(peakByQuery.getOrElse(q.name, -1L), p)
+          val s = recs.map(_.spilled_bytes).sum
+          spillByQuery(q.name) = math.max(spillByQuery.getOrElse(q.name, -1L), s)
         }
       }
     }
@@ -98,14 +108,16 @@ object Bench {
       val sorted = ts.sorted
       val median = sorted(reps / 2)
       (q.name, if (ok) ts.min else -1.0, if (ok) median else -1.0,
-        peakByQuery.getOrElse(q.name, -1L) match { case -1L => -1L; case p => p >> 20 })
+        peakByQuery.getOrElse(q.name, -1L) match { case -1L => -1L; case p => p >> 20 },
+        spillByQuery.getOrElse(q.name, -1L) match { case -1L => -1L; case s => s >> 20 })
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val meds = results.map { case (k, _, m, _) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
-    val peaks = results.map { case (k, _, _, p) => "\"" + k + "\":" + p }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val meds = results.map { case (k, _, m, _, _) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
+    val peaks = results.map { case (k, _, _, p, _) => "\"" + k + "\":" + p }.mkString("{", ",", "}")
+    val spills = results.map { case (k, _, _, _, s) => "\"" + k + "\":" + s }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = if (failed > 0) "null" else results.map(_._2).sum.toString
-    val report = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failed,"queries":$qs,"medians":$meds,"peak_mem_mb":$peaks,"sf":"$sfDir"}"""
+    val report = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failed,"queries":$qs,"medians":$meds,"peak_mem_mb":$peaks,"spill_mb":$spills,"spill_hw_mb":${budget.outstandingHighWater.get() >> 20},"spill_cancels":${budget.cancelCount.get()},"sf":"$sfDir"}"""
     println(report)
     // ALSO persist the report: the driver keeps only the tail of stdout,
     // which truncated BENCH_r08 into an unparseable artifact (round-8
@@ -125,7 +137,7 @@ object Bench {
     // artifact alone yields the complete per-query bests map. 4-decimal
     // rounding keeps it compact; the full-precision record is the file.
     def r4(v: Double) = math.rint(v * 1e4) / 1e4
-    val qs4 = results.map { case (k, v, _, _) => "\"" + k + "\":" + r4(v) }
+    val qs4 = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total4 = if (failed > 0) "null" else r4(results.map(_._2).sum).toString
     println(s"""{"metric":"best_total","value":$total4,"unit":"sec","reps":$reps,"failed":$failed,"queries":$qs4,"sf":"$sfDir"}""")

@@ -29,6 +29,9 @@ object Explain {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // conf-driven spill budget (spark.graft.query.maxSpillMb) live in every
+    // session-building driver, not just the gate (ADVICE r12)
+    SpillBudget.fromConf(spark): Unit
     names.foreach { n =>
       println(s"========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

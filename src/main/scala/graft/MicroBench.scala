@@ -44,6 +44,9 @@ object MicroBench {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // conf-driven spill budget (spark.graft.query.maxSpillMb) live in every
+    // session-building driver, not just the gate (ADVICE r12)
+    SpillBudget.fromConf(spark): Unit
     val qs = SparkEntry.allQueries.filter(q => names(q.name))
     require(qs.map(_.name).toSet == names,
       s"unknown queries: ${(names -- qs.map(_.name)).mkString(",")}")

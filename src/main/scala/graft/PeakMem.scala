@@ -52,6 +52,9 @@ object PeakMem {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // conf-driven spill budget (spark.graft.query.maxSpillMb) live in every
+    // session-building driver, not just the gate (ADVICE r12)
+    SpillBudget.fromConf(spark): Unit
     names.foreach { n =>
       // a query fn may trigger SEVERAL query executions (internal
       // collects: prefix-sum subtotals, training rounds, checkpoint

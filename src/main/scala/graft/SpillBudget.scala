@@ -44,9 +44,11 @@ import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionEnd
 object SpillBudget {
 
   /** Marker embedded in the cancel reason; [[QueryAudit.classifyCode]]
-    * matches on it to classify the failure `resource_exhausted`.
+    * matches on it to classify the failure `resource_exhausted`. A
+    * namespaced token, not prose: user data echoed into an unrelated
+    * error message must not collide with it (ADVICE r12).
     */
-  val CancelReason = "spill budget exceeded"
+  val CancelReason = "GRAFT_SPILL_BUDGET_EXCEEDED"
 
   /** Session conf key (MB, like the reference's env var); unset or
     * non-positive = disabled.
@@ -68,15 +70,32 @@ object SpillBudget {
     val mb = spark.conf.get(ConfKey, "0").toLong
     if (mb > 0) Some(attach(spark, mb << 20)) else None
   }
+
+  /** [[fromConf]] with a fallback cap when the knob is unset: the
+    * bench/verify drivers attach this so the accounting path runs
+    * under every full sweep and the spill high-water is observable,
+    * while the generous default never cancels honest work. The
+    * reference's cap is likewise always on (100 GB when the env var
+    * is unset) — fromConf alone left the knob inert in every
+    * production entrypoint (ADVICE r12).
+    */
+  def fromConfOrDefault(spark: SparkSession,
+      defaultBytes: Long = 100L << 30): SpillBudget =
+    fromConf(spark).getOrElse(attach(spark, defaultBytes))
 }
 
 final class SpillBudget private (spark: SparkSession, val maxSpillBytes: Long)
     extends SparkListener {
 
-  // stage → owning job (a stage shared across jobs is attributed to
-  // its first registrant; spill is charged to that job's execution)
-  private val stageToJob = new ConcurrentHashMap[Int, Int]()
-  private val jobStages = new ConcurrentHashMap[Int, Seq[Int]]()
+  // stage → owning EXECUTION, not job: a stage shared across the
+  // execution's jobs must keep charging after its first registering
+  // job ends, and TaskEnd events delivered after JobEnd (common on
+  // cancellation) must still count — so the mapping is dropped only
+  // at execution end, when the temp files are actually gone. Keying
+  // by job dropped both classes of late spill (ADVICE r12), breaking
+  // the "over-, never under-count" invariant.
+  private val stageToExec = new ConcurrentHashMap[Int, String]()
+  private val execStages = new ConcurrentHashMap[String, java.util.Set[Int]]()
   private val jobToExec = new ConcurrentHashMap[Int, String]()
   // active (not yet ended) jobs per execution — the cancellation set
   private val execJobs = new ConcurrentHashMap[String, java.util.Set[Int]]()
@@ -105,9 +124,9 @@ final class SpillBudget private (spark: SparkSession, val maxSpillBytes: Long)
   private[graft] def handleJobStart(jobId: Int, execId: Option[String],
       stageIds: Seq[Int]): Unit = execId.foreach { e =>
     jobToExec.put(jobId, e)
-    jobStages.put(jobId, stageIds)
     execJobs.computeIfAbsent(e, _ => ConcurrentHashMap.newKeySet[Int]()).add(jobId)
-    stageIds.foreach(s => stageToJob.putIfAbsent(s, jobId))
+    val stages = execStages.computeIfAbsent(e, _ => ConcurrentHashMap.newKeySet[Int]())
+    stageIds.foreach { s => stageToExec.putIfAbsent(s, e); stages.add(s): Unit }
   }
 
   /** Charge one finished task's spill; returns the job ids to cancel
@@ -115,10 +134,7 @@ final class SpillBudget private (spark: SparkSession, val maxSpillBytes: Long)
     */
   private[graft] def handleTaskEnd(stageId: Int, diskBytesSpilled: Long): Seq[Int] = {
     if (diskBytesSpilled <= 0) return Nil
-    // getOrDefault: a plain get would auto-unbox a null Integer → NPE
-    val jobId = stageToJob.getOrDefault(stageId, -1)
-    if (jobId < 0) return Nil
-    val exec = jobToExec.get(jobId)
+    val exec = stageToExec.get(stageId)
     if (exec == null) return Nil // non-SQL work: outside the budget
     execSpill.computeIfAbsent(exec, _ => new AtomicLong(0L)).addAndGet(diskBytesSpilled)
     val total = outstanding.addAndGet(diskBytesSpilled)
@@ -133,19 +149,20 @@ final class SpillBudget private (spark: SparkSession, val maxSpillBytes: Long)
   }
 
   private[graft] def handleJobEnd(jobId: Int): Unit = {
-    Option(jobStages.remove(jobId)).foreach(_.foreach { s =>
-      stageToJob.remove(s, jobId): Unit
-    })
+    // stage→exec mappings deliberately survive job end (see field doc)
     val exec = jobToExec.remove(jobId)
     if (exec != null) Option(execJobs.get(exec)).foreach(_.remove(jobId))
   }
 
   /** Execution ended → its temp files are gone; release its share of
-    * the outstanding total.
+    * the outstanding total and retire its stage attributions.
     */
   private[graft] def handleExecutionEnd(execId: String): Unit = {
     val spill = execSpill.remove(execId)
     if (spill != null) outstanding.addAndGet(-spill.get())
+    Option(execStages.remove(execId)).foreach(_.asScala.foreach { s =>
+      stageToExec.remove(s, execId): Unit
+    })
     execJobs.remove(execId)
     cancelledExecs.remove(execId): Unit
   }

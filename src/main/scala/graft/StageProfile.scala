@@ -52,6 +52,9 @@ object StageProfile {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // conf-driven spill budget (spark.graft.query.maxSpillMb) live in every
+    // session-building driver, not just the gate (ADVICE r12)
+    SpillBudget.fromConf(spark): Unit
     val q = SparkEntry.allQueries.find(_.name == name)
       .getOrElse(sys.error(s"unknown query: $name"))
     val warmDir = "/root/testdata/sf0.001"

@@ -24,6 +24,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // spill budget live in the gate itself (reference: the temp-dir
+    // cap is always on, 100 GB default) — spark.graft.query.maxSpillMb
+    // overrides; the default never cancels honest work
+    SpillBudget.fromConfOrDefault(spark): Unit
     new java.io.File(outDir).mkdirs()
     // forensics lives OUTSIDE outDir: the driver globs every entry of
     // outDir as a query parquet dir, and a _forensics subdir breaks its read

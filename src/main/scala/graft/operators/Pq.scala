@@ -102,10 +102,21 @@ object Pq {
         flatten(transform(
           array_sort(collect_list(struct(col("sub"), col("cent_id"), col("cv")))),
           s => s.getField("cv"))).as("cbflat"),
-        count(lit(1)).as("__n"))
+        // DENSITY, not just cardinality: a codebook with a duplicated
+        // (sub, cent_id) pair and a missing one passes a bare count
+        // check yet misaligns the flattened (sub, cent, dim) layout —
+        // distinct-pair count plus [0, m)×[0, k) bounds on the integer
+        // keys force exactly the dense m×k grid (ADVICE r12)
+        count(lit(1)).as("__n"),
+        count_distinct(struct(col("sub"), col("cent_id"))).as("__nd"),
+        min(col("sub")).as("__sLo"), max(col("sub")).as("__sHi"),
+        min(col("cent_id")).as("__cLo"), max(col("cent_id")).as("__cHi"))
       .select(col("cbflat"),
-        assert_true(col("__n") === m * k,
-          lit(s"Pq.encodeFast: codebook must hold exactly ${m * k} codewords"))
+        assert_true(
+          col("__n") === m * k && col("__nd") === m * k &&
+            col("__sLo") === 0 && col("__sHi") === m - 1 &&
+            col("__cLo") === 0 && col("__cHi") === k - 1,
+          lit(s"Pq.encodeFast: codebook must be the dense $m x $k (sub, cent_id) grid"))
           .as("__ok"))
     e.crossJoin(broadcast(flat))
       // the assert rides INSIDE the generator's child: the generator

@@ -159,15 +159,24 @@ class PqSpec extends SparkSpec {
   test("encodeFast refuses a non-dense codebook loudly") {
     val e = Pq.scaled(Tables.df(spark, "/root/testdata/sf0.01", "embeddings"))
     val s = Pq.subSlices(e)
-    val holey = Pq.sampleCodebook(s).where(col("cent_id") =!= 7)
-    val ex = intercept[Exception] {
-      Pq.encodeFast(e, holey).count()
-    }
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: chain(t.getCause)
-    assert(chain(ex).exists(t => t.getMessage != null &&
-      t.getMessage.contains("codebook must hold exactly")),
-      s"expected the codebook-shape assert, got: ${ex.getMessage}")
+    def expectShapeAssert(cb: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val ex = intercept[Exception] { Pq.encodeFast(e, cb).count() }
+      assert(chain(ex).exists(t => t.getMessage != null &&
+        t.getMessage.contains("dense")),
+        s"expected the codebook-shape assert for $what, got: ${ex.getMessage}")
+    }
+    // missing codeword: wrong cardinality
+    expectShapeAssert(Pq.sampleCodebook(s).where(col("cent_id") =!= 7), "a hole")
+    // duplicated (sub, cent_id) pair REPLACING a missing one: the
+    // cardinality check alone passes (count == m·k) while the
+    // flattened layout misaligns — the density assert must fire
+    // (ADVICE r12)
+    val base = Pq.sampleCodebook(s)
+    val dup = base.where(col("cent_id") =!= 7)
+      .union(base.where(col("cent_id") === 3))
+    expectShapeAssert(dup, "a duplicate pair")
   }
 
 }

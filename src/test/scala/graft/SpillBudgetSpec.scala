@@ -84,6 +84,31 @@ class SpillBudgetSpec extends SparkSpec {
     } finally b.detach()
   }
 
+  test("shared-stage spill after the registering job ends still counts (exec-keyed)") {
+    val b = SpillBudget.attach(spark, 100L)
+    try {
+      // stage 10 registered by job 1, shared with job 2 (same execution)
+      b.handleJobStart(1, Some("A"), Seq(10))
+      b.handleJobStart(2, Some("A"), Seq(10, 11))
+      b.handleJobEnd(1)
+      // the first registrant is gone; the stage must still charge A —
+      // a job-keyed attribution silently dropped this (ADVICE r12)
+      assert(b.handleTaskEnd(10, 60L) === Nil)
+      assert(b.outstanding.get() === 60L)
+      // TaskEnd delivered after JobEnd (cancellation path) counts too,
+      // right up to execution end
+      b.handleJobEnd(2)
+      assert(b.handleTaskEnd(11, 50L) === Nil,
+        "no ACTIVE jobs to cancel, but the spill is still accounted")
+      assert(b.outstanding.get() === 110L)
+      b.handleExecutionEnd("A")
+      assert(b.outstanding.get() === 0L)
+      // after execution end the temp files are gone: nothing to charge
+      assert(b.handleTaskEnd(10, 99L) === Nil)
+      assert(b.outstanding.get() === 0L)
+    } finally b.detach()
+  }
+
   test("within budget: real spill is accounted, query succeeds") {
     val b = SpillBudget.attach(spark, Long.MaxValue >> 1)
     try {

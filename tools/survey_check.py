@@ -30,11 +30,19 @@ def main():
     outdir = sys.argv[1]
     survey = open(os.path.join(REPO, "SURVEY.md")).read()
     claimed = set()
+    ids = []
     for line in survey.splitlines():
-        if line.startswith("|") and "`" in line:
+        if line.startswith("|"):
             cells = [c.strip() for c in line.split("|")]
-            if len(cells) >= 4:
+            # §2 row ids (C12 / M48c / L7...) must be UNIQUE — a duplicated
+            # id makes two different rows indistinguishable in the verdict
+            # tables (the r12 M48c defect); ids are keyed here so it can't
+            # recur silently
+            if len(cells) >= 4 and re.fullmatch(r"[A-Z]\d+[a-z]?", cells[1]):
+                ids.append(cells[1])
+            if "`" in line and len(cells) >= 4:
                 claimed |= set(re.findall(r"`([a-z0-9_]+)`", cells[3]))
+    dup_ids = sorted({i for i in ids if ids.count(i) > 1})
     dumped = {d for d in os.listdir(outdir)
               if os.path.isdir(os.path.join(outdir, d))
               and not d.startswith("_")}  # _forensics etc. are not queries
@@ -54,10 +62,13 @@ def main():
               "(dead code — wire it or delete it):", dead)
     if unsurveyed:
         print("GraftQuery defined in src/ with no SURVEY §2 row:", unsurveyed)
-    bad = missing or unclaimed or dead or unsurveyed
+    if dup_ids:
+        print("SURVEY §2 has duplicated row ids (relabel them):", dup_ids)
+    bad = missing or unclaimed or dead or unsurveyed or dup_ids
     if not bad:
         print(f"OK: {len(dumped)} registry queries <-> SURVEY claims <-> "
-              f"{len(defined)} src definitions consistent")
+              f"{len(defined)} src definitions consistent "
+              f"({len(ids)} unique row ids)")
     sys.exit(1 if bad else 0)
 
 main()
