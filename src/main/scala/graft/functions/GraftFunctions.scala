@@ -72,6 +72,10 @@ object GraftFunctions {
         "graft_minhash(shingles, numHashes) — numHashes must be a literal")
       MinhashLongs(args(0), args(1).eval().asInstanceOf[Number].intValue)
     },
+    "graft_hash56" -> { args =>
+      require(args.length == 1, "graft_hash56(shingles)")
+      ShingleHash56(args(0))
+    },
     "graft_textstats" -> { args =>
       require(args.length == 1, "graft_textstats(text)")
       TextStats(Cast(args(0), org.apache.spark.sql.types.StringType))

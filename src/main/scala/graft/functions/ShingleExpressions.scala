@@ -120,6 +120,42 @@ object ShingleKernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Distinct 56-bit hashes of a shingle set in one pass: per element,
+    * the first 14 hex digits of md5(shingle) read as a long (the
+    * repo-wide `conv(substring(md5(s), 1, 14), 16, 10)` idiom — 7
+    * digest bytes, big-endian, always non-negative), deduplicated
+    * first-occurrence like array_distinct. The verify-join attach
+    * payload for the LSH dedup family: set intersections/unions over
+    * these longs equal those over the shingle STRINGS up to md5-56
+    * collisions, which land identically on both engines (same
+    * standardized digests), so cross-engine exactness is preserved by
+    * construction while the attach exchange shrinks from ~whole-text
+    * shingle arrays to 8 bytes per shingle.
+    */
+  def hash56(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val md = md5Local.get()
+    var s = 0
+    while (s < n) {
+      if (!shingles.isNullAt(s)) {
+        md.reset()
+        md.update(shingles.getUTF8String(s).getBytes)
+        val dig = md.digest()
+        var v = 0L
+        var i = 0
+        while (i < 7) { v = (v << 8) | (dig(i) & 0xFFL); i += 1 }
+        out.add(v): Unit
+      }
+      s += 1
+    }
+    val arr = new Array[Any](out.size())
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** All `numHashes` MinHash values of a shingle set in ONE pass, as
     * longs. Hash family identical to the Dedup explode path (and the
     * DuckDB oracle): hash i is the i%4-th 8-hex-char chunk of
@@ -191,6 +227,21 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.shingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** `graft_hash56(shingles)` — see [[ShingleKernels.hash56]]. */
+case class ShingleHash56(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hash56"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.hash56(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.hash56($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash56 =
     copy(child = newChild)
 }
 

@@ -141,6 +141,33 @@ object Dedup {
   def jaccard(sa: Column, sb: Column): Column =
     size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb)).cast("double")
 
+  /** The shingle set as DISTINCT 56-bit md5 longs — the verify-join
+    * attach payload (r12 verdict item 1: the sf100sub threshold-curve
+    * profile put ~1/3 of wall in an 8.4 GB shingle-STRING-array
+    * exchange feeding the sa/sb candidate-verification joins; longs
+    * carry the same set structure at 8 bytes per shingle). Set
+    * intersections/unions over these longs equal those over the
+    * strings up to md5-56 collisions, which land IDENTICALLY on both
+    * engines (md5 is standardized), so the DuckDB oracles stay exact
+    * by construction — their mirror is
+    * `list_distinct(list_transform(s, x ->
+    *   CAST(('0x' || substr(md5(x), 1, 14)) AS BIGINT)))`.
+    * Native one-pass kernel
+    * (graft.functions.ShingleKernels.hash56); the composed reference
+    * form is [[hashShingles56Composed]], pinned equal in
+    * ShingleKernelSpec.
+    */
+  def hashShingles56(shingles: Column): Column =
+    call_function("graft_hash56", shingles)
+
+  /** The pre-kernel composed form of [[hashShingles56]] — the
+    * cross-checked reference (built-ins only, same 14-hex-digit
+    * big-endian read).
+    */
+  def hashShingles56Composed(shingles: Column): Column =
+    array_distinct(transform(shingles,
+      s => conv(substring(md5(s), 1, 14), 16, 10).cast("long")))
+
   /** Connected components over an undirected edge list (a, b) —
     * assigns every node the minimum node id reachable from it, i.e. the
     * near-duplicate group id once edges are similarity pairs.

@@ -98,6 +98,8 @@ object LlmPipelineExt12 {
     GraftQuery("l_minhash_calib", (s, dir) => {
       val sh = docs(s, dir)
         .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
+        // hashed-long attach payload for the verify joins (r12 item 1)
+        .withColumn("hshingles", Dedup.hashShingles56(col("shingles")))
         .localCheckpoint()
       val sig = Dedup.minhashSignatureExploded(sh, "doc_id", "shingles", numHashes = 8)
         .localCheckpoint()
@@ -110,8 +112,8 @@ object LlmPipelineExt12 {
         .reduce(_ + _)
       cand.join(sigA, "a").join(sigB, "b")
         .withColumn("n_sig_match", matches)
-        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")).hint("shuffle_hash"), "a")
-        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")).hint("shuffle_hash"), "b")
+        .join(sh.select(col("doc_id").as("a"), col("hshingles").as("sa")).hint("shuffle_hash"), "a")
+        .join(sh.select(col("doc_id").as("b"), col("hshingles").as("sb")).hint("shuffle_hash"), "b")
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
         .withColumn("uni", size(array_union(col("sa"), col("sb"))).cast("long"))
         // estimate = matches/8 (Broder's unbiased resemblance estimator);
@@ -143,10 +145,14 @@ object LlmPipelineExt12 {
         SELECT c.a, c.b,
           CAST(len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_sig_match
         FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b),
+      shl AS (
+        SELECT doc_id, list_distinct(list_transform(s,
+          x -> CAST(('0x' || substr(md5(x), 1, 14)) AS BIGINT))) AS hs
+        FROM sh),
       j AS (
-        SELECT m.*, CAST(len(list_intersect(ha.s, hb.s)) AS BIGINT) AS inter,
-          CAST(len(list_distinct(ha.s || hb.s)) AS BIGINT) AS uni
-        FROM m JOIN sh ha ON ha.doc_id = m.a JOIN sh hb ON hb.doc_id = m.b)
+        SELECT m.*, CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
+          CAST(len(list_distinct(ha.hs || hb.hs)) AS BIGINT) AS uni
+        FROM m JOIN shl ha ON ha.doc_id = m.a JOIN shl hb ON hb.doc_id = m.b)
       SELECT a, b, n_sig_match, n_sig_match * 1250 AS est_e4,
         inter * 10000 // uni AS jac_e4,
         abs(n_sig_match * 1250 - inter * 10000 // uni) AS err_e4

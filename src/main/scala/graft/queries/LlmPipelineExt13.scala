@@ -169,6 +169,8 @@ object LlmPipelineExt13 {
       val isExisting = col("source").isin(existingSrc: _*)
       val sh = d.select(col("doc_id"), isExisting.as("old"),
           md5(col("text")).as("h"), Dedup.wordShingles(col("text"), 3).as("shingles"))
+        // hashed-long attach payload for the verify joins (r12 item 1)
+        .withColumn("hshingles", Dedup.hashShingles56(col("shingles")))
         .localCheckpoint()
       // exact membership: batch hashes vs the existing fingerprint set
       val oldHashes = sh.where(col("old")).select(col("h")).distinct()
@@ -182,8 +184,8 @@ object LlmPipelineExt13 {
           Seq("band", "key"))
         .select("a", "b").distinct()
       val near = cand
-        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")).hint("shuffle_hash"), "a")
-        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")).hint("shuffle_hash"), "b")
+        .join(sh.select(col("doc_id").as("a"), col("hshingles").as("sa")).hint("shuffle_hash"), "a")
+        .join(sh.select(col("doc_id").as("b"), col("hshingles").as("sb")).hint("shuffle_hash"), "b")
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
         .withColumn("uni", size(array_union(col("sa"), col("sb"))).cast("long"))
         .where(expr("inter * 10000 div uni") >= 5000L)
@@ -226,11 +228,15 @@ object LlmPipelineExt13 {
         SELECT DISTINCT n.doc_id AS a, o.doc_id AS b
         FROM bands n JOIN bands o ON n.band = o.band AND n.key = o.key
         WHERE NOT n.old AND o.old),
+      shl AS (
+        SELECT doc_id, list_distinct(list_transform(s,
+          x -> CAST(('0x' || substr(md5(x), 1, 14)) AS BIGINT))) AS hs
+        FROM sh),
       near AS (
         SELECT DISTINCT c.a AS doc_id
-        FROM cand c JOIN sh ha ON ha.doc_id = c.a JOIN sh hb ON hb.doc_id = c.b
-        WHERE CAST(len(list_intersect(ha.s, hb.s)) AS BIGINT) * 10000
-              // CAST(len(list_distinct(ha.s || hb.s)) AS BIGINT) >= 5000)
+        FROM cand c JOIN shl ha ON ha.doc_id = c.a JOIN shl hb ON hb.doc_id = c.b
+        WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) * 10000
+              // CAST(len(list_distinct(ha.hs || hb.hs)) AS BIGINT) >= 5000)
       SELECT n.doc_id,
         CASE WHEN oldh.h IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
         CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup,

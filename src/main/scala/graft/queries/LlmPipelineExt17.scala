@@ -92,13 +92,18 @@ object LlmPipelineExt17 {
     GraftQuery("l_dedup_threshold_curve", (s, dir) => {
       val sh = docs(s, dir)
         .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
+        // hashed-long attach payload: the r12 sf100sub profile put ~1/3
+        // of wall in the 8.4 GB shingle-STRING-array exchange feeding
+        // the sa/sb verify joins (PLANS.md item 3); longs carry the
+        // same sets at 8 B/shingle
+        .withColumn("hshingles", Dedup.hashShingles56(col("shingles")))
         .localCheckpoint()
       val sig = Dedup.minhashSignatureExploded(sh, "doc_id", "shingles", numHashes = 8)
       val bands = Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2)
         .localCheckpoint()
       val j = Dedup.candidatePairs(bands, "doc_id")
-        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")).hint("shuffle_hash"), "a")
-        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")).hint("shuffle_hash"), "b")
+        .join(sh.select(col("doc_id").as("a"), col("hshingles").as("sa")).hint("shuffle_hash"), "a")
+        .join(sh.select(col("doc_id").as("b"), col("hshingles").as("sb")).hint("shuffle_hash"), "b")
         .select(col("a"), col("b"),
           size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
           size(array_union(col("sa"), col("sb"))).cast("long").as("uni"))
@@ -113,11 +118,15 @@ object LlmPipelineExt17 {
           countDistinct("doc").as("n_docs"))
         .orderBy("threshold_e2")
     }, Some(s"""$oracleCandidates,
+      shl AS (
+        SELECT doc_id, list_distinct(list_transform(s,
+          x -> CAST(('0x' || substr(md5(x), 1, 14)) AS BIGINT))) AS hs
+        FROM sh),
       j AS (
         SELECT c.a, c.b,
-          CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
-          CAST(len(list_distinct(sa.s || sb.s)) AS BIGINT) AS uni
-        FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+          CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS inter,
+          CAST(len(list_distinct(sa.hs || sb.hs)) AS BIGINT) AS uni
+        FROM cand c JOIN shl sa ON sa.doc_id = c.a JOIN shl sb ON sb.doc_id = c.b),
       th AS (SELECT CAST(unnest([50, 60, 70, 80, 90]) AS BIGINT) AS threshold_e2),
       q AS (
         SELECT th.threshold_e2, j.a, j.b

@@ -151,6 +151,8 @@ object LlmPipelineExt18 {
       val d = docs(s, dir)
         .select(col("doc_id"), md5(col("text")).as("raw_h"), md5(norm).as("norm_h"),
           Dedup.wordShingles(col("text"), 3).as("shingles"))
+        // hashed-long attach payload for the verify joins (r12 item 1)
+        .withColumn("hshingles", Dedup.hashShingles56(col("shingles")))
         .localCheckpoint()
       // rung 1: exact
       val s1 = d.groupBy("raw_h").agg(min("doc_id").as("doc_id")).select("doc_id")
@@ -164,7 +166,8 @@ object LlmPipelineExt18 {
       val s2 = d.join(s1.hint("shuffle_hash"), "doc_id")
         .groupBy("norm_h").agg(min("doc_id").as("doc_id")).select("doc_id")
       // rung 3: LSH near-dup over rung-2 survivors
-      val sh2 = d.join(s2.hint("shuffle_hash"), "doc_id").select("doc_id", "shingles")
+      val sh2 = d.join(s2.hint("shuffle_hash"), "doc_id")
+        .select("doc_id", "shingles", "hshingles")
       val sig = Dedup.minhashSignatureExploded(sh2, "doc_id", "shingles", numHashes = 8)
       // materialized: the candidate self-join reads bands twice (same
       // reason l_dedup_minhash cuts here)
@@ -172,8 +175,8 @@ object LlmPipelineExt18 {
         .localCheckpoint()
       val cand = Dedup.candidatePairs(bands, "doc_id")
       val removed3 = cand
-        .join(sh2.select(col("doc_id").as("a"), col("shingles").as("sa")).hint("shuffle_hash"), "a")
-        .join(sh2.select(col("doc_id").as("b"), col("shingles").as("sb")).hint("shuffle_hash"), "b")
+        .join(sh2.select(col("doc_id").as("a"), col("hshingles").as("sa")).hint("shuffle_hash"), "a")
+        .join(sh2.select(col("doc_id").as("b"), col("hshingles").as("sb")).hint("shuffle_hash"), "b")
         .where(size(array_intersect(col("sa"), col("sb"))) * 2
           >= size(array_union(col("sa"), col("sb")))) // jac ≥ 0.5, integer
         .select(col("b").as("doc_id")).distinct()
@@ -213,10 +216,14 @@ object LlmPipelineExt18 {
       cand AS (
         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+      shl AS (
+        SELECT doc_id, list_distinct(list_transform(s,
+          x -> CAST(('0x' || substr(md5(x), 1, 14)) AS BIGINT))) AS hs
+        FROM sh2),
       rem AS (
         SELECT DISTINCT c.b AS doc_id
-        FROM cand c JOIN sh2 sa ON sa.doc_id = c.a JOIN sh2 sb ON sb.doc_id = c.b
-        WHERE len(list_intersect(sa.s, sb.s)) * 2 >= len(list_distinct(sa.s || sb.s))),
+        FROM cand c JOIN shl sa ON sa.doc_id = c.a JOIN shl sb ON sb.doc_id = c.b
+        WHERE len(list_intersect(sa.hs, sb.hs)) * 2 >= len(list_distinct(sa.hs || sb.hs))),
       s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM rem)),
       st AS (
         SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS survivors FROM documents
@@ -294,13 +301,15 @@ object LlmPipelineExt18 {
       // no float pow, so the table is cross-engine exact.
       val sh = docs(s, dir)
         .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
+        // hashed-long attach payload for the verify joins (r12 item 1)
+        .withColumn("hshingles", Dedup.hashShingles56(col("shingles")))
         .localCheckpoint()
       val sig = Dedup.minhashSignatureExploded(sh, "doc_id", "shingles", numHashes = 8)
       val bands = Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2)
         .localCheckpoint()
       val hist = Dedup.candidatePairs(bands, "doc_id")
-        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")).hint("shuffle_hash"), "a")
-        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")).hint("shuffle_hash"), "b")
+        .join(sh.select(col("doc_id").as("a"), col("hshingles").as("sa")).hint("shuffle_hash"), "a")
+        .join(sh.select(col("doc_id").as("b"), col("hshingles").as("sb")).hint("shuffle_hash"), "b")
         .select(size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
           size(array_union(col("sa"), col("sb"))).cast("long").as("uni"))
         .select(least(expr("(inter * 10000 div uni) div 1000"), lit(9L)).as("bucket"))
@@ -331,10 +340,14 @@ object LlmPipelineExt18 {
           "expected_candidates", "observed_pairs")
         .orderBy("rows_per_band")
     }, Some(s"""$oracleCandidatesCte,
+      shl AS (
+        SELECT doc_id, list_distinct(list_transform(s,
+          x -> CAST(('0x' || substr(md5(x), 1, 14)) AS BIGINT))) AS hs
+        FROM sh),
       j AS (
-        SELECT CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) * 10000
-               // CAST(len(list_distinct(sa.s || sb.s)) AS BIGINT) AS jac_e4
-        FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+        SELECT CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) * 10000
+               // CAST(len(list_distinct(sa.hs || sb.hs)) AS BIGINT) AS jac_e4
+        FROM cand c JOIN shl sa ON sa.doc_id = c.a JOIN shl sb ON sb.doc_id = c.b),
       hist AS (
         SELECT LEAST(jac_e4 // 1000, 9) AS bucket, CAST(count(*) AS BIGINT) AS n_pairs
         FROM j GROUP BY 1),

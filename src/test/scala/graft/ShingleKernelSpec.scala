@@ -84,6 +84,37 @@ class ShingleKernelSpec extends SparkSpec {
     assert(diff.isEmpty, s"empty-array contract diverges: ${diff.mkString("; ")}")
   }
 
+  test("hash56 kernel equals the composed conv(md5) form, sets equal under intersect/union") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "yy", "zzz", "0", "é", "日本")
+    val docs = Seq.tabulate(200) { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (999L, "") // degenerate: single empty-string shingle
+    val df = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
+      .select(col("doc_id"),
+        Dedup.hashShingles56(col("shingles")).as("got"),
+        Dedup.hashShingles56Composed(col("shingles")).as("want"))
+    val bad = df.where(not(col("got") <=> col("want"))).collect()
+    assert(bad.isEmpty, s"hash56 kernel diverges: ${bad.take(5).mkString("; ")}")
+    // the verify-join contract: intersect/union sizes over hashed longs
+    // equal those over the shingle strings (no collisions on this vocab)
+    val sh = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("s"))
+      .withColumn("h", Dedup.hashShingles56(col("s")))
+    val pairs = sh.as("x").crossJoin(sh.as("y"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        size(array_intersect(col("x.s"), col("y.s"))).as("is"),
+        size(array_intersect(col("x.h"), col("y.h"))).as("ih"),
+        size(array_union(col("x.s"), col("y.s"))).as("us"),
+        size(array_union(col("x.h"), col("y.h"))).as("uh"))
+    val mism = pairs.where(col("is") =!= col("ih") || col("us") =!= col("uh")).count()
+    assert(mism === 0L, "hashed-set intersect/union diverged from string sets")
+  }
+
   test("minhash kernel matches the array-local HOF form too") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
