@@ -293,6 +293,263 @@ object ReferenceNames {
       .queryExecution.logical
   }
 
+  // -------------------------------------------------------------------
+  // Remaining lakehouse table functions (reference query.rs:104-176):
+  // list_partitions / list_view_sets / process_spans / parse_block /
+  // perfetto_trace_chunks, plus the admin five behind is_admin.
+  // Each name binds the operator the oracle-checked queries already
+  // use — never a fork.
+  // -------------------------------------------------------------------
+
+  private def registeredLakeDir(spark: SparkSession, fn: String): String =
+    graft.Graft.registeredDir(spark).getOrElse(throw new IllegalStateException(
+      s"$fn: no lake registered on this session — call Graft.query/registerViews first"))
+
+  /** Session conf naming the materialized-partition lake root. The
+    * reference's partition store is ambient (its Postgres metadata DB);
+    * here partition lakes are directories, so the ambient root is a
+    * conf — or pass the root as the function's explicit first argument.
+    */
+  val PartitionRootKey = "spark.graft.partitionRoot"
+
+  private def partitionRoot(spark: SparkSession, arg: Option[Expression],
+      fn: String): String =
+    arg.map(litString(_, fn)).orElse(
+      Option(spark.conf.get(PartitionRootKey, null))).getOrElse(
+      throw new IllegalStateException(
+        s"$fn: no partition lake — pass a root path argument or set $PartitionRootKey"))
+
+  /** Admin gate, reference `is_admin` (query.rs:152: the admin five are
+    * registered only for admin sessions). Spark function registries are
+    * session-global, so the gate here is call-time: the names resolve
+    * but refuse to run without the conf — same observable contract
+    * (a non-admin cannot invoke them), friendlier error.
+    */
+  private def requireAdmin(spark: SparkSession, fn: String): Unit =
+    require(spark.conf.get("spark.graft.admin", "false").toBoolean,
+      s"$fn: admin-only table function (reference registers it only when " +
+        "is_admin — set spark.graft.admin=true on an admin session)")
+
+  /** `list_partitions([root])` — reference
+    * list_partitions_table_function.rs: the lakehouse partition
+    * inventory. Day-granular here ([[graft.operators.Materialize]]'s
+    * update unit): (date, n_files, bytes) from a filesystem listing,
+    * never a data read.
+    */
+  def listPartitionsBuilder(spark: SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    require(args.length <= 1, "list_partitions([lake_root])")
+    val root = partitionRoot(spark, args.headOption, "list_partitions")
+    graft.operators.Materialize.listPartitions(spark, root).queryExecution.logical
+  }
+
+  /** `list_view_sets()` — reference list_view_sets_table_function.rs:
+    * one row per registered view set with its current schema hash and
+    * schema. Schemas come from the views' PLANS (no execution); the
+    * hash is [[graft.operators.Materialize.schemaHash]] — the same
+    * hash the schema-version partition retirement keys on. `images` is
+    * instance-only in the reference (images_view.rs bails on "global"),
+    * hence global_instance_available = false for it.
+    */
+  def listViewSetsBuilder(spark: SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    require(args.isEmpty, "list_view_sets()")
+    val lk = new graft.Lakehouse(spark, registeredLakeDir(spark, "list_view_sets"))
+    val rows = lk.viewSets.map { name =>
+      val schema = lk.viewInstance(name, "0").schema
+      (name, graft.operators.Materialize.schemaHash(schema), schema.toDDL,
+        true, name != "images")
+    }
+    spark.createDataFrame(rows).toDF("view_set_name", "current_schema_hash",
+      "schema", "has_view_maker", "global_instance_available")
+      .queryExecution.logical
+  }
+
+  /** `process_spans(process_id[, span_types])` — reference
+    * process_spans_table_function.rs: one process's spans, thread
+    * and/or async ('thread' default; 'async'; 'both'), served from the
+    * same span assemblies the perfetto export encodes
+    * (ObservabilityExt6.perfettoThreadSpans / perfettoAsyncSpans — the
+    * decoder-closed m_perfetto_* family). The process filter pushes
+    * through the assembly to the raw scan like view_instance. The
+    * reference's stream_id/thread_name dictionary columns have no
+    * analog in the synthetic lake (processes are single-streamed);
+    * span_type takes that discriminating role.
+    */
+  def processSpansBuilder(spark: SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.functions._
+    require(args.nonEmpty && args.length <= 2, "process_spans(process_id[, span_types])")
+    val pid = litString(args(0), "process_spans")
+    val types = if (args.length > 1) litString(args(1), "process_spans") else "thread"
+    require(Set("thread", "async", "both")(types),
+      s"process_spans: span_types must be 'thread', 'async', or 'both', given: $types")
+    val dir = registeredLakeDir(spark, "process_spans")
+    def scoped(df: org.apache.spark.sql.DataFrame, t: String) =
+      df.where(col("user_id").cast("string") === pid)
+        .select(lit(t).as("span_type"), col("span_id").cast("long").as("span_id"),
+          col("name"), col("depth").cast("long").as("depth"),
+          col("begin_ms").cast("long").as("begin_ms"),
+          col("end_ms").cast("long").as("end_ms"),
+          (col("end_ms") - col("begin_ms")).cast("long").as("duration_ms"))
+    val thread = scoped(graft.queries.ObservabilityExt6.perfettoThreadSpans(spark, dir), "thread")
+    val async = scoped(graft.queries.ObservabilityExt6.perfettoAsyncSpans(spark, dir), "async")
+    (types match {
+      case "thread" => thread
+      case "async" => async
+      case _ => thread.unionAll(async)
+    }).queryExecution.logical
+  }
+
+  /** `parse_block(block_id)` — reference
+    * parse_block_table_function.rs: one block's payload parsed into
+    * (object_index, type_name, value Binary) rows. The reference's
+    * block_id is an opaque UUID from its metadata DB; blocks here are
+    * keyed (process_id, stream_tag, block_start_ms) — the composite
+    * 'process_id/stream_tag/block_start_ms' string is this engine's
+    * block id (the same key get_payload takes as three args). The
+    * payload is the deterministic synthesis the oracle-checked
+    * m_block_payload pins (shared Lakehouse.getPayload — never
+    * forked); objects are its newline-framed lines in block order.
+    */
+  def parseBlockBuilder(spark: SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.functions._
+    require(args.length == 1, "parse_block(block_id)")
+    val id = litString(args(0), "parse_block")
+    val parts = id.split("/", -1)
+    require(parts.length == 3 && parts(2).nonEmpty &&
+      parts(2).forall(c => c.isDigit || c == '-'),
+      s"parse_block: block_id is 'process_id/stream_tag/block_start_ms' here, got: '$id'")
+    val lk = new graft.Lakehouse(spark, registeredLakeDir(spark, "parse_block"))
+    lk.getPayload(parts(0), parts(1), parts(2).toLong)
+      .select(posexplode(split(col("payload").cast("string"), "\n")))
+      .select(col("pos").cast("long").as("object_index"),
+        lit(parts(1)).as("type_name"),
+        col("col").cast("binary").as("value"))
+      .queryExecution.logical
+  }
+
+  /** `perfetto_trace_chunks(process_id, span_types, begin_ms, end_ms)`
+    * — reference perfetto_trace_table_function.rs: streamable trace
+    * chunks for one process over a time range, span_types ∈
+    * {'thread', 'async', 'both'}. Chunks come from the SAME encoder as
+    * the decoder-closed m_perfetto_chunks (Perfetto.traceChunksDf);
+    * the range keeps spans OVERLAPPING [begin, end) — the reference's
+    * block-overlap scoping. Timestamps are epoch-ms literals (this
+    * lake's time unit).
+    */
+  def perfettoTraceChunksBuilder(spark: SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.functions._
+    require(args.length == 4,
+      "perfetto_trace_chunks(process_id, span_types, begin_ms, end_ms)")
+    val pid = litString(args(0), "perfetto_trace_chunks")
+    val types = litString(args(1), "perfetto_trace_chunks")
+    require(Set("thread", "async", "both")(types),
+      s"perfetto_trace_chunks: span_types must be 'thread', 'async', or 'both', given: $types")
+    val begin = litDouble(args(2), "perfetto_trace_chunks").toLong
+    val end = litDouble(args(3), "perfetto_trace_chunks").toLong
+    val dir = registeredLakeDir(spark, "perfetto_trace_chunks")
+    def scoped(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("user_id").cast("string") === pid &&
+        col("end_ms") >= begin && col("begin_ms") < end)
+    val thread = scoped(graft.queries.ObservabilityExt6.perfettoThreadSpans(spark, dir))
+    val async = scoped(graft.queries.ObservabilityExt6.perfettoAsyncSpans(spark, dir))
+    (types match {
+      case "thread" => graft.operators.Perfetto.traceChunksDf(spark, thread, "user_id")
+      case "async" =>
+        graft.operators.Perfetto.traceChunksDf(spark, thread.where(lit(false)),
+          "user_id", Some(async))
+      case _ => graft.operators.Perfetto.traceChunksDf(spark, thread, "user_id", Some(async))
+    }).queryExecution.logical
+  }
+
+  /** `retire_partitions(root, before_date)` — admin
+    * (retire_partitions_table_function.rs). Day-granular retention
+    * over the partition lake; returns the stats row the reference's
+    * UDTF streams back. The action runs at PLAN time, like a Spark SQL
+    * command — admin RPCs are commands, not scans.
+    */
+  def retirePartitionsBuilder(spark: SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    requireAdmin(spark, "retire_partitions")
+    require(args.length <= 2, "retire_partitions([root,] before_date)")
+    val (root, before) = args.length match {
+      case 2 => (litString(args(0), "retire_partitions"), litString(args(1), "retire_partitions"))
+      case _ => (partitionRoot(spark, None, "retire_partitions"),
+        litString(args(0), "retire_partitions"))
+    }
+    val stats = graft.operators.Materialize.retireByDay(spark, root, before)
+    spark.createDataFrame(Seq((before, stats.daysRetired)))
+      .toDF("before_date", "days_retired").queryExecution.logical
+  }
+
+  /** `materialize_partitions(view_set, root)` — admin
+    * (materialize_partitions_table_function.rs). Materializes the
+    * named view set into the partition lake via the incremental
+    * day-update (closed days untouched). `log_stats` is the
+    * materializable set in this engine (the reference resolves the
+    * name through its view factory the same way).
+    */
+  def materializePartitionsBuilder(spark: SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    requireAdmin(spark, "materialize_partitions")
+    require(args.length == 2, "materialize_partitions(view_set_name, root)")
+    val viewSet = litString(args(0), "materialize_partitions")
+    require(viewSet == "log_stats",
+      s"materialize_partitions: '$viewSet' is not materializable here — 'log_stats' is")
+    val root = litString(args(1), "materialize_partitions")
+    val lk = new graft.Lakehouse(spark, registeredLakeDir(spark, "materialize_partitions"))
+    val stats = graft.operators.Materialize.updateByDay(spark, lk.logStats, root)
+    spark.createDataFrame(Seq((viewSet, stats.daysRecomputed, stats.rowsWritten)))
+      .toDF("view_set_name", "days_recomputed", "rows_written").queryExecution.logical
+  }
+
+  /** `regenerate_partitions(view_set, root, date)` — admin
+    * (regenerate_partitions_table_function.rs): rebuild exactly one
+    * day partition from source, the repair path after a by-file
+    * retirement.
+    */
+  def regeneratePartitionsBuilder(spark: SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    requireAdmin(spark, "regenerate_partitions")
+    require(args.length == 3, "regenerate_partitions(view_set_name, root, date)")
+    val viewSet = litString(args(0), "regenerate_partitions")
+    require(viewSet == "log_stats",
+      s"regenerate_partitions: '$viewSet' is not materializable here — 'log_stats' is")
+    val root = litString(args(1), "regenerate_partitions")
+    val date = litString(args(2), "regenerate_partitions")
+    val lk = new graft.Lakehouse(spark, registeredLakeDir(spark, "regenerate_partitions"))
+    val rows = graft.operators.Materialize.regenerateDay(spark, lk.logStats, root, date)
+    spark.createDataFrame(Seq((viewSet, date, rows)))
+      .toDF("view_set_name", "date", "rows_written").queryExecution.logical
+  }
+
+  /** `retire_partition_by_file(root, rel_path)` — admin
+    * (retire_partition_by_file_udf.rs). The reference registers this
+    * as a scalar UDF; a side-effecting scalar inside a distributed
+    * projection is exactly what a Spark plan must not contain, so the
+    * honest mapping is a one-row table function (command shape).
+    */
+  def retireByFileBuilder(spark: SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    requireAdmin(spark, "retire_partition_by_file")
+    require(args.length == 2, "retire_partition_by_file(root, rel_path)")
+    val root = litString(args(0), "retire_partition_by_file")
+    val rel = litString(args(1), "retire_partition_by_file")
+    val retired = graft.operators.Materialize.retireByFile(spark, root, rel)
+    spark.createDataFrame(Seq((rel, retired)))
+      .toDF("file_path", "retired").queryExecution.logical
+  }
+
+  /** `retire_partition_by_metadata(root)` — admin
+    * (retire_partition_by_metadata_udf.rs). Metadata-keyed retirement:
+    * drops exactly the partitions whose stored schema hash disagrees
+    * with the current log_stats schema (the M49 schema-version
+    * contract); returns the retired inventory.
+    */
+  def retireByMetadataBuilder(spark: SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    requireAdmin(spark, "retire_partition_by_metadata")
+    require(args.length <= 1, "retire_partition_by_metadata([root])")
+    val root = partitionRoot(spark, args.headOption, "retire_partition_by_metadata")
+    val lk = new graft.Lakehouse(spark, registeredLakeDir(spark, "retire_partition_by_metadata"))
+    graft.operators.Materialize
+      .retireIncompatiblePartitions(spark, root, lk.logStats.schema)
+      .queryExecution.logical
+  }
+
   /** Install the alias names on a session we didn't build (idempotent
     * via createOrReplace; cheap). The extensions path registers the
     * same builders at session build time.
@@ -310,5 +567,25 @@ object ReferenceNames {
       "jsonb_each", jsonbEachBuilder(spark), "scala_udf")
     ss.tableFunctionRegistry.createOrReplaceTempFunction(
       "jsonb_array_elements", jsonbArrayElementsBuilder(spark), "scala_udf")
+    ss.tableFunctionRegistry.createOrReplaceTempFunction(
+      "list_partitions", listPartitionsBuilder(spark), "scala_udf")
+    ss.tableFunctionRegistry.createOrReplaceTempFunction(
+      "list_view_sets", listViewSetsBuilder(spark), "scala_udf")
+    ss.tableFunctionRegistry.createOrReplaceTempFunction(
+      "process_spans", processSpansBuilder(spark), "scala_udf")
+    ss.tableFunctionRegistry.createOrReplaceTempFunction(
+      "parse_block", parseBlockBuilder(spark), "scala_udf")
+    ss.tableFunctionRegistry.createOrReplaceTempFunction(
+      "perfetto_trace_chunks", perfettoTraceChunksBuilder(spark), "scala_udf")
+    ss.tableFunctionRegistry.createOrReplaceTempFunction(
+      "retire_partitions", retirePartitionsBuilder(spark), "scala_udf")
+    ss.tableFunctionRegistry.createOrReplaceTempFunction(
+      "materialize_partitions", materializePartitionsBuilder(spark), "scala_udf")
+    ss.tableFunctionRegistry.createOrReplaceTempFunction(
+      "regenerate_partitions", regeneratePartitionsBuilder(spark), "scala_udf")
+    ss.tableFunctionRegistry.createOrReplaceTempFunction(
+      "retire_partition_by_file", retireByFileBuilder(spark), "scala_udf")
+    ss.tableFunctionRegistry.createOrReplaceTempFunction(
+      "retire_partition_by_metadata", retireByMetadataBuilder(spark), "scala_udf")
   }
 }

@@ -98,24 +98,26 @@ object Pq {
       k: Int = 16): DataFrame = {
     val flat = cb
       .groupBy()
-      .agg(
-        flatten(transform(
-          array_sort(collect_list(struct(col("sub"), col("cent_id"), col("cv")))),
-          s => s.getField("cv"))).as("cbflat"),
+      .agg(array_sort(collect_list(struct(col("sub"), col("cent_id"), col("cv"))))
+        .as("__sorted"))
+      .select(
+        flatten(transform(col("__sorted"), s => s.getField("cv"))).as("cbflat"),
         // DENSITY, not just cardinality: a codebook with a duplicated
         // (sub, cent_id) pair and a missing one passes a bare count
-        // check yet misaligns the flattened (sub, cent, dim) layout —
-        // distinct-pair count plus [0, m)×[0, k) bounds on the integer
-        // keys force exactly the dense m×k grid (ADVICE r12)
-        count(lit(1)).as("__n"),
-        count_distinct(struct(col("sub"), col("cent_id"))).as("__nd"),
-        min(col("sub")).as("__sLo"), max(col("sub")).as("__sHi"),
-        min(col("cent_id")).as("__cLo"), max(col("cent_id")).as("__cHi"))
-      .select(col("cbflat"),
+        // check yet misaligns the flattened (sub, cent, dim) layout
+        // (ADVICE r12). The dense m×k grid is exactly "sorted element
+        // i has cent_id in [0, k) and sub·k + cent_id = i" — checked
+        // on the ALREADY-collected sorted list, so the plan keeps its
+        // single tiny aggregate (a count_distinct here would add a
+        // two-stage distinct exchange to every encode, PlanShapeSpec).
         assert_true(
-          col("__n") === m * k && col("__nd") === m * k &&
-            col("__sLo") === 0 && col("__sHi") === m - 1 &&
-            col("__cLo") === 0 && col("__cHi") === k - 1,
+          size(col("__sorted")) === m * k &&
+            forall(
+              zip_with(col("__sorted"), sequence(lit(0), lit(m * k - 1)), (s, i) =>
+                s.getField("cent_id") >= 0 && s.getField("cent_id") < k &&
+                  (s.getField("sub") * k + s.getField("cent_id")).cast("long")
+                    === i.cast("long")),
+              x => x),
           lit(s"Pq.encodeFast: codebook must be the dense $m x $k (sub, cent_id) grid"))
           .as("__ok"))
     e.crossJoin(broadcast(flat))

@@ -248,6 +248,134 @@ class DocExamplesSpec extends SparkSpec {
     assert(bytes.length.toLong == want.getAs[Long]("payload_bytes"))
   }
 
+  test("doc: remaining lakehouse table-function names resolve in SQL (query.rs:104-176)") {
+    // list_view_sets() — one row per registered view set, schema hash
+    // matching the M49 schema-version hash of the view's plan schema
+    val lk = new Lakehouse(spark, sfDir)
+    val vs = Graft.query(spark, sfDir,
+      "SELECT * FROM list_view_sets() ORDER BY view_set_name").collect()
+    assert(vs.map(_.getAs[String]("view_set_name")).toSeq == lk.viewSets.sorted)
+    val lsRow = vs.find(_.getAs[String]("view_set_name") == "log_stats").get
+    assert(lsRow.getAs[String]("current_schema_hash") ==
+      operators.Materialize.schemaHash(lk.viewInstance("log_stats", "0").schema))
+    assert(!vs.find(_.getAs[String]("view_set_name") == "images").get
+      .getAs[Boolean]("global_instance_available"))
+
+    // process_spans(pid[, span_types]) — pinned against the same span
+    // assemblies the decoder-closed perfetto family encodes
+    val pid = queries.ObservabilityExt6.perfettoThreadSpans(spark, sfDir)
+      .groupBy("user_id").count().orderBy(col("count").desc, col("user_id"))
+      .head().get(0).toString
+    val thr = Graft.query(spark, sfDir,
+      s"SELECT * FROM process_spans('$pid') ORDER BY begin_ms, span_id").collect()
+    val wantThr = queries.ObservabilityExt6.perfettoThreadSpans(spark, sfDir)
+      .where(col("user_id").cast("string") === pid).count()
+    assert(thr.length.toLong == wantThr && wantThr > 0)
+    assert(thr.forall(r => r.getAs[String]("span_type") == "thread" &&
+      r.getAs[Long]("duration_ms") == r.getAs[Long]("end_ms") - r.getAs[Long]("begin_ms")))
+    val both = Graft.query(spark, sfDir,
+      s"SELECT span_type, COUNT(*) AS n FROM process_spans('$pid', 'both') GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wantAsync = queries.ObservabilityExt6.perfettoAsyncSpans(spark, sfDir)
+      .where(col("user_id").cast("string") === pid).count()
+    assert(both == Map("thread" -> wantThr, "async" -> wantAsync))
+
+    // parse_block('process/stream/start_ms') — objects reassemble to
+    // the get_payload bytes (shared synthesis with m_block_payload)
+    val blk = Graft.query(spark, sfDir,
+      """SELECT process_id, stream_tag, block_start_ms FROM blocks
+         ORDER BY nb_objects DESC, process_id, stream_tag, block_start_ms LIMIT 1""").head()
+    val (bp, bt, bs) = (blk.getString(0), blk.getString(1), blk.getLong(2))
+    val objs = Graft.query(spark, sfDir,
+      s"SELECT * FROM parse_block('$bp/$bt/$bs') ORDER BY object_index").collect()
+    assert(objs.nonEmpty && objs.forall(_.getAs[String]("type_name") == bt))
+    assert(objs.map(_.getAs[Long]("object_index")).toSeq == objs.indices.map(_.toLong))
+    val reassembled = objs.map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8"))
+      .mkString("\n")
+    val want = Graft.query(spark, sfDir,
+      s"SELECT payload FROM get_payload('$bp', '$bt', '$bs')").head().getAs[Array[Byte]](0)
+    assert(reassembled == new String(want, "UTF-8"))
+
+    // perfetto_trace_chunks(pid, 'both', begin, end) over the full
+    // range == the oracle-registered m_perfetto_chunks rows for pid
+    val chunks = Graft.query(spark, sfDir,
+      s"""SELECT chunk_id, n_packets, n_bytes, chunk_md5
+          FROM perfetto_trace_chunks('$pid', 'both', 0, ${Long.MaxValue})
+          ORDER BY chunk_id""").collect()
+    val wantChunks = SparkEntry.queries("m_perfetto_chunks")(spark, sfDir)
+      .where(col("user_id").cast("string") === pid)
+      .orderBy("chunk_id")
+      .select("chunk_id", "n_packets", "n_bytes", "chunk_md5").collect()
+    assert(chunks.length == wantChunks.length && chunks.nonEmpty)
+    chunks.zip(wantChunks).foreach { case (g, w) =>
+      assert(g.getAs[String]("chunk_md5") == w.getAs[String]("chunk_md5"))
+      assert(g.getAs[Long]("n_bytes") == w.getAs[Long]("n_bytes"))
+    }
+    // span_types is validated like the reference's
+    val bad = intercept[Exception](Graft.query(spark, sfDir,
+      s"SELECT * FROM perfetto_trace_chunks('$pid', 'banana', 0, 1)"))
+    assert(bad.getMessage.contains("span_types"))
+  }
+
+  test("doc: admin table-function five — is_admin gated, command semantics") {
+    val root = java.nio.file.Files.createTempDirectory("graft_admin_tf").toString
+    try {
+      // non-admin: every admin name refuses (reference: not registered
+      // for non-admin sessions)
+      spark.conf.unset("spark.graft.admin")
+      val denied = intercept[Exception](Graft.query(spark, sfDir,
+        s"SELECT * FROM materialize_partitions('log_stats', '$root')"))
+      assert(denied.getMessage.contains("admin"))
+
+      spark.conf.set("spark.graft.admin", "true")
+      // materialize_partitions builds the day-partitioned lake
+      val mat = Graft.query(spark, sfDir,
+        s"SELECT * FROM materialize_partitions('log_stats', '$root')").head()
+      assert(mat.getAs[Long]("rows_written") > 0)
+      // list_partitions over the explicit root == the operator's listing
+      val listed = Graft.query(spark, sfDir,
+        s"SELECT * FROM list_partitions('$root') ORDER BY date").collect()
+      val wantListed = operators.Materialize.listPartitions(spark, root)
+        .orderBy("date").collect()
+      assert(listed.map(_.toSeq).toSeq == wantListed.map(_.toSeq).toSeq && listed.nonEmpty)
+      // ...and via the ambient conf root, no argument
+      spark.conf.set(functions.ReferenceNames.PartitionRootKey, root)
+      assert(Graft.query(spark, sfDir,
+        "SELECT COUNT(*) AS n FROM list_partitions()").head().getLong(0) == listed.length.toLong)
+
+      // retire_partition_by_file drops one file; regenerate repairs it
+      val day = listed.head.getAs[String]("date")
+      val dir = new java.io.File(s"$root/date=$day")
+      val file = dir.listFiles().filter(_.getName.endsWith(".parquet")).head.getName
+      val ret = Graft.query(spark, sfDir,
+        s"SELECT * FROM retire_partition_by_file('$root', 'date=$day/$file')").head()
+      assert(ret.getAs[Boolean]("retired"))
+      val reg = Graft.query(spark, sfDir,
+        s"SELECT * FROM regenerate_partitions('log_stats', '$root', '$day')").head()
+      assert(reg.getAs[Long]("rows_written") > 0)
+
+      // retire_partition_by_metadata: schemas all current → retires none
+      val meta = Graft.query(spark, sfDir,
+        s"SELECT COUNT(*) AS n FROM retire_partition_by_metadata('$root')").head()
+      assert(meta.getLong(0) == 0L)
+
+      // retire_partitions(before_date) with the ambient root retires
+      // every day strictly before the last one
+      val lastDay = listed.last.getAs[String]("date")
+      val retired = Graft.query(spark, sfDir,
+        s"SELECT * FROM retire_partitions('$lastDay')").head()
+      assert(retired.getAs[Long]("days_retired") == (listed.length - 1).toLong)
+      assert(operators.Materialize.listPartitions(spark, root).count() == 1L)
+    } finally {
+      spark.conf.unset("spark.graft.admin")
+      spark.conf.unset(functions.ReferenceNames.PartitionRootKey)
+      val p = java.nio.file.Paths.get(root)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("doc: spans and otel_spans surfaces") {
     // README.md:802 (thread span columns), otel attribute surface
     val spans = Graft.query(spark, sfDir,

@@ -335,7 +335,7 @@ class MaterializeSpec extends SparkSpec with TmpDirSupport {
     // partitions survive, and the lake holds each block exactly once
     val goodDir = tmpDir("graft-jit-overlap") + "/view"
     JitPartitions.jitUpdate(spark, goodDir, Seq(b1, b3), 12, EventTime, Overlap)(rowsOf)
-    val (written, retired) =
+    val (written, retired, _) =
       JitPartitions.jitUpdate(spark, goodDir, Seq(b1, b2, b3), 12, EventTime, Overlap)(rowsOf)
     assert(written.map(p => (p.beginInsertMs, p.endInsertMs)).sorted
       == Seq((1000L, 1000L), (3000L, 4000L)))
@@ -351,6 +351,85 @@ class MaterializeSpec extends SparkSpec with TmpDirSupport {
     JitPartitions.writePart(spark, rowsOf(Vector(b1)), degDir, 1000, 1000)
     val deg = JitPartitions.retireParts(spark, degDir, 500, 2000, Overlap)
     assert(deg.map(p => (p.beginInsertMs, p.endInsertMs)) == Seq((1000L, 1000L)))
+  }
+
+  test("jitUpdate skips up-to-date partitions; a schema-hash bump rebuilds them on " +
+      "first query (reference is_jit_partition_up_to_date, jit_partitions.rs:738)") {
+    import graft.operators.JitPartitions
+    import graft.operators.JitPartitions.{Block, EventTime, InsertTime, Overlap}
+    import spark.implicits._
+    val b1 = Block("b1", insertMs = 1000, beginMs = 0, endMs = 100, nbObjects = 5)
+    val b2 = Block("b2", insertMs = 3000, beginMs = 200, endMs = 300, nbObjects = 5)
+    def rowsOf(g: Vector[Block]) =
+      g.map(b => (b.blockId, b.beginMs, b.nbObjects)).toDF("block_id", "begin_ms", "n")
+    val dir = tmpDir("graft-jit-uptodate") + "/view"
+    val v1 = "schema-v1-hash"
+
+    // first query materializes; the identical second query is a
+    // metadata-only no-op (skips everything, writes nothing)
+    val (w1, _, s1) = JitPartitions.jitUpdate(spark, dir, Seq(b1, b2), 7,
+      EventTime, Overlap, Some(v1))(rowsOf)
+    assert(w1.nonEmpty && s1.isEmpty)
+    val mtimes = w1.map { p =>
+      val f = new java.io.File(new java.net.URI(p.path).getPath)
+      p.path -> new java.io.File(f, JitPartitions.PartMetaName).lastModified()
+    }.toMap
+    val (w2, r2, s2) = JitPartitions.jitUpdate(spark, dir, Seq(b1, b2), 7,
+      EventTime, Overlap, Some(v1))(rowsOf)
+    assert(w2.isEmpty && r2.isEmpty && s2.map(p => (p.beginInsertMs, p.endInsertMs)).sorted
+      == w1.map(p => (p.beginInsertMs, p.endInsertMs)).sorted)
+    w1.foreach { p =>
+      val f = new java.io.File(new java.net.URI(p.path).getPath)
+      assert(new java.io.File(f, JitPartitions.PartMetaName).lastModified()
+        == mtimes(p.path), s"skipped partition was rewritten: ${p.path}")
+    }
+
+    // a changed object count (late block into an existing range) is
+    // NOT up to date under EventTime's exact-count rule
+    assert(!JitPartitions.isPartUpToDate(spark, dir, 1000, 1000, EventTime, v1, 10))
+    // InsertTime: a wider committed partition with count >= vouches
+    assert(JitPartitions.isPartUpToDate(spark, dir, 1000, 1000, InsertTime, v1, 3))
+    // ...but never across a schema change
+    assert(!JitPartitions.isPartUpToDate(spark, dir, 1000, 1000, InsertTime, "other", 3))
+
+    // SCHEMA_VERSION bump: same blocks, new hash — every partition
+    // reads stale and rebuilds on first query, no admin action
+    val (w3, _, s3) = JitPartitions.jitUpdate(spark, dir, Seq(b1, b2), 7,
+      EventTime, Overlap, Some("schema-v2-hash"))(rowsOf)
+    assert(s3.isEmpty && w3.map(p => (p.beginInsertMs, p.endInsertMs)).sorted
+      == w1.map(p => (p.beginInsertMs, p.endInsertMs)).sorted)
+    // and the rebuilt lake is immediately up to date again
+    val (w4, _, s4) = JitPartitions.jitUpdate(spark, dir, Seq(b1, b2), 7,
+      EventTime, Overlap, Some("schema-v2-hash"))(rowsOf)
+    assert(w4.isEmpty && s4.length == w3.length)
+  }
+
+  test("ensureBeginNonDecreasing: healthy span batches write, a regressed begin fails " +
+      "the write loudly (reference thread_spans_view.rs:131)") {
+    import graft.operators.JitPartitions
+    import spark.implicits._
+    val healthy = Seq((1L, 10L, 100L), (1L, 11L, 100L), (1L, 12L, 150L),
+      (2L, 20L, 50L), (2L, 21L, 60L))
+      .toDF("stream_id", "span_id", "begin_ms")
+    // guard is pass-through on a monotone batch
+    assert(JitPartitions.ensureBeginNonDecreasing(healthy, "stream_id", "span_id",
+      "begin_ms").count() === 5L)
+    // a regressed begin (the corrupted-conversion class the reference
+    // catches) fails the WRITE action, naming stream and row
+    val corrupt = healthy.union(Seq((2L, 22L, 55L)).toDF("stream_id", "span_id", "begin_ms"))
+    val out = tmpDir("graft-bnd") + "/part"
+    val e = intercept[Exception] {
+      JitPartitions.writePart(spark,
+        JitPartitions.ensureBeginNonDecreasing(corrupt, "stream_id", "span_id", "begin_ms"),
+        out, 0, 1)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    val msg = chain(e).flatMap(t => Option(t.getMessage)).mkString("\n")
+    assert(msg.contains("ensure_begin_non_decreasing") && msg.contains("stream 2")
+      && msg.contains("id 22"), s"diagnostic missing: $msg")
+    // the guarded write must not have committed the partition
+    assert(JitPartitions.listParts(spark, out).isEmpty)
   }
 
   test("schema evolution: incompatible partitions listed exactly, retired exactly") {
