@@ -31,4 +31,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+// extra -D flags for A/B experiments (e.g. join-strategy confs) without
+// editing the build: SPARK_GRAFT_JAVA_OPTS="-Dspark.sql.x=y -Dspark.sql.z=w"
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

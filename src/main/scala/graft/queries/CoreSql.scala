@@ -79,6 +79,16 @@ object CoreSql {
       val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders").where(col("o_orderdate").cast("date") < lit("1998-03-15"))
       val l = t(s, dir, "lineitem").where(col("l_shipdate").cast("date") > lit("1998-03-15"))
+      // Join-then-group, deliberately NOT eager-agged (r13 fourth-decade
+      // probe, PLANS.md): pre-summing revenue per l_orderkey below the
+      // join forces a full lineitem exchange at EVERY scale — an 11×
+      // regression at sf10, where AQE's runtime broadcasts let lineitem
+      // ride its scan with zero shuffle. At the decade where c⋈o
+      // crosses the broadcast ceiling the plan transitions to a
+      // fact-fact exchange whose cost is exchange-volume-bound (SMJ /
+      // shuffled-hash / eager-agg all land within 3%), zero spill, all
+      // stages wide — the correct cluster shape, parallel across a
+      // fleet.
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), epochMs(col("o_orderdate")).as("order_date_ms"), col("o_orderpriority"))
