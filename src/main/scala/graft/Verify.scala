@@ -25,8 +25,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // spill budget live in the gate itself (reference: the temp-dir
-    // cap is always on, 100 GB default) — spark.graft.query.maxSpillMb
-    // overrides; the default never cancels honest work
+    // cap is always on, 100 GB default) — intentional behavior note
+    // (ADVICE r13): a query spilling past the cap is CANCELLED
+    // mid-gate and recorded as a failure, exactly the reference's
+    // always-on default. If a sanctioned large-spill query ever
+    // appears, raise or disable the cap via spark.graft.query
+    // .maxSpillMb rather than weakening the gate; the default never
+    // cancels honest work (the full sf10 sweep runs zero-spill).
     SpillBudget.fromConfOrDefault(spark): Unit
     new java.io.File(outDir).mkdirs()
     // forensics lives OUTSIDE outDir: the driver globs every entry of

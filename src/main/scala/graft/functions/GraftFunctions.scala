@@ -76,6 +76,11 @@ object GraftFunctions {
       require(args.length == 1, "graft_hash56(shingles)")
       ShingleHash56(args(0))
     },
+    "graft_minhash_h56" -> { args =>
+      require(args.length == 2 && args(1).foldable,
+        "graft_minhash_h56(shingles, numHashes) — numHashes must be a literal")
+      MinhashWithHash56(args(0), args(1).eval().asInstanceOf[Number].intValue)
+    },
     "graft_textstats" -> { args =>
       require(args.length == 1, "graft_textstats(text)")
       TextStats(Cast(args(0), org.apache.spark.sql.types.StringType))

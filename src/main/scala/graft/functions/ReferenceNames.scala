@@ -320,15 +320,18 @@ object ReferenceNames {
         s"$fn: no partition lake — pass a root path argument or set $PartitionRootKey"))
 
   /** Admin gate, reference `is_admin` (query.rs:152: the admin five are
-    * registered only for admin sessions). Spark function registries are
-    * session-global, so the gate here is call-time: the names resolve
-    * but refuse to run without the conf — same observable contract
-    * (a non-admin cannot invoke them), friendlier error.
+    * registered only for admin sessions). The decision is made at
+    * REGISTRATION time from state the SQL surface cannot mutate — the
+    * SparkConf (fixed when the context is built; `SET` only touches the
+    * runtime session conf) — so a SQL client cannot self-elevate with
+    * `SET spark.graft.admin=true`: for a non-admin session the names
+    * are simply never registered, exactly the reference's contract.
+    * Server code that has authenticated an admin out-of-band calls
+    * [[registerAdmin]] explicitly (the analog of query.rs passing
+    * is_admin=true into register_table_functions).
     */
-  private def requireAdmin(spark: SparkSession, fn: String): Unit =
-    require(spark.conf.get("spark.graft.admin", "false").toBoolean,
-      s"$fn: admin-only table function (reference registers it only when " +
-        "is_admin — set spark.graft.admin=true on an admin session)")
+  private def adminFromSparkConf(spark: SparkSession): Boolean =
+    spark.sparkContext.getConf.getBoolean("spark.graft.admin", defaultValue = false)
 
   /** `list_partitions([root])` — reference
     * list_partitions_table_function.rs: the lakehouse partition
@@ -414,8 +417,8 @@ object ReferenceNames {
     require(args.length == 1, "parse_block(block_id)")
     val id = litString(args(0), "parse_block")
     val parts = id.split("/", -1)
-    require(parts.length == 3 && parts(2).nonEmpty &&
-      parts(2).forall(c => c.isDigit || c == '-'),
+    require(parts.length == 3 && parts(2).matches("-?\\d+") &&
+      scala.util.Try(parts(2).toLong).isSuccess,
       s"parse_block: block_id is 'process_id/stream_tag/block_start_ms' here, got: '$id'")
     val lk = new graft.Lakehouse(spark, registeredLakeDir(spark, "parse_block"))
     lk.getPayload(parts(0), parts(1), parts(2).toLong)
@@ -467,7 +470,6 @@ object ReferenceNames {
     * command — admin RPCs are commands, not scans.
     */
   def retirePartitionsBuilder(spark: SparkSession)(args: Seq[Expression]): LogicalPlan = {
-    requireAdmin(spark, "retire_partitions")
     require(args.length <= 2, "retire_partitions([root,] before_date)")
     val (root, before) = args.length match {
       case 2 => (litString(args(0), "retire_partitions"), litString(args(1), "retire_partitions"))
@@ -487,7 +489,6 @@ object ReferenceNames {
     * name through its view factory the same way).
     */
   def materializePartitionsBuilder(spark: SparkSession)(args: Seq[Expression]): LogicalPlan = {
-    requireAdmin(spark, "materialize_partitions")
     require(args.length == 2, "materialize_partitions(view_set_name, root)")
     val viewSet = litString(args(0), "materialize_partitions")
     require(viewSet == "log_stats",
@@ -505,7 +506,6 @@ object ReferenceNames {
     * retirement.
     */
   def regeneratePartitionsBuilder(spark: SparkSession)(args: Seq[Expression]): LogicalPlan = {
-    requireAdmin(spark, "regenerate_partitions")
     require(args.length == 3, "regenerate_partitions(view_set_name, root, date)")
     val viewSet = litString(args(0), "regenerate_partitions")
     require(viewSet == "log_stats",
@@ -525,7 +525,6 @@ object ReferenceNames {
     * honest mapping is a one-row table function (command shape).
     */
   def retireByFileBuilder(spark: SparkSession)(args: Seq[Expression]): LogicalPlan = {
-    requireAdmin(spark, "retire_partition_by_file")
     require(args.length == 2, "retire_partition_by_file(root, rel_path)")
     val root = litString(args(0), "retire_partition_by_file")
     val rel = litString(args(1), "retire_partition_by_file")
@@ -541,7 +540,6 @@ object ReferenceNames {
     * contract); returns the retired inventory.
     */
   def retireByMetadataBuilder(spark: SparkSession)(args: Seq[Expression]): LogicalPlan = {
-    requireAdmin(spark, "retire_partition_by_metadata")
     require(args.length <= 1, "retire_partition_by_metadata([root])")
     val root = partitionRoot(spark, args.headOption, "retire_partition_by_metadata")
     val lk = new graft.Lakehouse(spark, registeredLakeDir(spark, "retire_partition_by_metadata"))
@@ -577,6 +575,21 @@ object ReferenceNames {
       "parse_block", parseBlockBuilder(spark), "scala_udf")
     ss.tableFunctionRegistry.createOrReplaceTempFunction(
       "perfetto_trace_chunks", perfettoTraceChunksBuilder(spark), "scala_udf")
+    // The admin five exist only on sessions whose CONTEXT was built
+    // admin (SparkConf, immutable from SQL) — reference query.rs:152.
+    if (adminFromSparkConf(spark)) registerAdmin(spark)
+  }
+
+  /** Register the admin five (retire/materialize/regenerate_partitions,
+    * retire_partition_by_file/by_metadata) on an ADMIN session. Callable
+    * only from host code — the SQL surface has no path to this (a
+    * `SET spark.graft.admin=true` does nothing; the flag is read from
+    * the SparkConf once, at registration). This is the analog of the
+    * reference registering the admin table functions only after its
+    * server authenticated `is_admin` (query.rs:150-176).
+    */
+  def registerAdmin(spark: SparkSession): Unit = {
+    val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState
     ss.tableFunctionRegistry.createOrReplaceTempFunction(
       "retire_partitions", retirePartitionsBuilder(spark), "scala_udf")
     ss.tableFunctionRegistry.createOrReplaceTempFunction(

@@ -170,6 +170,72 @@ object ShingleKernels {
     * having no non-null shingle at all; null elements are skipped like
     * an aggregate min skips nulls.
     */
+  /** [[minhashLongs]] AND [[hash56]] in ONE digest pass, as a struct
+    * (sig array<long> | null, h56 array<long>). The two kernels'
+    * j = 0 digests are byte-identical — both are md5 of the bare
+    * shingle bytes — so a pipeline that BANDS a signature and also
+    * attaches the 56-bit verify-join sets (all six LSH dedup queries)
+    * was digesting every shingle once more than necessary (r13
+    * verdict item 2). Here md5(shingle) is computed once and feeds
+    * both the lane-block-0 minhash mins and the 56-bit set element;
+    * remaining lane blocks digest as before. Field semantics are
+    * exactly the separate kernels' (ShingleKernelSpec pins both):
+    * sig is null on empty/all-null input, h56 is the LinkedHashSet
+    * first-occurrence distinct.
+    */
+  def minhashH56(shingles: ArrayData, numHashes: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val nSh = shingles.numElements()
+    val nDig = (numHashes + 3) / 4
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val set56 = new java.util.LinkedHashSet[java.lang.Long]()
+    val md = md5Local.get()
+    var seen = false
+    var s = 0
+    while (s < nSh) {
+      if (!shingles.isNullAt(s)) {
+        seen = true
+        val sb = shingles.getUTF8String(s).getBytes
+        var j = 0
+        while (j < nDig) {
+          md.reset()
+          if (j > 0) {
+            var x = 0
+            while (x < j) { md.update('x'.toByte); x += 1 }
+            md.update('|'.toByte)
+          }
+          md.update(sb)
+          val dig = md.digest()
+          if (j == 0) {
+            // the shared digest: first 7 bytes big-endian = hash56
+            var v56 = 0L
+            var i = 0
+            while (i < 7) { v56 = (v56 << 8) | (dig(i) & 0xFFL); i += 1 }
+            set56.add(v56): Unit
+          }
+          var c = 0
+          val hLim = math.min(4, numHashes - 4 * j)
+          while (c < hLim) {
+            val v = ((dig(4 * c) & 0xFFL) << 24) | ((dig(4 * c + 1) & 0xFFL) << 16) |
+              ((dig(4 * c + 2) & 0xFFL) << 8) | (dig(4 * c + 3) & 0xFFL)
+            val i = 4 * j + c
+            if (v < mins(i)) mins(i) = v
+            c += 1
+          }
+          j += 1
+        }
+      }
+      s += 1
+    }
+    val arr56 = new Array[Any](set56.size())
+    val it = set56.iterator()
+    var k = 0
+    while (it.hasNext) { arr56(k) = it.next().longValue(); k += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      if (!seen) null else new GenericArrayData(mins.map(l => l: Any)),
+      new GenericArrayData(arr56)))
+  }
+
   def minhashLongs(shingles: ArrayData, numHashes: Int): ArrayData = {
     val nSh = shingles.numElements()
     val nDig = (numHashes + 3) / 4
@@ -242,6 +308,32 @@ case class ShingleHash56(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.hash56($c)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHash56 =
+    copy(child = newChild)
+}
+
+/** `graft_minhash_h56(shingles, numHashes)` — see
+  * [[ShingleKernels.minhashH56]]: the fused minhash-signature +
+  * 56-bit-set kernel (struct of sig, h56) sharing the j = 0 digest.
+  */
+case class MinhashWithHash56(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes >= 1 && numHashes <= 64, "graft_minhash_h56: numHashes in [1, 64]")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    // sig is null on empty/all-null shingle arrays (minhashLongs'
+    // contract); h56 of such an array is the empty set
+    org.apache.spark.sql.types.StructField("sig",
+      ArrayType(LongType, containsNull = false), nullable = true),
+    org.apache.spark.sql.types.StructField("h56",
+      ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "graft_minhash_h56"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.minhashH56(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.minhashH56($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashWithHash56 =
     copy(child = newChild)
 }
 

@@ -89,6 +89,28 @@ object Dedup {
       }: _*)
   }
 
+  /** Fused signature + verify-set projection: every column of `df`
+    * except `shinglesCol`, plus mh0..mh{h-1} (the hex signature
+    * [[minhashSignatureExploded]] yields) and `hshingles` (the 56-bit
+    * set [[hashShingles56]] yields) — computed by ONE kernel
+    * (graft_minhash_h56) that digests each shingle (numHashes+3)/4
+    * times instead of the +1 the separate kernels paid (their j = 0
+    * digests are byte-identical — r13 verdict item 2). The LSH dedup
+    * pipelines cut (localCheckpoint) AFTER this projection, so the
+    * materialization carries 8-byte longs and hex chunks, never the
+    * shingle strings. Row contract identical to
+    * minhashSignatureExploded: empty/all-null shingle arrays drop.
+    */
+  def signatureAndHash56(df: DataFrame, shinglesCol: String, numHashes: Int): DataFrame = {
+    val keep = df.columns.filterNot(_ == shinglesCol).map(col).toSeq
+    val f = call_function("graft_minhash_h56", col(shinglesCol), lit(numHashes))
+    df.withColumn("__f", f)
+      .where(col("__f").getField("sig").isNotNull)
+      .select(keep ++ (0 until numHashes).map { i =>
+        lower(lpad(hex(element_at(col("__f").getField("sig"), i + 1)), 8, "0")).as(s"mh$i")
+      } :+ col("__f").getField("h56").as("hshingles"): _*)
+  }
+
   /** The pre-kernel explode + groupBy-min signature path, kept as the
     * cross-checked reference for ShingleKernelSpec. The min is taken
     * over the hex chunk parsed as a LONG: fixed-width hex is

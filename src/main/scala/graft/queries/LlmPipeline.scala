@@ -67,22 +67,22 @@ object LlmPipeline {
       FROM documents GROUP BY 1 ORDER BY h"""), headline = true),
 
     GraftQuery("l_dedup_minhash", (s, dir) => {
-      val sh = docs(s, dir)
-        .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
-        // 56-bit hashed set alongside the strings: signatures read the
-        // strings, the verify joins attach ONLY the longs — the corpus
-        // shingle-array exchange shrinks ~7x (r12 verdict item 1)
-        .withColumn("hshingles", Dedup.hashShingles56(col("shingles")))
-        // reused for signatures and candidate verification; localCheckpoint
-        // (not persist) so the materialization is GC-cleaned with the plan
-        // instead of pinned in the CacheManager across later queries
+      // Fused signature + 56-bit verify sets in ONE digest pass
+      // (r13 verdict item 2: the separate graft_minhash/graft_hash56
+      // kernels both md5'd the bare shingle — one redundant digest per
+      // shingle), and the cut materializes ONLY longs/hex chunks —
+      // the shingle strings never reach the checkpoint (the verify
+      // joins attach the longs; r12 item 1). localCheckpoint (not
+      // persist) so the materialization is GC-cleaned with the plan
+      // instead of pinned in the CacheManager across later queries.
+      val sh = Dedup.signatureAndHash56(
+          docs(s, dir).select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles")),
+          "shingles", numHashes = 8)
         .localCheckpoint()
-      val sig = Dedup.minhashSignatureExploded(sh, "doc_id", "shingles", numHashes = 8)
       // materialized: the candidate self-join reads bands TWICE, and
-      // without a cut Spark re-runs the whole explode+agg signature
-      // pipeline for each side (the broadcast side can't reuse the
-      // shuffle stage)
-      val bands = Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2)
+      // without a cut Spark re-runs the signature pipeline for each
+      // side (the broadcast side can't reuse the shuffle stage)
+      val bands = Dedup.lshBands(sh, "doc_id", numHashes = 8, rowsPerBand = 2)
         .localCheckpoint()
       val cand = Dedup.candidatePairs(bands, "doc_id")
       // shuffle_hash pins the shingle-set attach joins to SHUFFLED

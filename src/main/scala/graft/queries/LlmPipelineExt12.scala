@@ -96,13 +96,13 @@ object LlmPipelineExt12 {
       FROM n GROUP BY 1 ORDER BY norm_h"""), headline = true),
 
     GraftQuery("l_minhash_calib", (s, dir) => {
-      val sh = docs(s, dir)
-        .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
-        // hashed-long attach payload for the verify joins (r12 item 1)
-        .withColumn("hshingles", Dedup.hashShingles56(col("shingles")))
+      // fused signature + 56-bit verify sets, one digest pass, one
+      // string-free checkpoint (r13 item 2; attach longs per r12 item 1)
+      val sig = Dedup.signatureAndHash56(
+          docs(s, dir).select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles")),
+          "shingles", numHashes = 8)
         .localCheckpoint()
-      val sig = Dedup.minhashSignatureExploded(sh, "doc_id", "shingles", numHashes = 8)
-        .localCheckpoint()
+      val sh = sig
       val cand = Dedup.candidatePairs(
         Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2), "doc_id")
       val mhCols = (0 until 8).map(i => s"mh$i")

@@ -167,17 +167,18 @@ object LlmPipelineExt13 {
       val existingSrc = (0 to 4).map(i => s"src$i")
       val d = docs(s, dir)
       val isExisting = col("source").isin(existingSrc: _*)
-      val sh = d.select(col("doc_id"), isExisting.as("old"),
-          md5(col("text")).as("h"), Dedup.wordShingles(col("text"), 3).as("shingles"))
-        // hashed-long attach payload for the verify joins (r12 item 1)
-        .withColumn("hshingles", Dedup.hashShingles56(col("shingles")))
+      // fused signature + 56-bit verify sets, one digest pass, one
+      // string-free checkpoint (r13 item 2; attach longs per r12 item 1)
+      val sh = Dedup.signatureAndHash56(
+          d.select(col("doc_id"), isExisting.as("old"),
+            md5(col("text")).as("h"), Dedup.wordShingles(col("text"), 3).as("shingles")),
+          "shingles", numHashes = 8)
         .localCheckpoint()
       // exact membership: batch hashes vs the existing fingerprint set
       val oldHashes = sh.where(col("old")).select(col("h")).distinct()
         .withColumn("h_hit", lit(1L))
       // near-dup: banded LSH, but candidates are new×existing ONLY
-      val sig = Dedup.minhashSignatureExploded(sh, "doc_id", "shingles", numHashes = 8)
-      val bands = Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2)
+      val bands = Dedup.lshBands(sh, "doc_id", numHashes = 8, rowsPerBand = 2)
         .join(sh.select("doc_id", "old"), "doc_id").localCheckpoint()
       val cand = bands.where(!col("old")).select(col("band"), col("key"), col("doc_id").as("a"))
         .join(bands.where(col("old")).select(col("band"), col("key"), col("doc_id").as("b")),

@@ -90,16 +90,16 @@ object LlmPipelineExt17 {
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery("l_dedup_threshold_curve", (s, dir) => {
-      val sh = docs(s, dir)
-        .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
-        // hashed-long attach payload: the r12 sf100sub profile put ~1/3
-        // of wall in the 8.4 GB shingle-STRING-array exchange feeding
-        // the sa/sb verify joins (PLANS.md item 3); longs carry the
-        // same sets at 8 B/shingle
-        .withColumn("hshingles", Dedup.hashShingles56(col("shingles")))
+      // fused signature + 56-bit verify sets, one digest pass (r13
+      // item 2), and the checkpoint is string-free: the r12 sf100sub
+      // profile put ~1/3 of wall in the 8.4 GB shingle-STRING-array
+      // exchange feeding the sa/sb verify joins (PLANS.md item 3);
+      // longs carry the same sets at 8 B/shingle
+      val sh = Dedup.signatureAndHash56(
+          docs(s, dir).select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles")),
+          "shingles", numHashes = 8)
         .localCheckpoint()
-      val sig = Dedup.minhashSignatureExploded(sh, "doc_id", "shingles", numHashes = 8)
-      val bands = Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2)
+      val bands = Dedup.lshBands(sh, "doc_id", numHashes = 8, rowsPerBand = 2)
         .localCheckpoint()
       val j = Dedup.candidatePairs(bands, "doc_id")
         .join(sh.select(col("doc_id").as("a"), col("hshingles").as("sa")).hint("shuffle_hash"), "a")

@@ -148,11 +148,17 @@ object LlmPipelineExt18 {
       // normalization hash, shingle set), cut once — each rung then
       // works off the checkpoint instead of re-scanning and
       // re-shuffling the text table (measured 5.5s → see PLANS.md)
-      val d = docs(s, dir)
-        .select(col("doc_id"), md5(col("text")).as("raw_h"), md5(norm).as("norm_h"),
-          Dedup.wordShingles(col("text"), 3).as("shingles"))
-        // hashed-long attach payload for the verify joins (r12 item 1)
-        .withColumn("hshingles", Dedup.hashShingles56(col("shingles")))
+      // fused signature + 56-bit verify sets (r13 item 2): the
+      // signature is computed for ALL docs here, not just rung-2
+      // survivors — the exact/norm rungs remove a few percent, so one
+      // fused pass over everything costs less than hash56-everything
+      // plus minhash-over-survivors did, and the checkpoint drops the
+      // shingle strings entirely
+      val d = Dedup.signatureAndHash56(
+          docs(s, dir)
+            .select(col("doc_id"), md5(col("text")).as("raw_h"), md5(norm).as("norm_h"),
+              Dedup.wordShingles(col("text"), 3).as("shingles")),
+          "shingles", numHashes = 8)
         .localCheckpoint()
       // rung 1: exact
       val s1 = d.groupBy("raw_h").agg(min("doc_id").as("doc_id")).select("doc_id")
@@ -165,13 +171,13 @@ object LlmPipelineExt18 {
       // with the ids as the per-partition build side.
       val s2 = d.join(s1.hint("shuffle_hash"), "doc_id")
         .groupBy("norm_h").agg(min("doc_id").as("doc_id")).select("doc_id")
-      // rung 3: LSH near-dup over rung-2 survivors
+      // rung 3: LSH near-dup over rung-2 survivors (their fused
+      // signature columns ride along from the checkpoint)
       val sh2 = d.join(s2.hint("shuffle_hash"), "doc_id")
-        .select("doc_id", "shingles", "hshingles")
-      val sig = Dedup.minhashSignatureExploded(sh2, "doc_id", "shingles", numHashes = 8)
+        .drop("raw_h", "norm_h")
       // materialized: the candidate self-join reads bands twice (same
       // reason l_dedup_minhash cuts here)
-      val bands = Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2)
+      val bands = Dedup.lshBands(sh2, "doc_id", numHashes = 8, rowsPerBand = 2)
         .localCheckpoint()
       val cand = Dedup.candidatePairs(bands, "doc_id")
       val removed3 = cand
@@ -299,13 +305,13 @@ object LlmPipelineExt18 {
       // config. All probability arithmetic is truncating e4
       // fixed-point (identical multiply-div schedules both engines) —
       // no float pow, so the table is cross-engine exact.
-      val sh = docs(s, dir)
-        .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
-        // hashed-long attach payload for the verify joins (r12 item 1)
-        .withColumn("hshingles", Dedup.hashShingles56(col("shingles")))
+      // fused signature + 56-bit verify sets, one digest pass, one
+      // string-free checkpoint (r13 item 2; attach longs per r12 item 1)
+      val sh = Dedup.signatureAndHash56(
+          docs(s, dir).select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles")),
+          "shingles", numHashes = 8)
         .localCheckpoint()
-      val sig = Dedup.minhashSignatureExploded(sh, "doc_id", "shingles", numHashes = 8)
-      val bands = Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2)
+      val bands = Dedup.lshBands(sh, "doc_id", numHashes = 8, rowsPerBand = 2)
         .localCheckpoint()
       val hist = Dedup.candidatePairs(bands, "doc_id")
         .join(sh.select(col("doc_id").as("a"), col("hshingles").as("sa")).hint("shuffle_hash"), "a")

@@ -73,29 +73,41 @@ object LlmPipelineExt9 {
       cand AS (
         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+      hs AS (
+        SELECT doc_id, list_distinct(list_transform(s,
+          x -> CAST(('0x' || substr(md5(x), 1, 14)) AS BIGINT))) AS hs
+        FROM shl),
       e AS (
         SELECT cand.a, cand.b
-        FROM cand JOIN shl sa ON sa.doc_id = cand.a JOIN shl sb ON sb.doc_id = cand.b
-        WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                / len(list_distinct(sa.s || sb.s)) >= 0.5)"""
+        FROM cand JOIN hs sa ON sa.doc_id = cand.a JOIN hs sb ON sb.doc_id = cand.b
+        WHERE len(list_intersect(sa.hs, sb.hs)) * 2
+                >= len(list_distinct(sa.hs || sb.hs)))"""
 
   /** The Spark-side LSH near-dup edges (a, b) at Jaccard ≥ 0.5 —
     * shared by l_canonical_select and l_split_leakage.
     */
   private[queries] def lshEdges(d: DataFrame): DataFrame = {
-    val sh = d.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
+    // fused signature + 56-bit verify sets (r13 item 2): one digest
+    // pass, a string-free checkpoint, and the verify joins attach
+    // 8 B/shingle longs — this helper was the last LSH site still
+    // exchanging shingle STRING arrays (r12 item 1's 860 B/row shape).
+    // Jaccard ≥ 0.5 over the hashed sets is integer-exact and lands
+    // identically in the DuckDB oracle (md5 is standardized).
+    val sh = Dedup.signatureAndHash56(
+        d.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles")),
+        "shingles", numHashes = 8)
       .localCheckpoint()
-    val sig = Dedup.minhashSignatureExploded(sh, "doc_id", "shingles", numHashes = 8)
-    val bands = Dedup.lshBands(sig, "doc_id", numHashes = 8, rowsPerBand = 2)
+    val bands = Dedup.lshBands(sh, "doc_id", numHashes = 8, rowsPerBand = 2)
       .localCheckpoint()
     val cand = Dedup.candidatePairs(bands, "doc_id")
     cand
       // shuffle_hash: same statistics blind spot as every LSH-family
       // attach join (see l_dedup_minhash) — without it the corpus-sized
       // shingle table was statically broadcast (130 MB at sf1)
-      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")).hint("shuffle_hash"), "a")
-      .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")).hint("shuffle_hash"), "b")
-      .where(Dedup.jaccard(col("sa"), col("sb")) >= 0.5)
+      .join(sh.select(col("doc_id").as("a"), col("hshingles").as("sa")).hint("shuffle_hash"), "a")
+      .join(sh.select(col("doc_id").as("b"), col("hshingles").as("sb")).hint("shuffle_hash"), "b")
+      .where(size(array_intersect(col("sa"), col("sb"))) * 2
+        >= size(array_union(col("sa"), col("sb")))) // jac ≥ 0.5, integer
       .select("a", "b")
   }
 

@@ -295,6 +295,14 @@ class DocExamplesSpec extends SparkSpec {
     val want = Graft.query(spark, sfDir,
       s"SELECT payload FROM get_payload('$bp', '$bt', '$bs')").head().getAs[Array[Byte]](0)
     assert(reassembled == new String(want, "UTF-8"))
+    // malformed block ids get the FRIENDLY rejection, never a raw
+    // NumberFormatException (ADVICE r13: '12-3' used to pass the
+    // validation and crash in toLong)
+    Seq(s"$bp/$bt/12-3", s"$bp/$bt/99999999999999999999", s"$bp/$bt/-").foreach { badId =>
+      val e = intercept[Exception](Graft.query(spark, sfDir,
+        s"SELECT * FROM parse_block('$badId')"))
+      assert(e.getMessage.contains("block_id is"), s"for '$badId': ${e.getMessage}")
+    }
 
     // perfetto_trace_chunks(pid, 'both', begin, end) over the full
     // range == the oracle-registered m_perfetto_chunks rows for pid
@@ -320,14 +328,23 @@ class DocExamplesSpec extends SparkSpec {
   test("doc: admin table-function five — is_admin gated, command semantics") {
     val root = java.nio.file.Files.createTempDirectory("graft_admin_tf").toString
     try {
-      // non-admin: every admin name refuses (reference: not registered
-      // for non-admin sessions)
-      spark.conf.unset("spark.graft.admin")
+      // non-admin: the admin names are NOT REGISTERED (reference:
+      // registered only for is_admin sessions) — and the SQL surface
+      // cannot self-elevate: SET spark.graft.admin=true touches only
+      // the runtime conf, which the registration gate never reads
+      // (ADVICE r13: the gate keys on the SparkConf at registration).
       val denied = intercept[Exception](Graft.query(spark, sfDir,
         s"SELECT * FROM materialize_partitions('log_stats', '$root')"))
-      assert(denied.getMessage.contains("admin"))
+      assert(denied.getMessage.toLowerCase.contains("materialize_partitions"))
+      spark.sql("SET spark.graft.admin=true")
+      val stillDenied = intercept[Exception](Graft.query(spark, sfDir,
+        s"SELECT * FROM materialize_partitions('log_stats', '$root')"))
+      assert(stillDenied.getMessage.toLowerCase.contains("materialize_partitions"))
+      spark.conf.unset("spark.graft.admin")
 
-      spark.conf.set("spark.graft.admin", "true")
+      // host code with an authenticated admin registers explicitly —
+      // the only elevation path, unreachable from SQL
+      functions.ReferenceNames.registerAdmin(spark)
       // materialize_partitions builds the day-partitioned lake
       val mat = Graft.query(spark, sfDir,
         s"SELECT * FROM materialize_partitions('log_stats', '$root')").head()
@@ -369,6 +386,14 @@ class DocExamplesSpec extends SparkSpec {
     } finally {
       spark.conf.unset("spark.graft.admin")
       spark.conf.unset(functions.ReferenceNames.PartitionRootKey)
+      // de-register the admin five so the rest of the suite runs
+      // against the non-admin surface again
+      val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionState
+      Seq("retire_partitions", "materialize_partitions", "regenerate_partitions",
+        "retire_partition_by_file", "retire_partition_by_metadata").foreach { n =>
+        ss.tableFunctionRegistry.dropFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(n)): Unit
+      }
       val p = java.nio.file.Paths.get(root)
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse

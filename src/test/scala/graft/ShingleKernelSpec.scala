@@ -115,6 +115,43 @@ class ShingleKernelSpec extends SparkSpec {
     assert(mism === 0L, "hashed-set intersect/union diverged from string sets")
   }
 
+  test("fused minhash+h56 kernel equals both separate kernels (r13 item 2)") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "yy", "zzz", "0", "é", "日本")
+    val docs = Seq.tabulate(200) { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (999L, "") // degenerate: single empty-string shingle
+    val sh = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles"))
+      .localCheckpoint()
+    for (numHashes <- Seq(1, 4, 8)) {
+      val fused = sh.select(col("doc_id"),
+        call_function("graft_minhash_h56", col("shingles"), lit(numHashes)).as("f"))
+      val sep = sh.select(col("doc_id"),
+        call_function("graft_minhash", col("shingles"), lit(numHashes)).as("sig"),
+        Dedup.hashShingles56(col("shingles")).as("h56"))
+      val diff = fused.select(col("doc_id"), col("f.sig"), col("f.h56"))
+        .exceptAll(sep).union(
+          sep.exceptAll(fused.select(col("doc_id"), col("f.sig"), col("f.h56")))).collect()
+      assert(diff.isEmpty,
+        s"fused kernel (numHashes=$numHashes) diverges: ${diff.take(5).mkString("; ")}")
+    }
+    // the projection helper yields exactly minhashSignatureExploded's
+    // columns + hashShingles56, including the drop-empty row contract
+    val withEmpty = (sh.select(col("doc_id"), col("shingles"))
+      unionAll Seq((1000L, Seq.empty[String])).toDF("doc_id", "shingles"))
+    val got = Dedup.signatureAndHash56(withEmpty, "shingles", 8)
+    val want = Dedup.minhashSignatureExploded(withEmpty, "doc_id", "shingles", 8)
+      .join(withEmpty.select(col("doc_id"),
+        Dedup.hashShingles56(col("shingles")).as("hshingles")), "doc_id")
+    assert(got.columns.toSeq === (Seq("doc_id") ++ (0 until 8).map(i => s"mh$i") :+ "hshingles"))
+    val d2 = got.exceptAll(want).union(want.exceptAll(got)).collect()
+    assert(d2.isEmpty, s"signatureAndHash56 diverges: ${d2.take(5).mkString("; ")}")
+    assert(!got.select("doc_id").as[Long].collect().contains(1000L))
+  }
+
   test("minhash kernel matches the array-local HOF form too") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._

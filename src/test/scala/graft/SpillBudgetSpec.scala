@@ -120,6 +120,46 @@ class SpillBudgetSpec extends SparkSpec {
     } finally b.detach()
   }
 
+  test("e2e under the audit harness: cancel is recorded resource_exhausted, " +
+      "neighbors before/after are untouched (r13 item 5)") {
+    // The bench/verify harness shape: QueryAudit + SpillBudget both
+    // attached, a sweep of registry queries with ONE deliberately
+    // over-cap query in the middle. The cancel must land in the audit
+    // log as the resource class, the marker must never misfire on a
+    // neighbor, and the session must keep serving queries afterwards.
+    val audit = QueryAudit.attach(spark, maxRecords = 64)
+    val b = SpillBudget.attach(spark, 1L)
+    try {
+      def neighbor(name: String): Unit =
+        assert(SparkEntry.queries(name)(spark, sfDir).count() > 0L, name)
+      neighbor("q1_agg") // before: a healthy control
+      val e = intercept[Exception] {
+        withSpillForced { spillingCount(16) }
+      }
+      assert(QueryAudit.classifyCode(e) === "resource_exhausted")
+      // same session, immediately after the cancel: unaffected — both
+      // a scan-agg and an LSH-family query (shuffles, checkpoints)
+      neighbor("q1_agg")
+      neighbor("l_dedup_minhash")
+      // listener-bus dispatch is async: wait for the failure record
+      // and the last neighbor's ok records to land
+      awaitListener(audit.recordsRaw().exists(_.error_class == "resource") &&
+        audit.recordsRaw().count(_.status == "ok") >= 3)
+      val recs = audit.recordsRaw()
+      val resource = recs.filter(_.error_class == "resource")
+      assert(resource.nonEmpty, "the cancelled query must be audited as resource class")
+      assert(resource.forall(_.status == "error"))
+      // the namespaced marker appears ONLY on the cancelled execution —
+      // neighbors are status ok, no resource/internal class, and their
+      // messages never echo the marker (ADVICE r12's misfire guard)
+      val ok = recs.filter(_.status == "ok")
+      assert(ok.size >= 3, s"neighbors must succeed: ${recs.map(r => (r.status, r.error_class))}")
+      assert(ok.forall(r => r.error_class == "" &&
+        !r.error_message.contains(SpillBudget.CancelReason)))
+      assert(b.cancelCount.get() >= 1L)
+    } finally { b.detach(); audit.detach() }
+  }
+
   test("over budget: query fails with the cancel reason, classified resource_exhausted") {
     val b = SpillBudget.attach(spark, 1L)
     try {
