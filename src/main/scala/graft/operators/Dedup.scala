@@ -98,14 +98,26 @@ object Dedup {
     * digests are byte-identical — r13 verdict item 2). The LSH dedup
     * pipelines cut (localCheckpoint) AFTER this projection, so the
     * materialization carries 8-byte longs and hex chunks, never the
-    * shingle strings. Row contract identical to
-    * minhashSignatureExploded: empty/all-null shingle arrays drop.
+    * shingle strings.
+    *
+    * INPUT CONTRACT: `shinglesCol` must hold non-empty arrays of
+    * non-null shingles — exactly what [[wordShingles]] yields for
+    * EVERY input (the empty string shingles to [""], one element).
+    * The contract is load-bearing for performance: the first cut
+    * filtered `__f.sig IS NOT NULL` here (minhashSignatureExploded's
+    * drop-empties contract), and Catalyst's predicate pushdown sank
+    * that filter below the projection, re-evaluating the ENTIRE
+    * shingle+digest kernel a second time per row (measured 1.45x on
+    * l_dedup_minhash at sf10 — there is no `let` across a
+    * Filter/Project boundary, and whole-stage codegen only eliminates
+    * common subexpressions within one operator). On empty input the
+    * mh columns come out null instead of the row dropping; no caller
+    * can produce one.
     */
   def signatureAndHash56(df: DataFrame, shinglesCol: String, numHashes: Int): DataFrame = {
     val keep = df.columns.filterNot(_ == shinglesCol).map(col).toSeq
     val f = call_function("graft_minhash_h56", col(shinglesCol), lit(numHashes))
     df.withColumn("__f", f)
-      .where(col("__f").getField("sig").isNotNull)
       .select(keep ++ (0 until numHashes).map { i =>
         lower(lpad(hex(element_at(col("__f").getField("sig"), i + 1)), 8, "0")).as(s"mh$i")
       } :+ col("__f").getField("h56").as("hshingles"): _*)

@@ -139,17 +139,29 @@ class ShingleKernelSpec extends SparkSpec {
         s"fused kernel (numHashes=$numHashes) diverges: ${diff.take(5).mkString("; ")}")
     }
     // the projection helper yields exactly minhashSignatureExploded's
-    // columns + hashShingles56, including the drop-empty row contract
-    val withEmpty = (sh.select(col("doc_id"), col("shingles"))
-      unionAll Seq((1000L, Seq.empty[String])).toDF("doc_id", "shingles"))
-    val got = Dedup.signatureAndHash56(withEmpty, "shingles", 8)
-    val want = Dedup.minhashSignatureExploded(withEmpty, "doc_id", "shingles", 8)
-      .join(withEmpty.select(col("doc_id"),
+    // columns + hashShingles56 on its contractual input (wordShingles
+    // output — never an empty array: even "" shingles to [""])
+    val inp = sh.select(col("doc_id"), col("shingles"))
+    val got = Dedup.signatureAndHash56(inp, "shingles", 8)
+    val want = Dedup.minhashSignatureExploded(inp, "doc_id", "shingles", 8)
+      .join(inp.select(col("doc_id"),
         Dedup.hashShingles56(col("shingles")).as("hshingles")), "doc_id")
     assert(got.columns.toSeq === (Seq("doc_id") ++ (0 until 8).map(i => s"mh$i") :+ "hshingles"))
     val d2 = got.exceptAll(want).union(want.exceptAll(got)).collect()
     assert(d2.isEmpty, s"signatureAndHash56 diverges: ${d2.take(5).mkString("; ")}")
-    assert(!got.select("doc_id").as[Long].collect().contains(1000L))
+    // performance pin: the kernel must appear EXACTLY ONCE in the
+    // executed plan — the first cut's drop-empties filter was
+    // predicate-pushed below the projection and re-evaluated the
+    // whole shingle+digest kernel per row (1.45x on l_dedup_minhash
+    // at sf10)
+    val planStr = Dedup.signatureAndHash56(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shingles")),
+      "shingles", 8).queryExecution.executedPlan.toString
+    assert("graft_minhash_h56".r.findAllIn(planStr).length === 1,
+      s"fused kernel must evaluate once, plan:\n${planStr.take(2000)}")
+    assert("graft_shingles".r.findAllIn(planStr).length === 1,
+      s"shingle kernel must evaluate once, plan:\n${planStr.take(2000)}")
   }
 
   test("minhash kernel matches the array-local HOF form too") {
