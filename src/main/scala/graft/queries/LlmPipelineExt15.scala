@@ -119,8 +119,16 @@ object LlmPipelineExt15 {
 
     GraftQuery("l_dedup_impact", (s, dir) => {
       val norm = call_function("graft_normalize", col("text"))
+      // localCheckpoint: d feeds BOTH join sides (rows + the keeper
+      // election), and the join on h was inferring isnotnull(h) and
+      // pushing it below the projection — the normalize kernel (a
+      // full text pass) evaluated once in the filter and once in the
+      // projection, on each of the two scans (ScaleInvariantSpec's
+      // kernel-in-filter net caught it). The cut materializes 4
+      // narrow columns once; the kernel runs exactly once per row.
       val d = docs(s, dir).select(col("doc_id"), col("source"), md5(norm).as("h"),
         TextAnalysis.tokenCount(col("text")).as("toks"))
+        .localCheckpoint()
       val keep = d.groupBy("h").agg(min("doc_id").as("keep_id"))
       d.join(keep, "h")
         .withColumn("kept", (col("doc_id") === col("keep_id")).cast("long"))

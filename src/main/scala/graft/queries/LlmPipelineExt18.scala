@@ -74,10 +74,18 @@ object LlmPipelineExt18 {
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery("l_quality_threshold_curve", (s, dir) => {
+      // localCheckpoint: scored feeds the total AND the grid
+      // expansion, and the threshold predicate was inferring
+      // isnotnull(q10k) and pushing it below the projection — the
+      // textstats kernel (a full text pass) evaluated once in the
+      // filter and once in the projection (ScaleInvariantSpec's
+      // kernel-in-filter net caught it). The cut materializes two
+      // longs per doc once; the kernel runs exactly once per row.
       val scored = docs(s, dir).select(
         round(TextAnalysis.qualityScore(col("text")) * lit(10000.0), 0)
           .cast("long").as("q10k"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        .localCheckpoint()
       val tot = scored.agg(sum("toks").as("total_tokens"))
       val grid = s.createDataFrame((0 to 9).map(i => Tuple1(i * 1000L)))
         .toDF("threshold_e4")

@@ -86,4 +86,47 @@ class ScaleInvariantSpec extends SparkSpec {
     assert(violations.result().isEmpty,
       "scale invariants violated:\n" + violations.result().mkString("\n"))
   }
+
+  /** Per-row-expensive kernels: a byte scan or a digest chain per row.
+    * Cheap scalar kernels (graft_round, graft_property_get, graft_dot,
+    * graft_l2sq) are legitimate in predicates and excluded.
+    */
+  private val expensiveKernels = Seq("graft_shingles", "graft_minhash",
+    "graft_minhash_h56", "graft_hash56", "graft_textstats",
+    "graft_normalize", "graft_md5min", "graft_pq_encode")
+
+  test("no expensive kernel inside a Filter: the pushdown-duplication net") {
+    // Round-14 shipped a measured 1.45x regression for one bench run:
+    // a drop-empties filter on the fused kernel's struct output was
+    // predicate-pushed below its projection, so the WHOLE
+    // shingle+digest kernel evaluated twice per row (Filter + Project
+    // — whole-stage codegen eliminates common subexpressions only
+    // WITHIN one operator). The shape generalizes: an expensive kernel
+    // inside ANY FilterExec condition means either that duplication or
+    // a filter doing per-row kernel work a projection should own —
+    // both wrong. ShingleKernelSpec pins the one fixed site; this net
+    // pins every registered query, so the next refactor fails a test,
+    // not a bench round.
+    val violations = Seq.newBuilder[String]
+    SparkEntry.allQueries.foreach { q =>
+      val plan = q.fn(spark, sfDir).queryExecution.executedPlan
+      walk(plan) {
+        case f: org.apache.spark.sql.execution.FilterExec =>
+          val cond = f.condition.toString
+          expensiveKernels.filter(cond.contains).foreach { k =>
+            violations += s"${q.name}: $k inside Filter: ${cond.take(120)}"
+          }
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          val df = s.dataFilters.mkString(";")
+          expensiveKernels.filter(df.contains).foreach { k =>
+            violations += s"${q.name}: $k inside scan DataFilters: ${df.take(120)}"
+          }
+        case _ => ()
+      }
+    }
+    assert(violations.result().isEmpty,
+      "expensive kernel evaluating inside a filter (likely duplicated " +
+        "against its projection by predicate pushdown):\n" +
+        violations.result().mkString("\n"))
+  }
 }
