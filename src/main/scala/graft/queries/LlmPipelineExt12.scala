@@ -258,8 +258,18 @@ object LlmPipelineExt12 {
       // per-shingle expansion at cap² and keeps total pairs linear in
       // corpus size; collect_list order is irrelevant (all ordered
       // pairs of a set are enumerated whatever the order).
+      // The whole pipeline runs in the 56-BIT HASHED shingle space
+      // (r14, the r13 verify-join trick applied to the posting-list
+      // build): the groupBy-shingle exchange is this query's dominant
+      // cost, and an 8-byte long key both halves the exchanged bytes
+      // (vs ~30 B avg shingle strings) and hashes/compares integers in
+      // the aggregate. Set structure is preserved up to md5-56
+      // collisions, which land IDENTICALLY in the DuckDB oracle (same
+      // standardized digests — sz/df/shared all move together), so
+      // cross-engine exactness holds by construction.
       val sh = docs(s, dir)
-        .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("s"))
+        .select(col("doc_id"),
+          Dedup.hashShingles56(Dedup.wordShingles(col("text"), 3)).as("s"))
       // explode_OUTER, then drop the (never-occurring) null row:
       // plain explode lets InferFiltersFromGenerate add `size(s) > 0`,
       // and predicate pushdown carries that below the repartition
@@ -290,7 +300,11 @@ object LlmPipelineExt12 {
         .orderBy("a", "b")
     }, Some(s"""
       WITH tok AS (SELECT doc_id, $oracleTokens AS t FROM documents),
-      sh AS (SELECT doc_id, $oracleShingles3 AS s FROM tok),
+      shs AS (SELECT doc_id, $oracleShingles3 AS s0 FROM tok),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(s0,
+          x -> CAST(('0x' || substr(md5(x), 1, 14)) AS BIGINT))) AS s
+        FROM shs),
       ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
       sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM ex GROUP BY 1),
       p AS (
