@@ -77,6 +77,13 @@ object Dedup {
     * oracle computes.)
     */
   def minhashSignatureExploded(df: DataFrame, idCol: String, shinglesCol: String, numHashes: Int): DataFrame = {
+    // NOTE (r14): production LSH pipelines use [[signatureAndHash56]]
+    // instead — it digests once for signature AND verify sets, and it
+    // avoids this method's `__sig IS NOT NULL` filter, which predicate
+    // pushdown duplicates below the projection (the whole kernel then
+    // evaluates twice per row; ScaleInvariantSpec's kernel-in-filter
+    // net fails any registered query that reintroduces the shape).
+    // Kept as the spec-pinned cross-check reference.
     val withSig = df.select(col(idCol),
       call_function("graft_minhash", col(shinglesCol), lit(numHashes)).as("__sig"))
     // The kernel yields a null signature for empty/all-null shingle
