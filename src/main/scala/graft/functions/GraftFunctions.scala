@@ -76,6 +76,14 @@ object GraftFunctions {
       require(args.length == 1, "graft_hash56(shingles)")
       ShingleHash56(args(0))
     },
+    "graft_tokens" -> { args =>
+      require(args.length == 1, "graft_tokens(text)")
+      WhitespaceTokensKernel(Cast(args(0), org.apache.spark.sql.types.StringType))
+    },
+    "graft_bpeish" -> { args =>
+      require(args.length == 1, "graft_bpeish(text)")
+      BpeishCount(Cast(args(0), org.apache.spark.sql.types.StringType))
+    },
     "graft_minhash_h56" -> { args =>
       require(args.length == 2 && args(1).foldable,
         "graft_minhash_h56(shingles, numHashes) — numHashes must be a literal")
@@ -156,6 +164,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jsonb_array_elements"),
       new ExpressionInfo("graft.functions", "jsonb_array_elements"),
       args => ReferenceNames.jsonbArrayElementsBuilder(SparkSession.active)(args)))
+    ext.injectTableFunction((
+      FunctionIdentifier("expand_histogram"),
+      new ExpressionInfo("graft.functions", "expand_histogram"),
+      args => ReferenceNames.expandHistogramBuilder(SparkSession.active)(args)))
     ext.injectResolutionRule(session => graft.plans.TimeRangeRewrite(session))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)

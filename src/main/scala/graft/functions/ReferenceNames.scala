@@ -293,6 +293,62 @@ object ReferenceNames {
       .queryExecution.logical
   }
 
+  /** `expand_histogram(histogram)` — the reference's histogram UDTF
+    * (datafusion-extensions/src/histogram/expand.rs, registered in
+    * lib.rs:58): one histogram — typically a scalar subquery over
+    * `make_histogram` — expanded to (bin_center Float64, count) rows.
+    * The row synthesis is [[Histograms.expand]], the operator the
+    * oracle-checked `m_histo_expand` pins (shared, never forked); on
+    * top of it this verbatim form adds the reference's two documented
+    * edge cases: a NULL histogram expands to zero rows (posexplode of
+    * null already does), and a zero-width range (start == end within
+    * f64 epsilon) uses unit bin width (expand.rs:104-108).
+    */
+  def expandHistogramBuilder(spark: SparkSession)(args: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    import org.apache.spark.sql.catalyst.plans.logical.{OneRowRelation, Project}
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    require(args.length == 1, "expand_histogram(histogram)")
+    args.head match {
+      // a bare NULL literal expands to zero rows (expand.rs:92-94);
+      // handled here because NullType has no `start`/`bins` fields to
+      // resolve against. A null histogram VALUE from a subquery takes
+      // the normal path — posexplode of a null array emits nothing.
+      case l: Literal if l.value == null =>
+        return spark.range(0)
+          .select(org.apache.spark.sql.functions.lit(0.0).as("bin_center"),
+            org.apache.spark.sql.functions.lit(0L).as("count"))
+          .queryExecution.logical
+      case _ => ()
+    }
+    val src = args.head match {
+      // the documented usage: expand_histogram((SELECT make_histogram(...) FROM ...))
+      case s: ScalarSubquery => Shim.ofRows(spark, s.plan)
+      // any other expression: evaluate it once over a one-row relation,
+      // exactly expand.rs's LogicalPlanBuilder::empty(true).project(expr)
+      case other => Shim.ofRows(spark, Project(Seq(Alias(other, "h")()), OneRowRelation()))
+    }
+    require(src.schema.length == 1,
+      s"expand_histogram: the argument must produce exactly one histogram column, " +
+        s"got ${src.schema.length}")
+    // the subquery's output column is often named after the aggregate
+    // call ("make_histogram(0.0, …)") — dots and parens a col() lookup
+    // would misparse; rename it
+    val renamed = src.toDF("h")
+    val h = col("h")
+    val eps = lit(2.220446049250313e-16) // f64::EPSILON, expand.rs:104
+    val zeroWidth = abs(h.getField("end") - h.getField("start")) < eps
+    val width = when(zeroWidth, lit(1.0))
+      .otherwise((h.getField("end") - h.getField("start")) / size(h.getField("bins")).cast("double"))
+    renamed.select(h.getField("start").as("__start"), width.as("__width"),
+        posexplode(h.getField("bins")).as(Seq("__idx", "count")))
+      .select((col("__start") + (col("__idx").cast("double") + lit(0.5)) * col("__width"))
+          .as("bin_center"),
+        col("count").cast("long").as("count"))
+      .queryExecution.logical
+  }
+
   // -------------------------------------------------------------------
   // Remaining lakehouse table functions (reference query.rs:104-176):
   // list_partitions / list_view_sets / process_spans / parse_block /
@@ -565,6 +621,8 @@ object ReferenceNames {
       "jsonb_each", jsonbEachBuilder(spark), "scala_udf")
     ss.tableFunctionRegistry.createOrReplaceTempFunction(
       "jsonb_array_elements", jsonbArrayElementsBuilder(spark), "scala_udf")
+    ss.tableFunctionRegistry.createOrReplaceTempFunction(
+      "expand_histogram", expandHistogramBuilder(spark), "scala_udf")
     ss.tableFunctionRegistry.createOrReplaceTempFunction(
       "list_partitions", listPartitionsBuilder(spark), "scala_udf")
     ss.tableFunctionRegistry.createOrReplaceTempFunction(

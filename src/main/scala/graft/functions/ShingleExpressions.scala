@@ -115,6 +115,78 @@ object ShingleKernels {
     UTF8String.fromBytes(out)
   }
 
+  /** Whitespace token array, byte-for-byte equal to the composed form
+    * `split(trim(text), "\\s+")` (the form the DuckDB oracles keep as
+    * `string_split_regex(trim(text), '\s+')`). The SAME boundary
+    * scanner as [[shingles]] — trim strips 0x20 only; Pattern.split(s,
+    * -1) keeps one leading and one trailing empty token around
+    * separator runs; "" → [""] — emitted as the token array instead of
+    * joined n-grams. Exists because the BPE family (Bpe.tokens) and
+    * the explode-a-token-stream queries paid a java.util.regex split
+    * per row for the exact boundaries this scanner already finds
+    * (VERDICT r14 item 3: l_bpe_merge's linear term).
+    */
+  def tokens(text: UTF8String): ArrayData = {
+    val b = text.getBytes
+    var lo = 0
+    var hi = b.length
+    while (lo < hi && b(lo) == ' ') lo += 1
+    while (hi > lo && b(hi - 1) == ' ') hi -= 1
+    val out = new java.util.ArrayList[Any]()
+    var pos = lo
+    var i = lo
+    while (i < hi) {
+      if (isWs(b(i))) {
+        out.add(UTF8String.fromBytes(b, pos, i - pos))
+        i += 1
+        while (i < hi && isWs(b(i))) i += 1
+        pos = i
+      } else i += 1
+    }
+    out.add(UTF8String.fromBytes(b, pos, hi - pos)) // final token (empty if trailing run)
+    new GenericArrayData(out.toArray)
+  }
+
+  /** BPE-ish pre-tokenizer match COUNT in one byte pass, equal to
+    * `size(regexp_extract_all(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))`
+    * (TextAnalysis.bpeishTokenCount's composed form, which the DuckDB
+    * oracles keep). Regex repeated-find semantics reproduced exactly:
+    * at each position, a letter starts a maximal letter run (one
+    * match), a digit starts a maximal digit run (one match), Java \s
+    * (ASCII-only) advances without matching, and any other CODE POINT
+    * — ASCII symbol or non-ASCII — is one single-char match of the
+    * third alternative (counted at UTF-8 lead bytes, like the
+    * TextStatsKernels code-point counters).
+    */
+  def bpeishCount(text: UTF8String): Long = {
+    val b = text.getBytes
+    val n = b.length
+    var i = 0
+    var count = 0L
+    while (i < n) {
+      val c = b(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) {
+        count += 1
+        i += 1
+        while (i < n && ((b(i) >= 'A' && b(i) <= 'Z') || (b(i) >= 'a' && b(i) <= 'z'))) i += 1
+      } else if (c >= '0' && c <= '9') {
+        count += 1
+        i += 1
+        while (i < n && b(i) >= '0' && b(i) <= '9') i += 1
+      } else if (isWs(c)) {
+        i += 1
+      } else {
+        // one code point: ASCII symbol is 1 byte; a non-ASCII lead
+        // byte (>= 0xC0 as unsigned) is followed by continuation
+        // bytes (0x80..0xBF) that belong to the same match
+        count += 1
+        i += 1
+        while (i < n && (b(i) & 0xC0) == 0x80) i += 1
+      }
+    }
+    count
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -293,6 +365,38 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.shingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** `graft_tokens(text)` — see [[ShingleKernels.tokens]]. */
+case class WhitespaceTokensKernel(child: Expression) extends UnaryExpression {
+  // containsNull matches split()'s conservative nullability (elements
+  // are never actually null)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WhitespaceTokensKernel =
+    copy(child = newChild)
+}
+
+/** `graft_bpeish(text)` — see [[ShingleKernels.bpeishCount]]. */
+case class BpeishCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bpeish"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.bpeishCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.bpeishCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeishCount =
     copy(child = newChild)
 }
 

@@ -119,7 +119,10 @@ object Dedup {
     * Filter/Project boundary, and whole-stage codegen only eliminates
     * common subexpressions within one operator). On empty input the
     * mh columns come out null instead of the row dropping; no caller
-    * can produce one.
+    * can produce one, and even if one did, [[lshBands]]' band keys are
+    * null-propagating, so an all-null signature never forms a shared
+    * band bucket (it just never becomes a candidate — the same
+    * observable outcome as the historical row drop).
     */
   def signatureAndHash56(df: DataFrame, shinglesCol: String, numHashes: Int): DataFrame = {
     val keep = df.columns.filterNot(_ == shinglesCol).map(col).toSeq
@@ -153,14 +156,25 @@ object Dedup {
 
   /** LSH banding: rows (doc_id, band, key) where key hashes `rowsPerBand`
     * consecutive minhashes. Equal keys in a band = candidate pair.
+    *
+    * The key concatenation is NULL-PROPAGATING (`concat`, not
+    * `concat_ws`, which SKIPS nulls): a null signature — e.g. a null
+    * text reaching [[signatureAndHash56]], whose mh columns then come
+    * out all-null — yields a null band key, and the candidate
+    * equi-join drops null keys, so such rows can never congregate in a
+    * shared md5("") bucket and fan out O(k^2) spurious pairs
+    * (ADVICE r14). For non-null signatures the two forms are
+    * byte-identical, and null propagation is exactly what the DuckDB
+    * oracles' `sig[i] || '|' || sig[j]` computes.
     */
   def lshBands(sig: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       s"lshBands: numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
-      val key = md5(concat_ws("|",
-        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+      val key = md5(concat(
+        (0 until rowsPerBand).flatMap(r =>
+          Seq(col(s"mh${b * rowsPerBand + r}"), lit("|"))).dropRight(1): _*))
       struct(lit(b).as("band"), key.as("key"))
     }
     sig.select(col(idCol), explode(array(bands: _*)).as("bk"))

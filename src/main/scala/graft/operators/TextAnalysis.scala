@@ -11,7 +11,20 @@ object TextAnalysis {
 
   val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
-  def whitespaceTokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace token array — native byte-scan kernel
+    * (graft.functions.ShingleKernels.tokens), byte-identical to the
+    * composed `split(trim(text), "\\s+")` it replaced (which the
+    * DuckDB oracles keep and TokenKernelSpec property-checks): the
+    * java.util.regex split was the dominant linear CPU term of the BPE
+    * family (VERDICT r14 item 3).
+    */
+  def whitespaceTokens(text: Column): Column = call_function("graft_tokens", text)
+
+  /** The pre-kernel composed form of [[whitespaceTokens]], kept as the
+    * cross-checked reference (TokenKernelSpec asserts kernel ==
+    * composed on adversarial and random inputs).
+    */
+  def whitespaceTokensComposed(text: Column): Column = split(trim(text), "\\s+")
 
   /** One-pass integer stats struct (graft.functions.TextStatsKernels):
     * all the primitives below read fields off this ONE deterministic
@@ -30,12 +43,34 @@ object TextAnalysis {
     */
   def textStats(text: Column): Column = stats(text)
 
+  /** The stats struct bound ONCE per row through a Generate barrier:
+    * `explode(array(stats))` evaluates the kernel exactly once in the
+    * GenerateExec, and — unlike a plain projection — a downstream
+    * filter on the output fields CANNOT be predicate-pushed back
+    * through it (PushPredicateThroughNonJoin never moves a predicate
+    * referencing generator output below its Generate). Use this when a
+    * GATE reads several stats fields: alias-substituting pushdown
+    * otherwise lands the whole kernel inside a FilterExec, which does
+    * no subexpression elimination across conjuncts — the kernel then
+    * re-evaluates once per conjunct per row (ScaleInvariantSpec's
+    * kernel-in-filter net caught l_curation_pipeline/_v2 doing exactly
+    * this the moment it learned to see pre-checkpoint segments,
+    * ADVICE r14).
+    */
+  def explodedStats(text: Column): Column = explode(array(stats(text)))
+
   def tokenCount(text: Column): Column = stats(text).getField("n_tokens")
 
   /** BPE-ish token count: alpha runs, digit runs, and single symbols —
-    * the usual pre-tokenizer shape.
+    * the usual pre-tokenizer shape. Native one-pass kernel
+    * (ShingleKernels.bpeishCount); [[bpeishTokenCountComposed]] is the
+    * regex form it is property-checked against (TokenKernelSpec), and
+    * the one the DuckDB oracles keep.
     */
-  def bpeishTokenCount(text: Column): Column =
+  def bpeishTokenCount(text: Column): Column = call_function("graft_bpeish", text)
+
+  /** The pre-kernel composed form of [[bpeishTokenCount]]. */
+  def bpeishTokenCountComposed(text: Column): Column =
     size(call_function("regexp_extract_all", text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
   def punctRatio(text: Column): Column =

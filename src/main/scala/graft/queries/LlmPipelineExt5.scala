@@ -279,17 +279,24 @@ object LlmPipelineExt5 {
       val t = whitespaceTokens(col("text"))
       val base = docsWide(s, dir)
       // the C4 gate reads one graft_textstats scan (kernel ==
-      // composed forms, TextStatsKernelSpec)
-      val st = graft.operators.TextAnalysis.textStats(col("text"))
-      val c4 = base.select(col("doc_id"), col("lang"),
-          st.getField("n_tokens").as("n_words"),
-          st.getField("max_tok_len").as("max_wlen"),
-          st.getField("n_digits").as("n_digits"),
-          st.getField("n_chars").as("n_chars"),
-          st.getField("has_the").as("has_stop"),
-          md5(col("text")).as("fp"))
+      // composed forms, TextStatsKernelSpec), bound once per row
+      // through the Generate barrier: with a plain projection the
+      // gate's four conjuncts alias-substitute into a FilterExec below
+      // it, re-evaluating the WHOLE kernel per conjunct per row
+      // (FilterExec does no subexpression elimination — the
+      // kernel-in-filter net's finding, ADVICE r14)
+      val c4 = base.select(col("doc_id"), col("lang"), md5(col("text")).as("fp"),
+          graft.operators.TextAnalysis.explodedStats(col("text")).as("st"))
+        .select(col("doc_id"), col("lang"), col("fp"),
+          col("st.n_tokens").as("n_words"),
+          col("st.max_tok_len").as("max_wlen"),
+          col("st.n_digits").as("n_digits"),
+          col("st.n_chars").as("n_chars"),
+          col("st.has_the").as("has_stop"))
         .where(col("n_words") >= 20 && col("has_stop") === 1 &&
           col("max_wlen") <= 12 && col("n_digits") * 10 < col("n_chars"))
+        .select(col("doc_id"), col("lang"), col("n_words"), col("max_wlen"),
+          col("n_digits"), col("n_chars"), col("has_stop"), col("fp"))
       // bloom gate: bits from the reference slice over ALL docs;
       // probes are the C4 survivors outside it
       val hashes = base.select(col("doc_id"), md5(col("text")).as("fp")).select(

@@ -30,6 +30,16 @@ object Shim {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
     classic.ExpressionUtils.column(e)
 
+  /** Drain the shared listener bus (`SparkContext.listenerBus` is
+    * private[spark]) — QueryExecutionListener callbacks ride
+    * SparkListenerSQLExecutionEnd events asynchronously, so a test
+    * that collects executed plans via a listener must drain before
+    * reading its buffer (ScaleInvariantSpec's pre-checkpoint plan
+    * capture).
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Idempotently append a planner strategy to a session we didn't
     * build (driver-owned sessions can't go through withExtensions).
     */

@@ -248,6 +248,36 @@ class DocExamplesSpec extends SparkSpec {
     assert(bytes.length.toLong == want.getAs[Long]("payload_bytes"))
   }
 
+  test("doc: expand_histogram table function (lib.rs:58, expand.rs)") {
+    // the reference's documented usage verbatim (expand.rs doc
+    // comment): a scalar subquery over make_histogram
+    val rows = Graft.query(spark, sfDir,
+      """SELECT bin_center, count FROM expand_histogram(
+           (SELECT make_histogram(0.0, 100.0, 10, value)
+            FROM measures WHERE name = 'purchase'))
+         ORDER BY bin_center""").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(1)).sum > 0)
+    // pinned against the oracle-checked operator path (m_histo_expand's
+    // Histograms.expand — shared semantics, never forked)
+    val h = new Lakehouse(spark, sfDir).measures.where(col("name") === "purchase")
+      .agg(Histograms.makeHistogram(0.0, 100.0, 10, col("value")).as("h"))
+    val want = Histograms.expand(h, col("h"), Seq.empty).orderBy("bin_idx")
+      .select(col("bin_center"), col("count").cast("long")).collect()
+    assert(rows.map(r => (r.getDouble(0), r.getLong(1))).toSeq ==
+      want.map(r => (r.getDouble(0), r.getLong(1))).toSeq)
+    // edge cases the reference documents: NULL expands to zero rows
+    // (expand.rs:92); zero-width range uses unit bin width (expand.rs:104)
+    assert(Graft.query(spark, sfDir,
+      "SELECT * FROM expand_histogram(NULL)").collect().isEmpty)
+    val zw = Graft.query(spark, sfDir,
+      """SELECT bin_center FROM expand_histogram(
+           (SELECT make_histogram(5.0, 5.0, 4, value)
+            FROM measures WHERE name = 'purchase'))
+         ORDER BY bin_center""").collect()
+    assert(zw.map(_.getDouble(0)).toSeq == Seq(5.5, 6.5, 7.5, 8.5))
+  }
+
   test("doc: remaining lakehouse table-function names resolve in SQL (query.rs:104-176)") {
     // list_view_sets() — one row per registered view set, schema hash
     // matching the M49 schema-version hash of the view's plan schema
