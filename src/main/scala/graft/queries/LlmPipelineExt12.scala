@@ -238,26 +238,41 @@ object LlmPipelineExt12 {
       val dfCap = 50L // posting-list cap: a shingle shared by > cap docs
                       // is boilerplate, not evidence — and the cap is what
                       // bounds join fan-out at corpus scale
-      // ONE text pass, TWO exchanges, NO joins (r10 stage profile,
-      // iterated twice):
+      // ONE text pass, ONE exchange-by-shingle (written once, REUSED by
+      // every consumer), zero object aggregation. Shape history, three
+      // rounds of stage profiles deep:
       //  - the original df-table + posting-self-join shape scanned-and-
-      //    shingled the corpus twice, partial-agg'd the 26M-row exploded
-      //    table twice, and Spark silently picked a 3.4 GB BROADCAST for
-      //    the self-join at sf10 (static post-explode size estimates
-      //    undershoot the threshold) — fatal at 1000 executors;
-      //  - the intermediate list-based shape still shuffled the 80M-row
-      //    pair table twice more to join per-doc shingle counts.
-      // Final shape: per-doc size rides INSIDE the posting list entry
-      // (it is known before the explode — wordShingles is distinct'ed,
-      // so sz = size(s)), df + the capped posting list are computed in
-      // ONE aggregate behind ONE exchange by shingle, pairs explode in
-      // place, and the pair aggregate groups by (a, sz_a, b, sz_b) —
-      // sz is functionally dependent on the doc id, so the grouping
-      // cardinality is unchanged and no size join is ever needed. The
-      // df cap (df=1 can never pair; df>cap is boilerplate) bounds the
-      // per-shingle expansion at cap² and keeps total pairs linear in
-      // corpus size; collect_list order is irrelevant (all ordered
-      // pairs of a set are enumerated whatever the order).
+      //    shingled the corpus TWICE and Spark silently picked a 3.4 GB
+      //    broadcast for the self-join at sf10 — fatal at 1000
+      //    executors;
+      //  - the r10-r14 posting-list shape (ONE groupBy-shingle
+      //    collect_list, pairs exploded in place) fixed all of that but
+      //    broke at the THIRD decade (r15 sf100sub StageProfile): the
+      //    collect_list final ObjectHashAggregate inflates its 64 MB
+      //    AQE partitions ~20x into object state and spilled 134 GB,
+      //    and the map-side pair partial agg built an 84 GB hash for a
+      //    1% reduction (856M of 863M rows survived partial agg — pairs
+      //    are near-unique within a map partition) and spilled 93 GB.
+      // Final shape — window-pairing: df via window count over the ONE
+      // sorted-by-shingle exchange, cap filter, then collect_list AS A
+      // WINDOW FUNCTION over the same runs (state = one capped group,
+      // ≤ dfCap rows — never a hash of all lists), pairs exploded per
+      // row in place, and the pair aggregate runs AFTER an explicit
+      // repartition by (a, b) so every duplicate pair is co-located and
+      // the partial agg achieves full reduction in the post-shuffle
+      // stage instead of building giant map-side hashes: raw pair rows
+      // are 4 longs, and shuffling them beats shuffling an un-reduced
+      // aggregation state row for row. (A checkpoint + self-join
+      // variant measured WORSE at sf100sub: materializing 249M capped
+      // rows round-trips ~15 GB through storage.)
+      // sz rides the window (known before the explode —
+      // wordShingles is distinct'ed, so sz = size(s)); grouping by
+      // (a, b, sz_a, sz_b) leaves cardinality unchanged (sz is
+      // functionally dependent on the doc id), so no size join is ever
+      // needed. The df cap (df=1 can never pair; df>cap is boilerplate)
+      // bounds the per-shingle expansion at cap² and keeps total pairs
+      // linear in corpus size (measured: 9.6x pairs per 10x docs,
+      // sf10 -> sf100sub).
       // The whole pipeline runs in the 56-BIT HASHED shingle space
       // (r14, the r13 verify-join trick applied to the posting-list
       // build): the groupBy-shingle exchange is this query's dominant
@@ -283,16 +298,27 @@ object LlmPipelineExt12 {
       val ex = sh.select(col("doc_id"), size(col("s")).cast("long").as("sz"),
         explode_outer(col("s")).as("shingle"))
         .where(col("shingle").isNotNull)
-      val lists = ex.groupBy("shingle")
-        .agg(count(lit(1)).as("df"),
-          collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+      // one AQE-sized shuffle by shingle; df via window count over its
+      // sorted runs (buffered state = one shingle's rows, cap-free but
+      // bounded by the worst boilerplate shingle's df — rows, not lists)
+      // TWO window passes over the one sorted-by-shingle exchange,
+      // deliberately kept apart (the Filter between them blocks
+      // CollapseWindow): pass 1 counts df so boilerplate groups are
+      // dropped BEFORE pass 2 collects posting lists — a window
+      // collect_list buffers one shingle group at a time (≤ dfCap rows
+      // after the filter), so unlike the old groupBy collect_list
+      // there is no aggregation hash holding every list at once.
+      val wdf = Window.partitionBy("shingle")
+      val capped = ex.repartition(col("shingle"))
+        .withColumn("df", count(lit(1)).over(wdf))
         .where(col("df") >= 2L && col("df") <= dfCap)
-      lists
-        .select(explode(col("ds")).as("x"), col("ds"))
-        .select(col("x"), explode(col("ds")).as("y"))
-        .where(col("x.doc_id") =!= col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+      capped
+        .withColumn("ds", collect_list(struct(col("doc_id"), col("sz"))).over(wdf))
+        .select(col("doc_id").as("a"), col("sz").as("sz_a"), explode(col("ds")).as("y"))
+        .where(col("a") =!= col("y.doc_id"))
+        .select(col("a"), col("y.doc_id").as("b"), col("sz_a"), col("y.sz").as("sz_b"))
+        .repartition(col("a"), col("b")) // co-locate before counting: see header
+        .groupBy("a", "b", "sz_a", "sz_b")
         .agg(count(lit(1)).as("shared"))
         .withColumn("cont_e4", expr("shared * 10000 div sz_a"))
         .where(col("cont_e4") >= 5000L) // a's shingles are mostly inside b
