@@ -81,10 +81,17 @@ object SpanAssembly {
     * the child's. The containment join is bounded per key; a window
     * keeps only the tightest candidate.
     */
-  def withParents(spans: DataFrame, keyCol: String): DataFrame = {
+  def withParents(spans: DataFrame, keyCol: String,
+      carryParentName: Boolean = false): DataFrame = {
     val ch = spans.as("ch")
-    val par = spans.select(col(keyCol).as("__pk"), col("span_id").as("parent_id"),
-      col("depth").as("__pd"), col("begin_ms").as("__pb"), col("end_ms").as("__pe"))
+    // carryParentName rides the elected parent's name through the SAME
+    // containment join (one extra string column): consumers that need
+    // caller→callee name edges (m_service_graph) then avoid a second
+    // spans⋈spans lookup join — the elected row IS the row a
+    // (key, parent_id) join would find, span_id being unique per key.
+    val par = spans.select(Seq(col(keyCol).as("__pk"), col("span_id").as("parent_id"),
+      col("depth").as("__pd"), col("begin_ms").as("__pb"), col("end_ms").as("__pe")) ++
+      (if (carryParentName) Seq(col("name").as("__pn")) else Nil): _*)
     val joined = ch.join(par,
       col(s"ch.$keyCol") === col("__pk") &&
         col("__pd") === col("ch.depth") - 1 &&
@@ -93,7 +100,8 @@ object SpanAssembly {
     val w = Window.partitionBy(col(s"ch.$keyCol"), col("ch.span_id"))
       .orderBy(col("__pb").desc_nulls_last, col("parent_id").desc_nulls_last)
     joined.withColumn("__rk", row_number().over(w)).where(col("__rk") === 1)
-      .select(col(s"ch.$keyCol"), col("ch.span_id"), coalesce(col("parent_id"), lit(-1L)).as("parent_id"),
-        col("ch.name"), col("ch.depth"), col("ch.begin_ms"), col("ch.end_ms"), col("ch.duration_ms"))
+      .select(Seq(col(s"ch.$keyCol"), col("ch.span_id"), coalesce(col("parent_id"), lit(-1L)).as("parent_id"),
+        col("ch.name"), col("ch.depth"), col("ch.begin_ms"), col("ch.end_ms"), col("ch.duration_ms")) ++
+        (if (carryParentName) Seq(col("__pn").as("parent_name")) else Nil): _*)
   }
 }

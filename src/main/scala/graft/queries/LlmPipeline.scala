@@ -387,24 +387,25 @@ object LlmPipeline {
       // the scorer is integer, so the composite is bit-robust by
       // construction — no float column ever reaches a hasher.
       val d = docs(s, dir)
-      // cut (localCheckpoint) after the one scoring pass: `scored` is
-      // consumed TWICE (keeper groupBy + join probe), so without a cut
-      // the textstats kernel runs once per consumer — and worse, the
-      // post-join gate's pred_lang/q10k conjuncts alias-substitute
-      // into a FilterExec below the projection, re-evaluating the
-      // kernel per conjunct per row (the kernel-in-filter net's
-      // finding once it learned to see pre-checkpoint segments,
-      // ADVICE r14). Materialized: 6 scalar columns, never the text.
+      // keeper election is a WINDOW min over the fingerprint, not a
+      // groupBy + self-join (r15): min(doc_id) over (partition by h)
+      // elects the same keeper with ONE exchange by h, and `scored`
+      // now has a single consumer, so the r14 localCheckpoint (which
+      // existed to stop the two consumers re-running the textstats
+      // kernel) is gone — one scoring pass, zero materialization. The
+      // kernel stays out of FilterExec without the cut: the gate's
+      // pred_lang/q10k conjuncts cannot push below the Window (they
+      // are not partition-key predicates), so they filter the window
+      // output where the columns already exist (kernel-in-filter net
+      // stays green).
       val scored = d.select(col("doc_id"), col("lang"),
           TextAnalysis.langIdHeuristic(col("text")).as("pred_lang"),
           round(TextAnalysis.qualityScore(col("text")) * lit(10000.0), 0)
             .cast("long").as("q10k"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           md5(col("text")).as("h"))
-        .localCheckpoint()
-      val keepers = scored.groupBy("h").agg(min("doc_id").as("keeper"))
-        .withColumnRenamed("h", "kh")
-      val curated = scored.join(keepers, col("h") === col("kh"))
+      val curated = scored
+        .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
         .where(col("doc_id") === col("keeper") &&
           col("pred_lang") === "en" && col("q10k") >= 3000L)
         .select(col("doc_id"), col("q10k"), col("n_tokens"))

@@ -110,7 +110,7 @@ object LlmPipelineExt10 {
 
     GraftQuery("l_length_histogram", (s, dir) => {
       val d = docs(s, dir).select(col("source"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        TextAnalysis.tokenCount(col("text")).as("toks"))
       d.withColumn("bucket", length(bin(col("toks"))).cast("long") - 1L)
         .groupBy("source", "bucket")
         .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_tokens"))

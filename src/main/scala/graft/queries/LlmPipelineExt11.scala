@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -120,7 +120,7 @@ object LlmPipelineExt11 {
       // window is over sources (tiny).
       val budget = 100000L
       val toks = docs(s, dir)
-        .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("t"))
+        .select(col("source"), TextAnalysis.tokenCount(col("text")).as("t"))
         .groupBy("source").agg(sum("t").as("n_tokens"))
       val tot = toks.agg(sum("n_tokens").as("tot"))
       val quota = toks.crossJoin(broadcast(tot))
@@ -236,7 +236,7 @@ object LlmPipelineExt11 {
 
     GraftQuery("l_prefix_families", (s, dir) => {
       val p = docs(s, dir).select(col("doc_id"), col("source"),
-        md5(concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, prefixTokens)))
+        md5(concat_ws(" ", slice(TextAnalysis.whitespaceTokens(col("text")), 1, prefixTokens)))
           .as("prefix_hash"))
       p.groupBy("prefix_hash")
         .agg(count(lit(1)).as("n_docs"),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -161,7 +161,7 @@ object LlmPipelineExt12 {
     GraftQuery("l_shard_assign", (s, dir) => {
       val nShards = 8
       val d = docs(s, dir).select(col("doc_id"), col("source"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        TextAnalysis.tokenCount(col("text")).as("toks"))
       // LPT-flavored round-robin: biggest docs spread across shards
       // first, inside each source partition (windows never cross
       // sources, so ranking scales with the largest source, not the
@@ -194,8 +194,10 @@ object LlmPipelineExt12 {
       FROM ps ORDER BY shard""")),
 
     GraftQuery("l_vocab_curve", (s, dir) => {
+      // token kernel + outer-explode guard (see l_heavy_hitters)
       val types = docs(s, dir)
-        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .select(explode_outer(TextAnalysis.whitespaceTokens(col("text"))).as("w"))
+        .where(col("w").isNotNull)
         .groupBy("w").agg(count(lit(1)).as("cnt")) // partial-agg: corpus → vocab
         .localCheckpoint() // ranked + totaled below; cut once
       // only the global top-16000 (the largest curve point) can appear in

@@ -75,7 +75,7 @@ object LlmPipelineExt13 {
     GraftQuery("l_pack_plan", (s, dir) => {
       val W = 2048L
       val d = docs(s, dir)
-        .select(size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        .select(TextAnalysis.tokenCount(col("text")).as("toks"))
       // per-doc window math reduces map-side to three partial sums —
       // only (strategy-level scalars × partitions) cross the wire
       val per = d.select(
@@ -134,7 +134,7 @@ object LlmPipelineExt13 {
 
     GraftQuery("l_temperature_mixture", (s, dir) => {
       val bySource = docs(s, dir)
-        .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        .select(col("source"), TextAnalysis.tokenCount(col("text")).as("toks"))
         .groupBy("source").agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"))
         .withColumn("sq", isqrt(col("tokens")))
         .localCheckpoint() // totals + output both read the sources table

@@ -73,7 +73,7 @@ object LlmPipelineExt16 {
       // Per-row string arithmetic only — the gate rides the scan with
       // NO shuffle; one output sort. (L17 covers the top-word-fraction
       // repetition rule of the same paper.)
-      val words = split(trim(col("text")), "\\s+")
+      val words = TextAnalysis.whitespaceTokens(col("text")) // kernel == composed split
       val lines = split(col("text"), "\n")
       val sw = Seq("the", "be", "to", "of", "and", "that", "have", "with")
       val d = docs(s, dir).select(col("doc_id"),
@@ -156,7 +156,7 @@ object LlmPipelineExt16 {
       // 1-row broadcast; the remainder election ranks sources by name
       // (deterministic, sources ≪ corpus).
       val toks = docs(s, dir)
-        .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("t"))
+        .select(col("source"), TextAnalysis.tokenCount(col("text")).as("t"))
         .groupBy("source").agg(sum("t").as("n_tokens"))
       val tot = toks.agg(sum("n_tokens").as("tot"),
         count(lit(1)).as("n_sources"))
@@ -197,7 +197,7 @@ object LlmPipelineExt16 {
       // last `suffixTokens` tokens via a clamped POSITIVE start index:
       // negative-start slice semantics on short arrays differ between
       // engines, greatest(1, n-9) is exact in both
-      val toks = split(trim(col("text")), "\\s+")
+      val toks = TextAnalysis.whitespaceTokens(col("text")) // kernel == composed split
       val p = docs(s, dir).select(col("doc_id"), col("source"),
         md5(concat_ws(" ",
           slice(toks, greatest(lit(1), size(toks) - lit(suffixTokens - 1)),

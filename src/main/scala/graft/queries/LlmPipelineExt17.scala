@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.operators.{Ann, Dedup}
+import graft.operators.{Ann, Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -252,8 +252,10 @@ object LlmPipelineExt17 {
       FROM n GROUP BY 1 ORDER BY label""")),
 
     GraftQuery("l_keyword_topk", (s, dir) => {
+      // token kernel + outer-explode guard (see l_heavy_hitters)
       val toks = docs(s, dir)
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+        .select(col("doc_id"), explode_outer(TextAnalysis.whitespaceTokens(col("text"))).as("w"))
+        .where(col("w").isNotNull)
       val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
         .localCheckpoint() // read twice: df election + the AND-query
       val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
@@ -290,7 +292,7 @@ object LlmPipelineExt17 {
       FROM r WHERE rk <= 20 ORDER BY rk""")),
 
     GraftQuery("l_gate_agreement", (s, dir) => {
-      val t = split(trim(col("text")), "\\s+")
+      val t = TextAnalysis.whitespaceTokens(col("text")) // kernel == composed split
       val stop = array(lit("the"), lit("and"), lit("of"), lit("to"), lit("in"))
       val d = docs(s, dir)
         .withColumn("t", t)

@@ -84,7 +84,10 @@ object LlmPipelineExt18 {
       val scored = docs(s, dir).select(
         round(TextAnalysis.qualityScore(col("text")) * lit(10000.0), 0)
           .cast("long").as("q10k"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        // n_tokens off the SAME textstats kernel the score reads —
+        // codegen CSE makes the token count free; the java-regex
+        // split this replaces was a second full text pass
+        TextAnalysis.tokenCount(col("text")).as("toks"))
         .localCheckpoint()
       val tot = scored.agg(sum("toks").as("total_tokens"))
       val grid = s.createDataFrame((0 to 9).map(i => Tuple1(i * 1000L)))
@@ -110,8 +113,9 @@ object LlmPipelineExt18 {
       FROM surv CROSS JOIN tot t ORDER BY threshold_e4""")),
 
     GraftQuery("l_dup_family_sources", (s, dir) => {
-      // family key = first-16-token hash (L52's shared-prefix key)
-      val t = split(trim(col("text")), "\\s+")
+      // family key = first-16-token hash (L52's shared-prefix key);
+      // token kernel, byte-identical to the composed split
+      val t = TextAnalysis.whitespaceTokens(col("text"))
       val prefix = md5(array_join(slice(t, 1, 16), " "))
       val bySrc = docs(s, dir)
         .select(prefix.as("norm_h"), col("source"))
@@ -260,7 +264,7 @@ object LlmPipelineExt18 {
       // never demotes — 179 MB built at sf10, r12 audit); a real fixed
       // eval set would broadcast.
       val sh = docs(s, dir).select(col("doc_id"), col("source"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"),
+        TextAnalysis.tokenCount(col("text")).as("toks"),
         explode(Dedup.wordShingles(col("text"), 3)).as("sh"))
       val bench = sh.where(col("source") === "src0")
         .select("sh").distinct().withColumn("hit", lit(1L))

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.{round => round} // DuckDB-compatible rounding (see package.scala)
@@ -36,7 +36,7 @@ object LlmPipelineExt2 {
     * share: the scrub must remove exactly what the accounting counts.
     */
   private def chunkArr(n: Int): org.apache.spark.sql.Column = {
-    val tokens = split(trim(col("text")), "\\s+")
+    val tokens = TextAnalysis.whitespaceTokens(col("text")) // kernel == composed split
     val nChunks = greatest(ceil(size(tokens) / lit(n.toDouble)).cast("int"), lit(1))
     transform(sequence(lit(0), nChunks - 1),
       i => array_join(slice(tokens, i * n + 1, lit(n)), " "))
@@ -49,8 +49,12 @@ object LlmPipelineExt2 {
       // most common word" rule): top_count/n_tokens and
       // n_distinct/n_tokens per doc. Two partial-agg-friendly groupBys;
       // all comparisons integer-exact.
+      // token kernel + outer-explode guard: InferFiltersFromGenerate
+      // must not land the kernel in a scan-side filter; graft_tokens
+      // never yields null/empty, so the outer form is row-identical
       val tok = docsWide(s, dir).select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("w"))
+        explode_outer(TextAnalysis.whitespaceTokens(col("text"))).as("w"))
+        .where(col("w").isNotNull)
       tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(sum("c").as("n_tokens"), max("c").as("top_count"),
@@ -141,7 +145,7 @@ object LlmPipelineExt2 {
       // computed with Prefix.runningSum (range partition + local
       // window + k offsets), NEVER a single-task global window.
       val d = docsWide(s, dir).select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       graft.operators.Prefix
         .runningSum(d, Seq(col("doc_id")), col("n_tokens"), "cum_tokens")
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
@@ -172,8 +176,12 @@ object LlmPipelineExt2 {
       // distinct chunks appear in at least one OTHER doc. Scale shape:
       // explode → distinct (doc, hash) → hash-count groupBy → hash
       // join back → per-doc agg; every count integer-exact.
+      // outer explode + null guard: chunkArr's sequence is never empty
+      // (nChunks >= 1), so the form is row-identical — and the token
+      // kernel inside chunkArr stays out of scan-side inferred filters
       val ch = docsWide(s, dir)
-        .select(col("doc_id"), explode(chunkArr(20)).as("chunk"))
+        .select(col("doc_id"), explode_outer(chunkArr(20)).as("chunk"))
+        .where(col("chunk").isNotNull)
         .select(col("doc_id"), md5(col("chunk")).as("h")).distinct()
       val byHash = ch.groupBy("h").agg(count(lit(1)).as("n_docs"))
       // shuffle_hash: byHash is chunk-vocabulary-sized (corpus-
@@ -221,8 +229,10 @@ object LlmPipelineExt2 {
       // 1). Same tradeoff as minhash's corpus checkpoint: wins while
       // the chunk table fits storage, recompute is the >memory-scale
       // fallback.
+      // outer posexplode + null guard: same rationale as l_chunk_dedup
       val ch = docsWide(s, dir)
-        .select(col("doc_id"), posexplode(chunkArr(20)).as(Seq("idx", "chunk")))
+        .select(col("doc_id"), posexplode_outer(chunkArr(20)).as(Seq("idx", "chunk")))
+        .where(col("chunk").isNotNull)
         .withColumn("h", md5(col("chunk")))
         .localCheckpoint()
       val byHash = ch.select("doc_id", "h").distinct()

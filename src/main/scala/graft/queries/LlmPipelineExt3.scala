@@ -4,6 +4,7 @@ import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
 import graft.queries.{round => round} // DuckDB-compatible rounding (see package.scala)
 
 /** Curation-pipeline tranche 3: training-set assembly operators —
@@ -38,10 +39,14 @@ object LlmPipelineExt3 {
       // driver state; rides the scan at any scale.
       val W = 48
       val S = 32
-      val t = split(trim(col("text")), "\\s+")
+      val t = TextAnalysis.whitespaceTokens(col("text")) // kernel == composed split
       val starts = sequence(lit(0), greatest(size(t) - 1, lit(0)), lit(S))
       docsWide(s, dir)
-        .select(col("doc_id"), t.as("t"), explode(starts).as("start"))
+        // outer explode + null guard: keeps the token kernel out of a
+        // scan-side inferred filter; starts is never empty (greatest
+        // clamps the upper bound to >= 0), so the form is row-identical
+        .select(col("doc_id"), t.as("t"), explode_outer(starts).as("start"))
+        .where(col("start").isNotNull)
         .select(col("doc_id"), (col("start") / S).cast("long").as("chunk_idx"),
           col("start").cast("long").as("start"),
           size(slice(col("t"), col("start") + 1, lit(W))).cast("long").as("n_chunk_tokens"),
@@ -168,8 +173,10 @@ object LlmPipelineExt3 {
       // cross-engine). Scale shape: explode → two keyed groupBys →
       // term-keyed join → per-doc window; the doc-count scalar joins as
       // a broadcast.
+      // token kernel + outer-explode guard (see l_heavy_hitters)
       val tf = docsWide(s, dir)
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .select(col("doc_id"), explode_outer(TextAnalysis.whitespaceTokens(col("text"))).as("term"))
+        .where(col("term").isNotNull)
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs(s, dir).agg(count(lit(1)).as("n"))
@@ -204,7 +211,7 @@ object LlmPipelineExt3 {
       // shared run of >= w+k-1 tokens between two docs shares a
       // fingerprint. Pure per-row array math; fingerprints are md5
       // strings so min/distinct are byte-exact cross-engine.
-      val t = split(trim(col("text")), "\\s+")
+      val t = TextAnalysis.whitespaceTokens(col("text")) // kernel == composed split
       val grams = transform(sequence(lit(1), greatest(size(col("t")) - 2, lit(1))),
         i => md5(array_join(slice(col("t"), i, lit(3)), " ")))
       val fps = transform(sequence(lit(1), greatest(size(col("g")) - 3, lit(1))),

@@ -298,25 +298,45 @@ object LlmPipelineExt5 {
         .select(col("doc_id"), col("lang"), col("n_words"), col("max_wlen"),
           col("n_digits"), col("n_chars"), col("has_stop"), col("fp"))
       // bloom gate: bits from the reference slice over ALL docs;
-      // probes are the C4 survivors outside it
+      // probes are the C4 survivors outside it. Cut (localCheckpoint)
+      // because TWO consumers read it (refBits build + probe side):
+      // without the cut the 3-hash md5 explode re-evaluates per
+      // consumer. Materialized: 3 rows/doc of (long, hex, long).
       val hashes = base.select(col("doc_id"), md5(col("text")).as("fp")).select(
         col("doc_id"), col("fp"), explode(array((0 to 2).map(i =>
           conv(substring(md5(concat(lit(i.toString), col("fp"))), 1, 8), 16, 10)
             .cast("long") % 4096L): _*)).as("pos"))
+        .localCheckpoint()
       val refBits = hashes.where(col("doc_id") % 5 === 0)
         .select("pos").distinct().withColumn("bit", lit(1))
       val bloom = hashes.where(col("doc_id") % 5 =!= 0)
         .join(broadcast(refBits), Seq("pos"), "left_outer")
         .groupBy("doc_id")
         .agg(min(when(col("bit").isNotNull, 1L).otherwise(0L)).as("bloom_hit"))
-      // DSIR affinity from full-corpus hashed-unigram buckets
-      val tok = base.select(col("doc_id"), col("lang"), explode(t).as("w"))
+      // DSIR affinity from full-corpus hashed-unigram buckets. The
+      // token instances are pre-aggregated ONCE to (doc, lang, bucket)
+      // counts and cut: buckets, the per-doc affinity sums and the
+      // corpus totals all derive from this table. Without the cut the
+      // explode + per-token md5 subtree (this query's dominant CPU,
+      // r15 StageProfile: 3 of the 5 heavy 32-task stages) re-evaluates
+      // once per consumer — buckets, probe, totals and the curated
+      // join each re-derived it. Counts are exact: c tokens of a doc
+      // in bucket b contribute c·(t_cnt+1) to sum_t, identical to the
+      // per-token sum; materialized rows ≤ docs × 128 buckets of 4
+      // integer columns, never the text.
+      val tokG = base.select(col("doc_id"), col("lang"), explode(t).as("w"))
         .withColumn("b", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 128L)
-      val buckets = tok.groupBy("b").agg(
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"),
-        count(lit(1)).as("r_cnt"))
-      val dsir = tok.join(broadcast(buckets), Seq("b")).groupBy("doc_id")
-        .agg(sum(col("t_cnt") + 1).as("sum_t"), sum(col("r_cnt") + 1).as("sum_r"))
+        .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val buckets = tokG.groupBy("b").agg(
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("t_cnt"),
+        sum(col("c")).as("r_cnt"))
+      // dsir is consumed twice (totals + curated join): cut it too —
+      // one integer row per doc
+      val dsir = tokG.join(broadcast(buckets), Seq("b")).groupBy("doc_id")
+        .agg(sum(col("c") * (col("t_cnt") + 1L)).as("sum_t"),
+          sum(col("c") * (col("r_cnt") + 1L)).as("sum_r"))
+        .localCheckpoint()
       val totals = dsir.agg(sum("sum_t").as("tt"), sum("sum_r").as("tr"))
       val curated = c4
         .join(bloom, Seq("doc_id")).where(col("bloom_hit") === 0)

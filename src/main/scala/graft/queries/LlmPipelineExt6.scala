@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.operators.Pq
+import graft.operators.{Pq, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -219,10 +219,17 @@ object LlmPipelineExt6 {
         .join(broadcast(coarse), col("list_id") === col("coarse_id"))
         .select(col("vec_id"), col("list_id"),
           zip_with(col("qv"), col("cqv"), (a, b) => a - b).as("rv"))
+      // rsubs is read THREE times (codebook sample, the code
+      // assignment, and the ADC tables via broadcast(cb)): cut it
+      // once, or each consumer re-derives the whole coarse-assignment
+      // chain (crossJoin × 16 centroids + integer-L2 argmin + residual
+      // join) — the query's dominant CPU. Materialized: 8 rows/vector
+      // of (3 longs + an 8-long slice), never the full vectors.
       val rsubs = resid
         .withColumn("sub", explode(sequence(lit(0L), lit(7L))))
         .withColumn("sv", slice(col("rv"), (col("sub") * 8 + 1).cast("int"), lit(8)))
         .select("vec_id", "list_id", "sub", "sv")
+        .localCheckpoint()
       // residual codebooks: sampled DISJOINT from the coarse
       // centroids — vectors 0..15 ARE the centroids, so their
       // residuals are identically zero; a codebook built from them
@@ -506,12 +513,16 @@ object LlmPipelineExt6 {
       // word — the classic count-table pipeline; at corpus scale the
       // (w1, w2) table shards by key and the per-word side tables are
       // its rollups, never a re-scan of the text.
-      val t = split(trim(col("text")), "\\s+")
+      val t = TextAnalysis.whitespaceTokens(col("text")) // kernel == composed split
       val pairs = Tables.df(s, dir, "documents")
         .repartition(Tables.workPartitions(s, dir, "documents"), col("doc_id"))
-        .select(explode(zip_with(
+        // outer explode + null guard: keeps the token kernel out of a
+        // scan-side inferred filter (one-token docs zip to an empty
+        // array -> null row -> dropped, identical to plain explode)
+        .select(explode_outer(zip_with(
           slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .where(col("p").isNotNull)
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       // pc feeds three consumers (the join probe and both rollups);
       // checkpointing materializes the count table ONCE so the

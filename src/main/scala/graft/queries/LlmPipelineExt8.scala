@@ -4,6 +4,7 @@ import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
 
 /** Curation-pipeline tranche 8: binary-signature retrieval and
   * position-level substring dedup — the two remaining index/dedup
@@ -110,12 +111,17 @@ object LlmPipelineExt8 {
 
     GraftQuery("l_substring_dedup", (s, dir) => {
       val d = docs(s, dir)
-      val toks = d.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      val toks = d.select(col("doc_id"), TextAnalysis.whitespaceTokens(col("text")).as("t"))
       val wins = toks
-        .withColumn("off", explode(
+        // outer explode + null guard: keeps the token kernel out of a
+        // scan-side inferred filter; docs shorter than the window emit
+        // an empty sequence -> null row -> dropped, identical to the
+        // plain explode that skipped them
+        .withColumn("off", explode_outer(
           when(size(col("t")) >= substrW,
             sequence(lit(1), size(col("t")) - (substrW - 1)))
             .otherwise(array().cast("array<int>"))))
+        .where(col("off").isNotNull)
         // hash immediately: only (doc_id, 32-hex) crosses the shuffle,
         // never the 20-word window text
         .select(col("doc_id"),
@@ -159,11 +165,14 @@ object LlmPipelineExt8 {
       // by (w1,w2) key; the instance stream joins it keyed — never
       // broadcast (it's vocabulary², corpus-sized) — then one per-doc
       // partial agg. Same two-shuffle budget as l_bigram_lm.
-      val t = split(trim(col("text")), "\\s+")
+      val t = TextAnalysis.whitespaceTokens(col("text")) // kernel == composed split
       val d = docs(s, dir)
-      val pairs = d.select(col("doc_id"), explode(zip_with(
+      // outer explode + null guard (see l_bigram_lm): one-token docs
+      // zip to an empty array -> null row -> dropped, row-identical
+      val pairs = d.select(col("doc_id"), explode_outer(zip_with(
         slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .where(col("p").isNotNull)
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
         .localCheckpoint() // feeds the model build AND the probe join
       val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
@@ -208,7 +217,7 @@ object LlmPipelineExt8 {
 
     GraftQuery("l_corpus_report", (s, dir) => {
       val base = docs(s, dir).select(col("source"), col("lang"), col("n_chars"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"),
+        TextAnalysis.tokenCount(col("text")).as("toks"),
         md5(col("text")).as("h"))
       base.rollup(col("source"))
         .agg(count(lit(1)).as("docs"),

@@ -131,8 +131,14 @@ object LlmPipelineExt9 {
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery("l_heavy_hitters", (s, dir) => {
+      // token kernel (byte-identical to the composed split the oracle
+      // keeps, TokenKernelSpec); explode_OUTER + null guard so
+      // InferFiltersFromGenerate cannot land the kernel in a scan-side
+      // filter (graft_tokens never returns null/empty — "" tokenizes
+      // to [""] — so the outer form is row-identical)
       val toks = docs(s, dir)
-        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .select(explode_outer(TextAnalysis.whitespaceTokens(col("text"))).as("tok"))
+        .where(col("tok").isNotNull)
         .localCheckpoint() // feeds the sketch build AND the exact counts
       val cells = Cms.cells(toks, "tok")
       val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
@@ -164,7 +170,9 @@ object LlmPipelineExt9 {
     GraftQuery("l_source_diversity", (s, dir) => {
       val d = docs(s, dir)
       val nd = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      val tc = d.select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      // token kernel + outer-explode guard (see l_heavy_hitters)
+      val tc = d.select(col("source"), explode_outer(TextAnalysis.whitespaceTokens(col("text"))).as("tok"))
+        .where(col("tok").isNotNull)
         .groupBy("source", "tok").agg(count(lit(1)).as("c"))
         .localCheckpoint() // totals + per-type surprisal ride one token shuffle
       val tot = tc.groupBy("source").agg(sum("c").as("n_tokens"))

@@ -61,13 +61,15 @@ object ObservabilityExt10 {
 
     GraftQuery("m_service_graph", (s, dir) => {
       // caller→callee edges: each span contributes one edge from its
-      // parent's name (roots → '<root>'); the join is the bounded
-      // keyed (process, span_id) lookup, never name-level
-      val sp = SpanAssembly.withParents(spans(s, dir), "user_id").localCheckpoint()
-      val par = sp.select(col("user_id").as("p_uid"), col("span_id").as("p_sid"),
-        col("name").as("parent_name"))
-      sp.join(par, col("user_id") === col("p_uid") && col("parent_id") === col("p_sid"), "left")
-        .select(coalesce(col("parent_name"), lit("<root>")).as("parent_name"),
+      // parent's name (roots → '<root>'). The parent's name rides the
+      // containment join itself (withParents carryParentName, r15) —
+      // the elected parent row IS the row the former (process,
+      // span_id) lookup join re-found, so that second spans⋈spans
+      // join and the localCheckpoint feeding it are gone: one string
+      // column through the existing join instead of a second full
+      // exchange of the span table.
+      val sp = SpanAssembly.withParents(spans(s, dir), "user_id", carryParentName = true)
+      sp.select(coalesce(col("parent_name"), lit("<root>")).as("parent_name"),
           col("name").as("child_name"), col("duration_ms"))
         .groupBy("parent_name", "child_name")
         .agg(count(lit(1)).as("calls"),
