@@ -47,6 +47,16 @@ object StageProfile {
       // real cluster; deriving it from the data is the local analog.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         Tables.initialShufflePartitions(sfDir, cpus.toInt).toString)
+      // AQE's coalesce floor (minPartitionSize, default 1 MB) is sized
+      // for IO-bound reducers; behind a SMALL exchange feeding a
+      // CPU-DENSE stage (per-process protobuf encode, window pairing)
+      // it collapses parallelism to bytes/1MB tasks — the r15
+      // m_perfetto_chunks profile ran its two heavy stages on 2-3 of
+      // 32 cores. 64 KB keeps parallelismFirst able to reach the
+      // default parallelism; a no-op wherever partitions already
+      // exceed 1 MB (every large-scale exchange), so it is
+      // scale-independent, not a local[32] tune.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)

@@ -57,6 +57,14 @@ object GraftFunctions {
       }
       PqEncode(lvec(args(0)), lvec(args(1)), ints(args(2)), ints(args(3)), ints(args(4)))
     },
+    "graft_gram_upper" -> { args =>
+      require(args.length == 1, "graft_gram_upper(qv: array<long>)")
+      def lvec(e: Expression): Expression = e.dataType match {
+        case ArrayType(org.apache.spark.sql.types.LongType, _) => e
+        case _ => Cast(e, ArrayType(org.apache.spark.sql.types.LongType))
+      }
+      GramUpperAgg(lvec(args(0))).toAggregateExpression()
+    },
     "graft_normalize" -> { args =>
       require(args.length == 1, "graft_normalize(text)")
       NormalizeWords(Cast(args(0), org.apache.spark.sql.types.StringType))

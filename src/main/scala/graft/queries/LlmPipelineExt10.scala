@@ -51,21 +51,16 @@ object LlmPipelineExt10 {
       val q = embs(s, dir).select(
         transform(col("embedding").cast("array<double>"),
           x => round(x * 1000, 0).cast("long")).as("qv"))
-      // posexplode_OUTER: plain posexplode lets InferFiltersFromGenerate
-      // add `size(qv) > 0`, which pushdown evaluates on the scan side —
-      // re-running the whole quantization transform per row just to
-      // test emptiness (same defect class as l_containment, r10 stage
-      // profile). Embeddings are fixed-width, never empty, so the outer
-      // variant is row-identical; the isNotNull guard is free.
-      // BOTH generates outer: the inner one's inferred filter re-expands
-      // the qv alias below the exchange and lands the transform on the
-      // scan side all the same
-      q.select(col("qv"), posexplode_outer(col("qv")).as(Seq("i", "vi")))
-        .where(col("vi").isNotNull)
-        .select(col("i"), col("vi"), posexplode_outer(col("qv")).as(Seq("j", "vj")))
-        .where(col("vj").isNotNull && col("j") >= col("i"))
-        .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
-        .agg(sum(col("vi") * col("vj")).as("g"))
+      // ONE aggregate pass (graft_gram_upper, r15): each vector enters
+      // the agg as a single row and the d(d+1)/2 multiply-adds run in
+      // a tight primitive loop over a per-partition 2080-cell long
+      // buffer — the former double posexplode fed n·2080 generated
+      // rows (416M at sf10) through hashing/grouping to produce the
+      // same 2080 cells. Exact integer sums in any merge order;
+      // GramAggSpec pins equality against the composed explode form.
+      q.agg(call_function("graft_gram_upper", col("qv")).as("cells"))
+        .select(explode(col("cells")).as("c"))
+        .select(col("c.i").as("i"), col("c.j").as("j"), col("c.g").as("g"))
         .orderBy("i", "j")
     }, Some("""
       WITH q AS (
