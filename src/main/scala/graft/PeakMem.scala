@@ -22,45 +22,8 @@ object PeakMem {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = args.drop(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Scan size estimates are FILE bytes x column fraction, but
-      // snappy parquet expands 24-31x in memory (sf10 audit: the
-      // customer/part dims hid a decade of growth under the broadcast
-      // threshold and statically built 192 MB hash relations). 16x
-      // keeps the estimate within ~2x of built size, so scan-backed
-      // broadcast picks demote on schedule while AQE still re-converts
-      // genuinely small sides from ACTUAL compressed bytes.
-      .config("spark.sql.sources.fileCompressionFactor", "16")
-      .config("spark.sql.adaptive.enabled", "true")
-      // Post-shuffle partitioning that survives scale: the pinned
-      // shuffle.partitions = cores floor spilled 219 GB at the third
-      // decade (25M pair-agg rows per partition, PLANS.md r10). AQE's
-      // initialPartitionNum is sized from the LAKE (1 per 2 MB of
-      // input, clamped to [cores, 1024]) so exchanges start wide
-      // enough at decade scales while the driver SFs keep the exact
-      // cores count — zero constant overhead where queries are
-      // sub-second. Ops sets the same knob per deployment size on a
-      // real cluster; deriving it from the data is the local analog.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        Tables.initialShufflePartitions(sfDir, cpus.toInt).toString)
-      // AQE's coalesce floor (minPartitionSize, default 1 MB) is sized
-      // for IO-bound reducers; behind a SMALL exchange feeding a
-      // CPU-DENSE stage (per-process protobuf encode, window pairing)
-      // it collapses parallelism to bytes/1MB tasks — the r15
-      // m_perfetto_chunks profile ran its two heavy stages on 2-3 of
-      // 32 cores. 64 KB keeps parallelismFirst able to reach the
-      // default parallelism; a no-op wherever partitions already
-      // exceed 1 MB (every large-scale exchange), so it is
-      // scale-independent, not a local[32] tune.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.functions.GraftExtensions)
-      .getOrCreate()
+    // Shared session config: GraftSession.base (same plan as Bench).
+    val spark = GraftSession.base(sfDir, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // conf-driven spill budget (spark.graft.query.maxSpillMb) live in every
     // session-building driver, not just the gate (ADVICE r12)

@@ -21,29 +21,10 @@ object SpillProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val capMb = sys.env.getOrElse("SPARK_GRAFT_MAX_SPILL_MB", "1")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.sources.fileCompressionFactor", "16")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        Tables.initialShufflePartitions(sfDir, cpus.toInt).toString)
-      // AQE's coalesce floor (minPartitionSize, default 1 MB) is sized
-      // for IO-bound reducers; behind a SMALL exchange feeding a
-      // CPU-DENSE stage (per-process protobuf encode, window pairing)
-      // it collapses parallelism to bytes/1MB tasks — the r15
-      // m_perfetto_chunks profile ran its two heavy stages on 2-3 of
-      // 32 cores. 64 KB keeps parallelismFirst able to reach the
-      // default parallelism; a no-op wherever partitions already
-      // exceed 1 MB (every large-scale exchange), so it is
-      // scale-independent, not a local[32] tune.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    // Shared session config: GraftSession.base (same plan as Bench),
+    // plus the probe's own spill cap.
+    val spark = GraftSession.base(sfDir, cpus)
       .config("spark.graft.query.maxSpillMb", capMb)
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val audit = QueryAudit.attach(spark, maxRecords = 64)

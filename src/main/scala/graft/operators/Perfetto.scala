@@ -239,17 +239,50 @@ object Perfetto {
     * executors; per-group state is that process's spans only (the
     * reference holds the same: its table function is per-process).
     */
-  def traceChunks(spans: Dataset[PSpan]): Dataset[PChunk] = {
+  def traceChunks(spans: Dataset[PSpan],
+      numPartitions: Option[Int] = None): Dataset[PChunk] = {
     val s = spans.sparkSession
     import s.implicits._
-    spans.groupByKey(_.key).flatMapGroups { (k: Long, it: Iterator[PSpan]) =>
-      val all = it.toSeq
-      val chunks = encodeProcess(k,
-        thread = all.filter(_.track == 0), async = all.filter(_.track == 1))
-      chunks.zipWithIndex.map { case ((bytes, nPackets), i) =>
-        PChunk(k, i, nPackets, bytes.length.toLong, md5hex0(bytes), bytes)
-      }.iterator
+    numPartitions match {
+      case Some(n) =>
+        // Explicit hash repartition by process key: a user-specified
+        // partition count is exempt from AQE partition coalescing, so
+        // the encode stage keeps its parallelism even though its input
+        // exchange is tiny in BYTES but dense in CPU — under the
+        // default 1 MB coalesce floor the groupByKey exchange ran the
+        // whole per-process protobuf encode on 2-3 of 32 cores (r15
+        // StageProfile). The in-partition sort makes each process's
+        // rows contiguous; per-task state stays bounded to one
+        // process's spans, exactly like flatMapGroups. encodeProcess
+        // sorts spans itself, so group order is irrelevant.
+        spans.repartition(n, col("key")).sortWithinPartitions("key")
+          .mapPartitions { it =>
+            val in = it.buffered
+            new Iterator[Iterator[PChunk]] {
+              def hasNext: Boolean = in.hasNext
+              def next(): Iterator[PChunk] = {
+                val k = in.head.key
+                val grp = mutable.ArrayBuffer[PSpan]()
+                while (in.hasNext && in.head.key == k) grp += in.next()
+                encodeGroup(k, grp.toSeq)
+              }
+            }.flatten
+          }
+      case None =>
+        spans.groupByKey(_.key).flatMapGroups(
+          (k: Long, it: Iterator[PSpan]) => encodeGroup(k, it.toSeq))
     }
+  }
+
+  /** One process's spans → its chunk rows (shared by both execution
+    * shapes above so the encode semantics cannot drift between them).
+    */
+  private def encodeGroup(k: Long, all: Seq[PSpan]): Iterator[PChunk] = {
+    val chunks = encodeProcess(k,
+      thread = all.filter(_.track == 0), async = all.filter(_.track == 1))
+    chunks.zipWithIndex.map { case ((bytes, nPackets), i) =>
+      PChunk(k, i, nPackets, bytes.length.toLong, md5hex0(bytes), bytes)
+    }.iterator
   }
 
   private def md5hex0(b: Array[Byte]): String =
@@ -259,7 +292,8 @@ object Perfetto {
     * begin_ms, end_ms); async spans optional second table.
     */
   def traceChunksDf(spark: SparkSession, threadSpans: DataFrame, keyCol: String,
-      asyncSpans: Option[DataFrame] = None): DataFrame = {
+      asyncSpans: Option[DataFrame] = None,
+      numPartitions: Option[Int] = None): DataFrame = {
     import spark.implicits._
     def shape(df: DataFrame, track: Int): Dataset[PSpan] =
       df.select(col(keyCol).cast("long").as("key"), lit(track).as("track"),
@@ -271,6 +305,6 @@ object Perfetto {
       case Some(a) => shape(threadSpans, 0).unionAll(shape(a, 1))
       case None => shape(threadSpans, 0)
     }
-    traceChunks(in).toDF()
+    traceChunks(in, numPartitions).toDF()
   }
 }

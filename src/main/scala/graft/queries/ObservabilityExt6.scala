@@ -32,6 +32,20 @@ object ObservabilityExt6 {
 
   private def events(s: SparkSession, dir: String): DataFrame = Tables.df(s, dir, "events")
 
+  /** Events explicitly hash-repartitioned by process for the perfetto
+    * export. The whole span-assembly pipeline (both windows + the
+    * pairing aggregate) rides ONE hashpartitioning(user_id) exchange;
+    * an AQE exchange there coalesces by BYTES (the default 1 MB floor
+    * packed the CPU-dense window-pairing stage onto 2-3 of 32 cores at
+    * sf0.1 — r15 StageProfile), while a user-specified partition count
+    * is exempt from coalescing, so the stage keeps workPartitions-many
+    * tasks at every scale. Targeted here rather than a session-wide
+    * minPartitionSize floor, which the r15 driver bench showed costs
+    * 15-35% on ~20 untouched queries.
+    */
+  private def eventsWide(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).repartition(Tables.workPartitions(s, dir, "events"), col("user_id"))
+
   /** The shared thread-span assembly (same shape as
     * ObservabilityExt2.spans / its oracleSpans CTE). Public: the
     * perfetto export trio (m_perfetto_packets, m_perfetto_chunks,
@@ -39,13 +53,13 @@ object ObservabilityExt6 {
     * their cross-checks (GraftApiSpec, PerfettoSpec) mean nothing.
     */
   def perfettoThreadSpans(s: SparkSession, dir: String): DataFrame =
-    SpanAssembly.beginEndSpans(events(s, dir), "user_id", epochMs(col("ts")), "event_id",
+    SpanAssembly.beginEndSpans(eventsWide(s, dir), "user_id", epochMs(col("ts")), "event_id",
       "event_type", col("event_type").isin("signup", "view"))
 
   /** The async-track operation spans for the perfetto export. */
   def perfettoAsyncSpans(s: SparkSession, dir: String): DataFrame =
     SpanAssembly
-      .consecutiveSpans(events(s, dir), "user_id", epochMs(col("ts")), "event_id", "event_type")
+      .consecutiveSpans(eventsWide(s, dir), "user_id", epochMs(col("ts")), "event_id", "event_type")
       .withColumn("span_id", col("event_id"))
       .withColumn("depth", lit(0L))
 
@@ -153,7 +167,8 @@ object ObservabilityExt6 {
       // chunks aren't SQL-expressible → rows-only; PerfettoSpec
       // decodes them against m_perfetto_packets.
       Perfetto.traceChunksDf(s, perfettoThreadSpans(s, dir), "user_id",
-          Some(perfettoAsyncSpans(s, dir)))
+          Some(perfettoAsyncSpans(s, dir)),
+          numPartitions = Some(Tables.workPartitions(s, dir, "events")))
         .select("user_id", "chunk_id", "n_packets", "n_bytes", "chunk_md5")
         .orderBy("user_id", "chunk_id")
     }, None, headline = true),
