@@ -88,6 +88,18 @@ object GraftFunctions {
       require(args.length == 1, "graft_tokens(text)")
       WhitespaceTokensKernel(Cast(args(0), org.apache.spark.sql.types.StringType))
     },
+    "graft_chunks" -> { args =>
+      require(args.length == 2 && args(1).foldable,
+        "graft_chunks(text, n) — n must be a literal")
+      WordChunks(Cast(args(0), org.apache.spark.sql.types.StringType),
+        args(1).eval().asInstanceOf[Number].intValue)
+    },
+    "graft_bpe_merge" -> { args =>
+      require(args.length == 3, "graft_bpe_merge(tokens, w1, w2)")
+      BpeMergeKernel(args(0),
+        Cast(args(1), org.apache.spark.sql.types.StringType),
+        Cast(args(2), org.apache.spark.sql.types.StringType))
+    },
     "graft_bpeish" -> { args =>
       require(args.length == 1, "graft_bpeish(text)")
       BpeishCount(Cast(args(0), org.apache.spark.sql.types.StringType))

@@ -147,6 +147,87 @@ object ShingleKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Fixed n-token chunk array in ONE byte pass, byte-for-byte equal
+    * to the composed chunking form over
+    * `tokens = split(trim(text), "\\s+")`:
+    * {{{
+    * transform(sequence(0, greatest(ceil(size(tokens)/n.0), 1) - 1),
+    *   i => array_join(slice(tokens, i*n + 1, n), " "))
+    * }}}
+    * (the form the DuckDB oracles keep). The scanner always yields >= 1
+    * token ("" -> [""]), so ceil(m/n) >= 1 and the greatest() guard is
+    * the identity; chunk k joins tokens [k*n, min((k+1)*n, m)) with
+    * single 0x20 bytes, exactly array_join over a slice.
+    *
+    * Why a kernel: the composed form references the token array inside
+    * a `transform` HOF lambda (HOFs are CodegenFallback), where the
+    * interpreted ArrayTransform re-evaluates the tokenizer
+    * subexpression per chunk — the l_paragraph_scrub r15 regression
+    * (driver 0.54x, VERDICT r15 item 2). One scan finds the
+    * boundaries; each chunk is one allocation + arraycopy.
+    */
+  def chunks(text: UTF8String, n: Int): ArrayData = {
+    val b = text.getBytes
+    var lo = 0
+    var hi = b.length
+    while (lo < hi && b(lo) == ' ') lo += 1
+    while (hi > lo && b(hi - 1) == ' ') hi -= 1
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var pos = lo
+    var i = lo
+    while (i < hi) {
+      if (isWs(b(i))) {
+        starts.add(pos); ends.add(i)
+        i += 1
+        while (i < hi && isWs(b(i))) i += 1
+        pos = i
+      } else i += 1
+    }
+    starts.add(pos); ends.add(hi) // final token (empty if trailing run)
+    val m = starts.size()
+    val nChunks = (m + n - 1) / n // m >= 1, so >= 1
+    val arr = new Array[Any](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val from = c * n
+      arr(c) = joinTokens(b, starts, ends, from, math.min(n, m - from))
+      c += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  /** One greedy left-to-right BPE merge of the adjacent pair (w1, w2)
+    * into "w1_w2" over a token array, in one pass — the per-document
+    * form of the gaps-and-islands parity logic in
+    * [[graft.operators.Bpe.applyMergeJoined]] (a run of k consecutive
+    * pair occurrences merges at its 1st, 3rd, 5th... positions; the
+    * token after a merge is consumed). Greedy scan == parity by
+    * construction: after merging at position p the scan resumes at
+    * p+2, which is exactly "offset from island start is even".
+    * BpeMergeKernelSpec pins equality against the relational form on
+    * random token tables. Null ELEMENTS (never produced by
+    * graft_tokens) are copied through unmerged, matching the
+    * relational form's null-intolerant equality.
+    */
+  def bpeMerge(tokens: ArrayData, w1: UTF8String, w2: UTF8String): ArrayData = {
+    val m = tokens.numElements()
+    val out = new java.util.ArrayList[Any](m)
+    val sep = UTF8String.fromString("_")
+    var i = 0
+    while (i < m) {
+      if (i + 1 < m && !tokens.isNullAt(i) && !tokens.isNullAt(i + 1) &&
+          w1.equals(tokens.getUTF8String(i)) && w2.equals(tokens.getUTF8String(i + 1))) {
+        out.add(UTF8String.concat(w1, sep, w2))
+        i += 2
+      } else {
+        out.add(if (tokens.isNullAt(i)) null else tokens.getUTF8String(i))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** BPE-ish pre-tokenizer match COUNT in one byte pass, equal to
     * `size(regexp_extract_all(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))`
     * (TextAnalysis.bpeishTokenCount's composed form, which the DuckDB
@@ -383,6 +464,45 @@ case class WhitespaceTokensKernel(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): WhitespaceTokensKernel =
     copy(child = newChild)
+}
+
+/** `graft_chunks(text, n)` — see [[ShingleKernels.chunks]]. */
+case class WordChunks(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "graft_chunks: n must be >= 1")
+
+  // containsNull matches the composed transform/array_join form's
+  // conservative nullability (elements are never actually null)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_chunks"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernels.chunks(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.chunks($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordChunks =
+    copy(child = newChild)
+}
+
+/** `graft_bpe_merge(tokens, w1, w2)` — see [[ShingleKernels.bpeMerge]]. */
+case class BpeMergeKernel(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_bpe_merge"
+
+  override protected def nullSafeEval(toks: Any, w1: Any, w2: Any): Any =
+    ShingleKernels.bpeMerge(toks.asInstanceOf[ArrayData],
+      w1.asInstanceOf[UTF8String], w2.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, a, b) =>
+      s"graft.functions.ShingleKernels.bpeMerge($t, $a, $b)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): BpeMergeKernel =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** `graft_bpeish(text)` — see [[ShingleKernels.bpeishCount]]. */

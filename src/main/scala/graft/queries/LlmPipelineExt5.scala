@@ -212,25 +212,40 @@ object LlmPipelineExt5 {
       // Multi-round training (driver-iterated like Lloyd's k-means)
       // is Bpe.train, pinned to an independent in-memory
       // implementation by BpeSpec.
-      val tok = graft.operators.Bpe.tokens(docsWide(s, dir), "text")
-      val top = graft.operators.Bpe.pairCounts(tok)
+      // r16 shape (VERDICT r15 item 4): everything reads the token
+      // ARRAY — the kernel runs once per row BEFORE the repartition,
+      // so the exchange carries arrays and both consumers (pair stats,
+      // merge) reuse the one exchange without recomputing it.
+      val d = docs(s, dir)
+        .select(col("doc_id"), whitespaceTokens(col("text")).as("toks"))
+        .repartition(Tables.workPartitions(s, dir, "documents"), col("doc_id"))
+      // pair statistics straight off adjacent array positions — the
+      // same (t[i], t[i+1]) multiset Bpe.pairCounts builds via a
+      // per-doc lead() window, minus the window (no per-doc sort, no
+      // posexplode; one partial-agg groupBy exchange carries distinct
+      // pairs only)
+      val adjLen = greatest(size(col("toks")) - 1, lit(0))
+      val top = d
+        .select(explode(arrays_zip(
+          slice(col("toks"), lit(1), adjLen), slice(col("toks"), lit(2), adjLen))).as("p"))
+        .select(col("p.0").as("w"), col("p.1").as("w2"))
+        .groupBy("w", "w2").agg(count(lit(1)).as("pair_n"))
         .orderBy(col("pair_n").desc, col("w"), col("w2")).limit(1)
         .select(col("w").as("tw1"), col("w2").as("tw2"), col("pair_n"))
-      // the winning pair enters the plan as a broadcast 1-row cross
-      // join; the merge itself is the SAME applyMergeJoined core the
-      // trained loop uses
-      val merged = graft.operators.Bpe.applyMergeJoined(
-        tok.crossJoin(broadcast(top)))
-      val after = merged.groupBy("doc_id").agg(
-        count(lit(1)).as("n_after"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("w")))),
-          x => x.getField("w")), " ")).as("merged_md5"))
-      val before = tok.groupBy("doc_id").agg(count(lit(1)).as("n_before"))
-      after.join(before, "doc_id")
-        .crossJoin(broadcast(top))
-        .select(col("doc_id"), col("n_before"), col("n_after"),
-          col("tw1").as("w1"), col("tw2").as("w2"), col("pair_n"), col("merged_md5"))
+      // ONE broadcast cross join (the r14 shape evaluated the winning-
+      // pair subtree twice — two crossJoins); the merge itself is the
+      // per-doc kernel form of Bpe.applyMergeJoined (BpeMergeKernelSpec
+      // pins parity), so the before/after counts and reassembled md5
+      // are projections — no windows, no groupBy, no join-back
+      d.crossJoin(broadcast(top))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_before"),
+          graft.operators.Bpe.mergeTokens(col("toks"), col("tw1"), col("tw2")).as("m"),
+          col("tw1").as("w1"), col("tw2").as("w2"), col("pair_n"))
+        .select(col("doc_id"), col("n_before"),
+          size(col("m")).cast("long").as("n_after"),
+          col("w1"), col("w2"), col("pair_n"),
+          md5(array_join(col("m"), " ")).as("merged_md5"))
         .orderBy("doc_id")
     }, Some(s"""
       WITH tok0 AS (SELECT doc_id, $oracleTokens AS t FROM documents),
@@ -331,13 +346,20 @@ object LlmPipelineExt5 {
       val buckets = tokG.groupBy("b").agg(
         sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("t_cnt"),
         sum(col("c")).as("r_cnt"))
-      // dsir is consumed twice (totals + curated join): cut it too —
-      // one integer row per doc
+      // r16: dsir is single-consumer now (the curated join), so the
+      // r15 checkpoint is gone — the corpus totals derive from the
+      // 128-row buckets table alone, exactly (integer sums reordered):
+      //   tt = Σ_doc Σ_b c·(t_cnt+1) = Σ_b (t_cnt+1)·Σ_doc c
+      //      = Σ_b (t_cnt+1)·r_cnt,   tr = Σ_b (r_cnt+1)·r_cnt
+      // (tokG covers every doc — each doc has ≥ 1 token — so the
+      // per-doc sum and the per-bucket sum range over the same terms).
+      // One whole materialization pass saved; guide §1.2 step 1.
       val dsir = tokG.join(broadcast(buckets), Seq("b")).groupBy("doc_id")
         .agg(sum(col("c") * (col("t_cnt") + 1L)).as("sum_t"),
           sum(col("c") * (col("r_cnt") + 1L)).as("sum_r"))
-        .localCheckpoint()
-      val totals = dsir.agg(sum("sum_t").as("tt"), sum("sum_r").as("tr"))
+      val totals = buckets.agg(
+        sum((col("t_cnt") + 1L) * col("r_cnt")).as("tt"),
+        sum((col("r_cnt") + 1L) * col("r_cnt")).as("tr"))
       val curated = c4
         .join(bloom, Seq("doc_id")).where(col("bloom_hit") === 0)
         .join(dsir, Seq("doc_id"))
