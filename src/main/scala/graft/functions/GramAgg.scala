@@ -20,12 +20,25 @@ final class GramBuffer(var dims: Int, var cells: Array[Long]) {
   def add(qv: ArrayData): Unit = {
     val n = qv.numElements()
     ensure(n)
+    // Null ELEMENTS are skipped like an aggregate sum skips null
+    // products (ADVICE r15: the unguarded getLong NPE'd on
+    // GenericArrayData and silently read 0 on UnsafeArrayData —
+    // divergent physical-format behavior). Lake vectors carry no
+    // nulls; on hostile input each null term now contributes nothing,
+    // on BOTH formats. Deliberate residual divergence from the
+    // composed explode form: a position that is null in EVERY vector
+    // yields no (i, j) group there vs a g=0 cell here.
     var k = 0
     var i = 0
     while (i < n) {
-      val vi = qv.getLong(i)
-      var j = i
-      while (j < n) { cells(k) += vi * qv.getLong(j); k += 1; j += 1 }
+      if (!qv.isNullAt(i)) {
+        val vi = qv.getLong(i)
+        var j = i
+        while (j < n) {
+          if (!qv.isNullAt(j)) cells(k) += vi * qv.getLong(j)
+          k += 1; j += 1
+        }
+      } else k += n - i
       i += 1
     }
   }

@@ -57,4 +57,21 @@ class GramAggSpec extends SparkSpec {
     assert(kernel(df).count() == 0L)
     assert(composed(df).count() == 0L)
   }
+
+  test("null elements are skipped like the guarded composed form (ADVICE r15)") {
+    // each position non-null in at least one vector, so the composed
+    // form emits every (i, j) group and the two agree exactly; the
+    // one deliberate residual divergence (a position null in EVERY
+    // vector: no group vs a g=0 cell) is documented at GramBuffer.add
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows: Seq[Seq[java.lang.Long]] = Seq(
+      Seq[java.lang.Long](1L, null, 3L),
+      Seq[java.lang.Long](null, 5L, -2L),
+      Seq[java.lang.Long](4L, 6L, null))
+    val df = rows.toDF("qv").repartition(2)
+    val want = composed(df).orderBy("i", "j").collect().toSeq
+    val got = kernel(df).orderBy("i", "j").collect().toSeq
+    assert(got == want, s"null-element handling diverges: got $got want $want")
+  }
 }
